@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator coverage (scan/project/filter, joins of every
+  * flavor, hash aggregation, windows, rollup, set ops, top-k) over the
+  * TPC-H-ish tables.
+  *
+  * Float determinism rule (SURVEY §7.5): any SUM over money-like doubles is
+  * computed over DECIMAL (exact, order-independent) and only then cast back
+  * to DOUBLE — a shuffled partial/final aggregate would otherwise produce
+  * run-dependent low bits and flake the oracle hash-compare.
+  */
+object Relational {
+
+  /** Exact order-independent sum of a 2-decimal double column, as double. */
+  def dsum2(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact sum of a ≤4-decimal product, as double. The per-row product is
+    * done in double (bit-identical in any IEEE-754 engine), then snapped to
+    * its exact 4-decimal value before summing.
+    */
+  def dsum4(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary: filter + hash aggregate with
+    * partial/final combine (reference O14's shape at relational scale).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        round(dsum2(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Multi-way join: orders ⋈ customer ⋈ nation, dims broadcast. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum2(col("o_totalprice")).as("total_revenue"))
+      .orderBy("n_name")
+
+  /** Global top-k with deterministic tie-break. */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Per-group top-k via ranking window. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running (cumulative) sum window; DECIMAL accumulator so the result is
+    * independent of the engine's frame-evaluation strategy.
+    */
+  def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "running_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Plain filtered projection — exists to prove scan-level predicate
+    * pushdown and column pruning (check `.explain`: PushedFilters +
+    * 4-column ReadSchema).
+    */
+  def filteredScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") < 5 && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** ROLLUP grouping sets; NULL group markers coalesced to 'ALL' so the
+    * oracle compare never depends on engine NULL-ordering defaults.
+    */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), dsum2(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_price"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Broadcast left-semi join (EXISTS). */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Broadcast left-anti join (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Set operations: INTERSECT then EXCEPT over customer-key sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val bigSpenders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val known = Tables.customer(spark, dir).select(col("c_custkey").as("custkey"))
+    val inDebt = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"))
+    bigSpenders.intersect(known).except(inDebt).orderBy("custkey")
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** The reference's core dataflow (jbohanon/capstone-etl main.go:126–283),
+  * re-expressed as one declarative Spark lineage over the `documents` table:
+  *
+  *   scan → clean → tokenize (explode) → dictionary semi-join →
+  *   stop-word anti-join → groupBy(doc,token).count → {doc stats, global
+  *   token dictionary, inverted index, sparse TF vectors}
+  *
+  * The reference's global mutable stores (allTokensMap, tokenRefs — a
+  * channel-serialized map, concurrentMap.go:31–122) become shuffles; its
+  * O(docs × vocab) dense vector sweep (main.go:225–231) becomes an O(nnz)
+  * join. Both membership filters broadcast (the dictionary is ~236k words
+  * in the reference — comfortably broadcastable; were it not, the same
+  * code degrades gracefully to a shuffled semi-join).
+  */
+object TokenPipeline {
+
+  /** Stop-word anti-join list (reference main.go:301–969 has ~668 entries;
+    * this corpus's vocabulary only exercises these).
+    */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Dictionary whitelist (plays the role of the reference's 235,886-word
+    * `en` file, main.go:108–118). Deliberately excludes "agg" and "dup" so
+    * the semi-join is observable on the synthetic corpus.
+    */
+  val Dictionary: Seq[String] = Seq(
+    "batch", "big", "column", "customer", "data", "fast", "filter", "group",
+    "hash", "join", "key", "line", "merge", "order", "part", "query", "row",
+    "scan", "slow", "small", "sort", "spark", "stream", "table", "value",
+    "vector", "window", "the", "a")
+
+  def wordDf(spark: SparkSession, words: Seq[String]): DataFrame = {
+    import spark.implicits._
+    words.toDF("token")
+  }
+
+  /** Exploded (doc_id, token) before any membership filtering. */
+  def rawTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.tokenize(col("text"))).as("token"))
+
+  // The (doc_id, token, qty) relation is the hub every downstream operator
+  // reuses (reference keeps it as tknQtyMap per doc, main.go:63); persist it
+  // once per input dir instead of re-tokenizing per query.
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** (doc_id, token, qty) after dictionary semi-join (O11) and stop-word
+    * anti-join (O12); qty = occurrences in doc (O14). Cached per (session,
+    * dir).
+    */
+  def docTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}#$dir", {
+      val toks = rawTokens(Tables.documents(spark, dir))
+        .join(broadcast(wordDf(spark, Dictionary)), Seq("token"), "left_semi")
+        .join(broadcast(wordDf(spark, StopWords)), Seq("token"), "left_anti")
+      toks.groupBy("doc_id", "token").agg(count(lit(1)).as("qty"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Per-document statistics: distinct kept tokens (main.go:57), total kept
+    * tokens, and the L2 norm over TF quantities (main.go:272–281). Docs whose
+    * every token was filtered keep a row with zeros (reference writes the
+    * struct regardless).
+    */
+  def docStats(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docTokenCounts(spark, dir)
+    val agg = counts.groupBy("doc_id").agg(
+      count(lit(1)).as("count_unique_words"),
+      sum("qty").as("total_tokens"),
+      round(sqrt(sum(col("qty") * col("qty"))), 6).as("euclidian_norm"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("count_unique_words"), lit(0L)).as("count_unique_words"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("euclidian_norm"), lit(0.0)).as("euclidian_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** Global token dictionary: distinct tokens, sorted, dense 0-based ids
+    * (reference main.go:143–153). Dense ids via the scale-safe sorted
+    * zipWithIndex (Ids.withDenseId), not a single-partition window.
+    */
+  def tokenDictionary(spark: SparkSession, dir: String): DataFrame =
+    Ids.withDenseId(
+      docTokenCounts(spark, dir).select("token").distinct(),
+      "token_id", col("token"))
+      .select("token_id", "token")
+
+  /** Inverted index in relational form: (token_id, token, doc_id, qty)
+    * (reference main.go:151–163 materializes this as posting-list structs;
+    * q-postings below does the array form).
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    docTokenCounts(spark, dir)
+      .join(broadcast(tokenDictionary(spark, dir)), Seq("token"))
+      .select("token_id", "token", "doc_id", "qty")
+      .orderBy("token_id", "doc_id")
+
+  /** Posting lists as deterministic strings: token → "doc:qty,doc:qty,…"
+    * sorted by doc_id (reference order is Go-map-nondeterministic,
+    * main.go:156 — sorted order is our canonical contract, SURVEY §7.5).
+    */
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    docTokenCounts(spark, dir)
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("n_refs"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("qty")))),
+            e => concat(e.getField("doc_id").cast("string"), lit(":"),
+                        e.getField("qty").cast("string"))),
+          ",").as("refs"))
+      .orderBy("token")
+
+  /** Sparse TF vectors in relational form: (doc_id, token_id, qty) — the
+    * O(nnz) replacement for the reference's O(docs × vocab) sweep
+    * (main.go:225–231).
+    */
+  def sparseVectors(spark: SparkSession, dir: String): DataFrame =
+    docTokenCounts(spark, dir)
+      .join(broadcast(tokenDictionary(spark, dir)), Seq("token"))
+      .select("doc_id", "token_id", "qty")
+      .orderBy("doc_id", "token_id")
+
+  /** Map-typed vector per doc (reference's compressed_token_vector,
+    * main.go:222–235) + its L2 norm. Not SQL-oracle-checkable (map type) —
+    * covered by the relational form above plus unit tests.
+    */
+  def tokenVectorMap(spark: SparkSession, dir: String): DataFrame =
+    sparseVectors(spark, dir)
+      .groupBy("doc_id")
+      .agg(
+        map_from_entries(array_sort(collect_list(struct(col("token_id"), col("qty")))))
+          .as("compressed_token_vector"),
+        round(sqrt(sum(col("qty") * col("qty"))), 6).as("euclidian_norm"))
+      .orderBy("doc_id")
+}
