@@ -1,0 +1,331 @@
+package graft
+
+import graft.operators.TokenPipeline
+
+/** DuckDB oracle SQL for every SQL-expressible query in SparkEntry.queries.
+  *
+  * Mirroring rules (SURVEY §5/§7.5): identical column aliases, explicit
+  * ORDER BY with tie-breakers, SUMs of money doubles through DECIMAL,
+  * list folds written as sequential left folds (list_reduce) to match
+  * Spark's `aggregate`, and every hash is md5 over an explicit string so
+  * both engines derive bit-identical signatures.
+  */
+object OracleSql {
+
+  private val Dict = TokenPipeline.Dictionary.map(w => s"'$w'").mkString("(", ",", ")")
+  private val Stop = TokenPipeline.StopWords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Tokenization CTE mirroring TextFns.tokenize (clean → lower → split →
+    * drop empties) + the dictionary semi-join and stop-word anti-join.
+    */
+  val KeptCte: String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')) AS token
+       |  FROM documents),
+       |kept AS (
+       |  SELECT doc_id, token, COUNT(*) AS qty
+       |  FROM toks
+       |  WHERE token <> '' AND token IN $Dict AND token NOT IN $Stop
+       |  GROUP BY doc_id, token)""".stripMargin
+
+  /** Dense-id token dictionary CTE (row_number − 1 = Ids.withDenseId). */
+  val DictCte: String =
+    s"""dict AS (
+       |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+       |  FROM (SELECT DISTINCT token FROM kept))""".stripMargin
+
+  /** Hierarchy paths CTE mirroring TextFns.pagePath/parentPath. */
+  val PathsCte: String =
+    """paths AS (
+      |  SELECT doc_id,
+      |         array_to_string(
+      |           list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+      |                          i -> substring(CAST(doc_id AS VARCHAR), 1, i)),
+      |           '/') AS page_loc
+      |  FROM documents),
+      |links AS (
+      |  SELECT doc_id, page_loc,
+      |         CASE WHEN page_loc NOT LIKE '%/%' THEN ''
+      |              ELSE regexp_replace(page_loc, '/[^/]*$', '') END AS parent_path
+      |  FROM paths)""".stripMargin
+
+  /** 3-token shingle sets per doc, mirroring Dedup.shingles. */
+  val ShinglesCte: String =
+    """shingles AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(arr) - 1, 1)),
+      |                i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
+      |                           x -> x <> '') AS arr
+      |        FROM documents))""".stripMargin
+
+  /** MinHash signatures + LSH band buckets, mirroring Dedup.minhash*. */
+  val SigsCte: String = {
+    val mins = (0 until Dedup_Hashes)
+      .map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n         ")
+    val bands = (0 until Dedup_Bands)
+      .map(k => s"SELECT doc_id, $k AS band, md5(h${2 * k} || h${2 * k + 1}) AS bucket FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""sigs AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM shingles GROUP BY doc_id),
+       |bands AS (
+       |  $bands)""".stripMargin
+  }
+  private def Dedup_Hashes = graft.operators.Dedup.MinhashHashes
+  private def Dedup_Bands = graft.operators.Dedup.MinhashBands
+
+  /** Exact-Jaccard verification tail shared by the two near-dup queries. */
+  private val JaccardTail: String =
+    """sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+      |inter AS (
+      |  SELECT doc_a, doc_b, COUNT(*) AS inter
+      |  FROM cands c
+      |  JOIN shingles sa ON sa.doc_id = c.doc_a
+      |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b, inter, (za.sz + zb.sz - inter) AS uni
+      |FROM inter
+      |JOIN sizes za ON za.doc_id = doc_a
+      |JOIN sizes zb ON zb.doc_id = doc_b
+      |WHERE 2 * inter >= (za.sz + zb.sz - inter)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Normed double-cast embeddings; folds mirror VectorFns (sequential). */
+  val EmbCte: String =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, emb,
+      |         ((CASE WHEN emb[1] > 0 THEN 1 ELSE 0 END) +
+      |          (CASE WHEN emb[2] > 0 THEN 2 ELSE 0 END) +
+      |          (CASE WHEN emb[3] > 0 THEN 4 ELSE 0 END) +
+      |          (CASE WHEN emb[4] > 0 THEN 8 ELSE 0 END)) AS bucket,
+      |         sqrt(list_reduce(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i]),
+      |                          (x, y) -> x + y)) AS nrm
+      |  FROM e)""".stripMargin
+
+  private def dotExpr(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** 16-bit SimHash aggregate terms, mirroring Dedup.simhash. */
+  private val SimhashSums: String = (0 until 16).map { b =>
+    val j = b / 4; val k = b % 4
+    val nib = s"(strpos('0123456789abcdef', substring(md5(token), ${j + 1}, 1)) - 1)"
+    s"SUM(qty * (2 * (($nib // ${1 << k}) % 2) - 1)) AS s$b"
+  }.mkString(",\n         ")
+
+  private val SimhashCombine: String = (0 until 16)
+    .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+    .mkString(" + ")
+
+  val SimhashCte: String =
+    s"""sums AS (
+       |  SELECT doc_id,
+       |         $SimhashSums
+       |  FROM kept GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($SimhashCombine AS BIGINT) AS simhash FROM sums)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q04_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q05_running_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q06_filtered_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity < 5 AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q07_rollup_summary" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q08_customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_set_ops" ->
+      """SELECT custkey FROM (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+        |  INTERSECT
+        |  SELECT c_custkey AS custkey FROM customer
+        |  EXCEPT
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY custkey""".stripMargin,
+    "q11_doc_token_counts" ->
+      s"""WITH $KeptCte
+         |SELECT doc_id, token, qty FROM kept
+         |ORDER BY doc_id, token""".stripMargin,
+    "q12_doc_stats" ->
+      s"""WITH $KeptCte,
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS count_unique_words,
+         |         CAST(SUM(qty) AS BIGINT) AS total_tokens,
+         |         ROUND(SQRT(CAST(SUM(qty * qty) AS DOUBLE)), 6) AS euclidian_norm
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       COALESCE(count_unique_words, 0) AS count_unique_words,
+         |       COALESCE(total_tokens, 0) AS total_tokens,
+         |       COALESCE(euclidian_norm, 0.0) AS euclidian_norm
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q13_token_dictionary" ->
+      s"""WITH $KeptCte, $DictCte
+         |SELECT token_id, token FROM dict ORDER BY token_id""".stripMargin,
+    "q14_inverted_index" ->
+      s"""WITH $KeptCte, $DictCte
+         |SELECT token_id, kept.token AS token, doc_id, qty
+         |FROM kept JOIN dict USING (token)
+         |ORDER BY token_id, doc_id""".stripMargin,
+    "q15_postings" ->
+      s"""WITH $KeptCte
+         |SELECT token, COUNT(*) AS n_refs,
+         |       STRING_AGG(doc_id || ':' || qty, ',' ORDER BY doc_id) AS refs
+         |FROM kept GROUP BY token
+         |ORDER BY token""".stripMargin,
+    "q16_sparse_vectors" ->
+      s"""WITH $KeptCte, $DictCte
+         |SELECT doc_id, token_id, qty
+         |FROM kept JOIN dict USING (token)
+         |ORDER BY doc_id, token_id""".stripMargin,
+    "q18_doc_hierarchy" ->
+      s"""WITH $PathsCte
+         |SELECT c.doc_id AS doc_id, c.page_loc AS page_loc,
+         |       c.parent_path AS parent_path,
+         |       COALESCE(p.doc_id, -1) AS parent_id
+         |FROM links c LEFT JOIN links p ON c.parent_path = p.page_loc
+         |ORDER BY doc_id""".stripMargin,
+    "q19_doc_children" ->
+      s"""WITH $PathsCte
+         |SELECT p.doc_id AS parent_id, COUNT(*) AS count_children,
+         |       STRING_AGG(CAST(c.doc_id AS VARCHAR), ',' ORDER BY c.doc_id) AS child_ids
+         |FROM links c JOIN links p ON c.parent_path = p.page_loc
+         |GROUP BY p.doc_id
+         |ORDER BY parent_id""".stripMargin,
+    "q20_count_substr" ->
+      """SELECT doc_id,
+        |       CAST((length(text) - length(replace(text, 'data', ''))) // 4 AS BIGINT) AS n_hits
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q21_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |       CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS BIGINT) AS dup_rank
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q22_minhash_signatures" ->
+      s"""WITH $ShinglesCte, $SigsCte
+         |SELECT doc_id, ${(0 until 8).map(i => s"h$i").mkString(", ")}
+         |FROM sigs ORDER BY doc_id""".stripMargin,
+    "q23_minhash_neardups" ->
+      s"""WITH $ShinglesCte, $SigsCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |$JaccardTail""".stripMargin,
+    "q24_simhash" ->
+      s"""WITH $KeptCte, $SimhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "q25_simhash_groups" ->
+      s"""WITH $KeptCte, $SimhashCte
+         |SELECT simhash, COUNT(*) AS n_docs,
+         |       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+         |FROM sh GROUP BY simhash HAVING COUNT(*) > 1
+         |ORDER BY simhash""".stripMargin,
+    "q26_ngram_jaccard" ->
+      s"""WITH $ShinglesCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |$JaccardTail""".stripMargin,
+    "q27_embedding_neardups" ->
+      s"""WITH $EmbCte,
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${dotExpr("a.emb", "b.emb")} / (a.nrm * b.nrm) AS c
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, ROUND(c, 6) AS cos_sim FROM p
+         |WHERE c >= 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q28_knn_bruteforce" ->
+      s"""WITH $EmbCte,
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 8),
+         |p AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |         ${dotExpr("q_emb", "emb")} / (q_nrm * nrm) AS c
+         |  FROM q, n WHERE vec_id <> query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rnk,
+         |         ROUND(c, 6) AS cos_sim
+         |  FROM p)
+         |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q29_knn_ivf" ->
+      s"""WITH $EmbCte,
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket FROM n WHERE vec_id < 8),
+         |p AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |         ${dotExpr("q_emb", "emb")} / (q_nrm * nrm) AS c
+         |  FROM q JOIN n USING (bucket) WHERE vec_id <> query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rnk,
+         |         ROUND(c, 6) AS cos_sim
+         |  FROM p)
+         |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q30_label_stats" ->
+      s"""WITH $EmbCte
+         |SELECT label, COUNT(*) AS n_vecs,
+         |       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+         |FROM n GROUP BY label
+         |ORDER BY label""".stripMargin)
+}

@@ -55,174 +55,25 @@ object SparkEntry {
     "q20_count_substr" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
         TextFns.countSubstr(col("text"), "data").cast("long").as("n_hits"))
-      .orderBy("doc_id")))
-
-  // ---- oracle SQL (DuckDB) ----
-
-  private val Dict = TokenPipeline.Dictionary.map(w => s"'$w'").mkString("(", ",", ")")
-  private val Stop = TokenPipeline.StopWords.map(w => s"'$w'").mkString("(", ",", ")")
-
-  /** Tokenization CTE mirroring TextFns.tokenize (clean → lower → split →
-    * drop empties) + the dictionary semi-join and stop-word anti-join.
-    */
-  private val KeptCte =
-    s"""toks AS (
-       |  SELECT doc_id,
-       |         unnest(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')) AS token
-       |  FROM documents),
-       |kept AS (
-       |  SELECT doc_id, token, COUNT(*) AS qty
-       |  FROM toks
-       |  WHERE token <> '' AND token IN $Dict AND token NOT IN $Stop
-       |  GROUP BY doc_id, token)""".stripMargin
-
-  /** Dense-id token dictionary CTE (row_number − 1 = Ids.withDenseId). */
-  private val DictCte =
-    s"""dict AS (
-       |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
-       |  FROM (SELECT DISTINCT token FROM kept))""".stripMargin
-
-  /** Hierarchy paths CTE mirroring TextFns.pagePath/parentPath. */
-  private val PathsCte =
-    """paths AS (
-      |  SELECT doc_id,
-      |         array_to_string(
-      |           list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
-      |                          i -> substring(CAST(doc_id AS VARCHAR), 1, i)),
-      |           '/') AS page_loc
-      |  FROM documents),
-      |links AS (
-      |  SELECT doc_id, page_loc,
-      |         CASE WHEN page_loc NOT LIKE '%/%' THEN ''
-      |              ELSE regexp_replace(page_loc, '/[^/]*$', '') END AS parent_path
-      |  FROM paths)""".stripMargin
+      .orderBy("doc_id")),
+    // Deduplication (extension surface: exact / MinHash-LSH / SimHash /
+    // n-gram Jaccard / embedding near-dup)
+    "q21_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q22_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)
+      .orderBy("doc_id")),
+    "q23_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(s, d)),
+    "q24_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q25_simhash_groups" -> ((s, d) => Dedup.simhashGroups(s, d)),
+    "q26_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardDups(s, d)),
+    "q27_embedding_neardups" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
+    // Similarity search (brute-force + IVF-bucketed ANN) and embedding stats
+    "q28_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(s, d)),
+    "q29_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
+    "q30_label_stats" -> ((s, d) => Similarity.labelStats(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops (map-typed
-    * outputs) → driver records a weaker rows-only check.
+    * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible
+    * ops (map-typed outputs) → driver records a weaker rows-only check.
     */
-  def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-        |       COUNT(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q02_revenue_by_nation" ->
-      """SELECT n_name, COUNT(*) AS n_orders,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin,
-    "q03_top_orders" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 10""".stripMargin,
-    "q04_top_orders_per_customer" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
-        |  FROM orders)
-        |WHERE rn <= 3
-        |ORDER BY o_custkey, rn""".stripMargin,
-    "q05_running_spend" ->
-      """SELECT o_custkey, o_orderkey,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
-        |FROM orders
-        |ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "q06_filtered_scan" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem
-        |WHERE l_quantity < 5 AND l_discount > 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "q07_rollup_summary" ->
-      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
-        |       COUNT(*) AS n_rows,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY returnflag, linestatus""".stripMargin,
-    "q08_customers_with_orders" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "q09_customers_without_orders" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "q10_set_ops" ->
-      """SELECT custkey FROM (
-        |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
-        |  INTERSECT
-        |  SELECT c_custkey AS custkey FROM customer
-        |  EXCEPT
-        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
-        |ORDER BY custkey""".stripMargin,
-    "q11_doc_token_counts" ->
-      s"""WITH $KeptCte
-         |SELECT doc_id, token, qty FROM kept
-         |ORDER BY doc_id, token""".stripMargin,
-    "q12_doc_stats" ->
-      s"""WITH $KeptCte,
-         |agg AS (
-         |  SELECT doc_id, COUNT(*) AS count_unique_words,
-         |         CAST(SUM(qty) AS BIGINT) AS total_tokens,
-         |         ROUND(SQRT(CAST(SUM(qty * qty) AS DOUBLE)), 6) AS euclidian_norm
-         |  FROM kept GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |       COALESCE(count_unique_words, 0) AS count_unique_words,
-         |       COALESCE(total_tokens, 0) AS total_tokens,
-         |       COALESCE(euclidian_norm, 0.0) AS euclidian_norm
-         |FROM documents d LEFT JOIN agg USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
-    "q13_token_dictionary" ->
-      s"""WITH $KeptCte, $DictCte
-         |SELECT token_id, token FROM dict ORDER BY token_id""".stripMargin,
-    "q14_inverted_index" ->
-      s"""WITH $KeptCte, $DictCte
-         |SELECT token_id, kept.token AS token, doc_id, qty
-         |FROM kept JOIN dict USING (token)
-         |ORDER BY token_id, doc_id""".stripMargin,
-    "q15_postings" ->
-      s"""WITH $KeptCte
-         |SELECT token, COUNT(*) AS n_refs,
-         |       STRING_AGG(doc_id || ':' || qty, ',' ORDER BY doc_id) AS refs
-         |FROM kept GROUP BY token
-         |ORDER BY token""".stripMargin,
-    "q16_sparse_vectors" ->
-      s"""WITH $KeptCte, $DictCte
-         |SELECT doc_id, token_id, qty
-         |FROM kept JOIN dict USING (token)
-         |ORDER BY doc_id, token_id""".stripMargin,
-    "q18_doc_hierarchy" ->
-      s"""WITH $PathsCte
-         |SELECT c.doc_id AS doc_id, c.page_loc AS page_loc,
-         |       c.parent_path AS parent_path,
-         |       COALESCE(p.doc_id, -1) AS parent_id
-         |FROM links c LEFT JOIN links p ON c.parent_path = p.page_loc
-         |ORDER BY doc_id""".stripMargin,
-    "q19_doc_children" ->
-      s"""WITH $PathsCte
-         |SELECT p.doc_id AS parent_id, COUNT(*) AS count_children,
-         |       STRING_AGG(CAST(c.doc_id AS VARCHAR), ',' ORDER BY c.doc_id) AS child_ids
-         |FROM links c JOIN links p ON c.parent_path = p.page_loc
-         |GROUP BY p.doc_id
-         |ORDER BY parent_id""".stripMargin,
-    "q20_count_substr" ->
-      """SELECT doc_id,
-        |       CAST((length(text) - length(replace(text, 'data', ''))) // 4 AS BIGINT) AS n_hits
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin)
+  def oracleSql: Map[String, String] = OracleSql.all
 }

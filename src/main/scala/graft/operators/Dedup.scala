@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+import graft.functions.{TextFns, VectorFns}
+
+/** Deduplication operators for a training-data pipeline, over `documents`
+  * (text) and `embeddings` (vectors):
+  *
+  *  - exact dedup: content fingerprint (md5) + per-group rank
+  *  - MinHash + LSH banding: shingle → 8 minhash values → 4 bands →
+  *    bucket-join candidates → exact-Jaccard verification
+  *  - SimHash: 16-bit weighted signature from per-token md5 nibbles
+  *  - n-gram Jaccard: exact similarity over 3-token shingle sets, candidates
+  *    restricted to pairs sharing ≥1 shingle (inverted-index join)
+  *  - embedding near-dup: sign-bit LSH buckets → in-bucket cosine
+  *
+  * Scale posture: nothing here is all-pairs. Candidates always come from an
+  * equi-join on a bucket/shingle key, so cost tracks the true near-dup
+  * density, not n². Skewed buckets (a shingle shared by every doc) are the
+  * risk at 100 TB — AQE skew-join handles moderate skew; beyond that, drop
+  * top-frequency shingles like stop-words (documented, not needed at these
+  * SFs).
+  *
+  * Hash determinism: every hash is md5 over an explicit string — identical
+  * in any engine — and MinHash minima compare md5 hex strings
+  * lexicographically (fixed width ⇒ string order = numeric order), so the
+  * DuckDB oracles reproduce signatures bit-for-bit.
+  */
+object Dedup {
+
+  val MinhashHashes = 8
+  val MinhashBands = 4 // 2 hashes per band
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Distinct (doc_id, shingle) where shingle = 3 consecutive tokens of the
+    * cleaned, lowercased text. Docs with <3 tokens drop out.
+    */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}#$dir", {
+      val toks = TextFns.tokenize(col("text"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(1), size(col("toks")) - 2),
+              i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+            .otherwise(lit(Array.empty[String])).as("shingles"))
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Exact dedup by content hash: fingerprint, copies per group, rank of
+    * this doc within its group (rank 1 = canonical survivor).
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val byFp = Window.partitionBy("fp")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("n_copies", count(lit(1)).over(byFp))
+      .withColumn("dup_rank",
+        row_number().over(byFp.orderBy("doc_id")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc MinHash signature: h_i = min over shingles of md5("i|"+shingle),
+    * i ∈ [0,8). Fixed-width hex ⇒ lexicographic min = numeric min.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until MinhashHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    shingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band, bucket): bucket = md5 of the band's concatenated
+    * signature pair. Docs agreeing on ANY band become candidates.
+    */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val buckets = (0 until MinhashBands).map(k =>
+      struct(lit(k).as("band"), md5(concat(col(s"h${2 * k}"), col(s"h${2 * k + 1}"))).as("bucket")))
+    sigs.select(col("doc_id"), explode(array(buckets: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** LSH candidate pairs verified by exact Jaccard ≥ 0.5 (2·∩ ≥ ∪).
+    * Output: (doc_a, doc_b, inter, uni) — integer-exact, no float compare.
+    */
+  def minhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(spark, dir, cands)
+  }
+
+  /** Exact n-gram Jaccard near-dups with candidates = pairs sharing ≥1
+    * shingle (posting-list self-join — the inverted index as a similarity
+    * accelerator).
+    */
+  def ngramJaccardDups(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val cands = sh.as("x")
+      .join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(spark, dir, cands)
+  }
+
+  /** Exact |A∩B| / |A∪B| for candidate pairs; keep Jaccard ≥ 0.5. */
+  private def jaccardVerify(spark: SparkSession, dir: String,
+      cands: DataFrame): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("doc_a", "doc_b", "inter", "uni")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash per doc, weighted by token frequency. Bit b (nibble
+    * j=b/4 of md5(token), intra-nibble bit k=b%4, LSB-first) accumulates
+    * qty·(±1); the signature sets bit b iff the accumulated sum > 0.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sums = (0 until 16).map { b =>
+      val j = b / 4; val k = b % 4
+      val nib = s"(instr('0123456789abcdef', substring(md5(token), ${j + 1}, 1)) - 1)"
+      expr(s"sum(qty * (2 * (($nib div ${1 << k}) % 2) - 1))").as(s"s$b")
+    }
+    val sig = (0 until 16)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    TokenPipeline.docTokenCounts(spark, dir)
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sig.cast("long").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash collision groups: signatures shared by >1 doc (hamming-0
+    * near-dups; planted ~0.97-Jaccard pairs collide at 16 bits).
+    */
+  def simhashGroups(spark: SparkSession, dir: String): DataFrame =
+    simhash(spark, dir)
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("doc_ids"))
+      .filter(col("n_docs") > 1)
+      .orderBy("simhash")
+
+  /** Embedding near-dup: 4-bit sign-LSH bucket → in-bucket cosine ≥ 0.25
+    * (this corpus has no planted vector dups — max cosine ≈ 0.51 — so the
+    * threshold is set where the op provably produces verifiable output).
+    */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      VectorFns.asDouble(col("embedding")).as("emb"))
+      .withColumn("bucket", VectorFns.signBucket(col("emb"), 4))
+      .withColumn("nrm", VectorFns.l2Norm(col("emb")))
+    e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        VectorFns.cosine(VectorFns.dot(col("x.emb"), col("y.emb")),
+          col("x.nrm"), col("y.nrm")).as("c"))
+      .filter(col("c") >= 0.25)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *  - Brute-force cosine top-k: the correctness baseline. The QUERY set is
+  *    small (broadcast) — cost is |queries| × N, not N², and distributes
+  *    over the data side's partitions.
+  *  - IVF-style bucketed top-k: a deterministic sign-bit coarse quantizer
+  *    assigns every vector to a cell; a query probes only its own cell.
+  *    At 100 TB the cell id becomes the partition/bucket key, so a probe
+  *    is partition-pruned I/O instead of a full scan.
+  *
+  * Cosines are computed as sequential double folds (see VectorFns) so the
+  * DuckDB oracle reproduces them bit-for-bit; ranking ties break on vec_id.
+  */
+object Similarity {
+
+  val K = 5
+  val QuerySetSize = 8 // vec_id < 8 are the demo query vectors
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      VectorFns.asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFns.l2Norm(col("emb")))
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("c"), 6).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Exact top-K neighbors by cosine for each query vector (vec_id < 8). */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") < QuerySetSize).select(
+      col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val pairs = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFns.cosine(VectorFns.dot(col("q_emb"), col("emb")),
+          col("q_nrm"), col("nrm")).as("c"))
+    topK(pairs, K)
+  }
+
+  /** IVF-style ANN: both sides keyed by a 4-bit sign bucket; a query only
+    * scores vectors in its own cell (equi-join ⇒ partition-prunable).
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+      .withColumn("bucket", VectorFns.signBucket(col("emb"), 4))
+    val q = e.filter(col("vec_id") < QuerySetSize).select(
+      col("vec_id").as("query_id"), col("emb").as("q_emb"),
+      col("nrm").as("q_nrm"), col("bucket"))
+    val pairs = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFns.cosine(VectorFns.dot(col("q_emb"), col("emb")),
+          col("q_nrm"), col("nrm")).as("c"))
+    topK(pairs, K)
+  }
+
+  /** Per-label embedding stats: count and exact mean L2 norm (norms snapped
+    * to DECIMAL before the sum so the aggregate is order-independent).
+    */
+  def labelStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        VectorFns.l2Norm(VectorFns.asDouble(col("embedding"))).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round((sum(col("nrm").cast("decimal(18,6)")).cast("double") / count(lit(1))), 6)
+          .as("avg_norm"))
+      .orderBy("label")
+}
