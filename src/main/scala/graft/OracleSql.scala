@@ -327,5 +327,116 @@ object OracleSql {
          |SELECT label, COUNT(*) AS n_vecs,
          |       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
          |FROM n GROUP BY label
-         |ORDER BY label""".stripMargin)
+         |ORDER BY label""".stripMargin,
+    "q31_text_quality" ->
+      s"""WITH $ArrCte
+         |SELECT doc_id,
+         |       CAST(len(arr) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_filter(arr, x -> x IN $StopSql)) AS BIGINT) AS stop_count,
+         |       CAST(CASE WHEN len(arr) = 0 THEN 0
+         |                 ELSE list_reduce(list_transform(arr, x -> length(x)), (a, b) -> a + b)
+         |            END AS BIGINT) AS sum_token_len,
+         |       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |       CASE WHEN len(arr) > 0 AND len(list_filter(arr, x -> x IN $StopSql)) * 5 >= len(arr)
+         |            THEN 'en' ELSE 'unk' END AS lang_pred
+         |FROM base
+         |ORDER BY doc_id""".stripMargin,
+    "q32_token_counts" ->
+      s"""WITH $ArrCte
+         |SELECT doc_id,
+         |       CAST(len(arr) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}')) AS BIGINT) AS subword_tokens
+         |FROM base
+         |ORDER BY doc_id""".stripMargin,
+    "q33_fingerprints" ->
+      s"""WITH $ArrCte
+         |SELECT doc_id,
+         |       md5(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS fp_clean,
+         |       CAST(CASE WHEN len(arr) = 0 THEN 0
+         |                 ELSE list_reduce(
+         |                        list_transform(arr, x -> CAST(length(x) * 17 + ascii(x) AS BIGINT)),
+         |                        (acc, x) -> (acc * 31 + x) % 1000000007)
+         |            END AS BIGINT) AS roll_hash
+         |FROM base
+         |ORDER BY doc_id""".stripMargin,
+    "q34_tfidf" ->
+      s"""WITH $KeptCte,
+         |df AS (SELECT token, COUNT(*) AS df FROM kept GROUP BY token),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM kept)
+         |SELECT doc_id, kept.token AS token, qty, df,
+         |       ROUND(qty * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |FROM kept JOIN df USING (token), n
+         |ORDER BY doc_id, token""".stripMargin,
+    "q35_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "q36_sessions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, value, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |numbered AS (
+        |  SELECT user_id, event_id, value, ts_us,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |       MAX(ts_us) - MIN(ts_us) AS duration_us,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM numbered
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q37_json_stats" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q38_binary_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q39_image_features" ->
+      """SELECT doc_id,
+        |       CAST(16 + strlen(text) % 32 AS INT) AS width,
+        |       CAST(16 + (strlen(text) * 7) % 32 AS INT) AS height,
+        |       CAST(3 AS INT) AS channels,
+        |       CAST((16 + strlen(text) % 32) * (16 + (strlen(text) * 7) % 32) * 3 AS BIGINT) AS n_pixels
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q40_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+        |         CAST(strlen(text) % 5 + 1 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, byte_len, n_frames,
+        |         unnest(range(0, n_frames)) AS frame_idx
+        |  FROM b)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(frame_idx * (byte_len // n_frames) AS BIGINT) AS frame_offset
+        |FROM f
+        |ORDER BY doc_id, frame_idx""".stripMargin)
+
+  /** Tokenized-array CTE (raw tokens, pre-membership-filter). */
+  private lazy val ArrCte: String =
+    """base AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
+      |                     x -> x <> '') AS arr
+      |  FROM documents)""".stripMargin
+
+  private lazy val StopSql: String =
+    TokenPipeline.StopWords.map(w => s"'$w'").mkString("(", ",", ")")
 }

@@ -69,7 +69,20 @@ object SparkEntry {
     // Similarity search (brute-force + IVF-bucketed ANN) and embedding stats
     "q28_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q29_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
-    "q30_label_stats" -> ((s, d) => Similarity.labelStats(s, d)))
+    "q30_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
+    // Text analysis (quality, lang-ID, token counting, fingerprints, tf-idf)
+    "q31_text_quality" -> ((s, d) => TextAnalysis.qualityStats(s, d)),
+    "q32_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "q33_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "q34_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    // Event analytics (tumbling windows, sessionization, JSON extraction)
+    "q35_hourly_events" -> ((s, d) => Events.hourlyByType(s, d)),
+    "q36_sessions" -> ((s, d) => Events.sessions(s, d)),
+    "q37_json_stats" -> ((s, d) => Events.jsonStats(s, d)),
+    // Multimodal binary-column plumbing (decode step stubbed — no codecs here)
+    "q38_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    "q39_image_features" -> ((s, d) => Multimodal.imageFeatures(s, d).toDF()),
+    "q40_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch event analytics over the `events` table: tumbling windows,
+  * gap-based sessionization, JSON property extraction.
+  *
+  * Timestamps: the table is nanosecond-precision; both engines truncate to
+  * microseconds (Tables.events ⇔ DuckDB's ns→us cast), and every interval
+  * comparison is done on integer epoch-micros so there is no float or
+  * timezone dependence. Window boundaries surface as formatted strings.
+  *
+  * Scale: tumbling windows are a single hash aggregate on (window, type);
+  * sessionization shuffles once on user_id and runs two narrow window
+  * functions within each partition — both linear at 100 TB.
+  */
+object Events {
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  /** Hourly tumbling-window counts/sums per event type (Structured
+    * Streaming runs the same `window()` aggregate — see streaming.StreamingOps).
+    */
+  def hourlyByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity): lag → new-session flag →
+    * running sum = session index → per-session aggregate.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val cume = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(cume))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .select("user_id", "session_id", "n_events", "start_us", "end_us",
+        "duration_us", "sum_value")
+      .orderBy("user_id", "session_id")
+  }
+
+  /** JSON property extraction + aggregate: pull integer `$.k` out of the
+    * props JSON string, sum per event type.
+    */
+  def jsonStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+}

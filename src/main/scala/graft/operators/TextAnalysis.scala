@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Text-analysis operators for a training-data pipeline: quality scoring,
+  * language ID (function-word heuristic), token counting (whitespace +
+  * BPE-ish greedy chunks), document fingerprinting (content hash + rolling
+  * hash), and TF-IDF from the inverted index.
+  *
+  * Everything is integer-exact or md5-derived except TF-IDF's log, which is
+  * rounded to 6 decimals for the oracle compare. All ops are per-row or
+  * single-shuffle aggregates — embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  private def withTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), TextFns.tokenize(col("text")).as("toks"))
+
+  /** Per-doc quality counts (all integers, so the oracle compare is exact):
+    * token count, stop-word count, summed token length, alphabetic chars,
+    * and a function-word language guess (≥20% stop words → 'en').
+    */
+  def qualityStats(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = TokenPipeline.StopWords
+    val nTokens = size(col("toks"))
+    val stopCount = size(filter(col("toks"), t => t.isin(stopList: _*)))
+    withTokens(spark, dir)
+      .select(
+        col("doc_id"),
+        nTokens.cast("long").as("n_tokens"),
+        stopCount.cast("long").as("stop_count"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long").as("n_alpha"),
+        when(nTokens > 0 && stopCount * 5 >= nTokens, lit("en")).otherwise(lit("unk"))
+          .as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Whitespace token count vs a BPE-ish greedy-chunk count (≤4-char
+    * alphanumeric pieces — 'customer' → 2 pieces).
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    withTokens(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]{1,4}"), lit(0)))
+          .cast("long").as("subword_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprints: md5 of the cleaned text + a 64-bit polynomial
+    * rolling hash over tokens, `acc → (acc·31 + 17·len(t) + ascii(t₀)) mod p`.
+    * Per-step mod keeps every intermediate < 2³⁵ so any 64-bit engine folds
+    * identically.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    withTokens(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(TextFns.cleanText(col("text"))).as("fp_clean"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => pmod(acc * 31 + length(t) * 17 + ascii(t), lit(1000000007L)))
+          .as("roll_hash"))
+      .orderBy("doc_id")
+
+  /** TF-IDF per (doc, token) from the shared (doc,token,qty) relation:
+    * tfidf = qty · ln(N / df), N = docs with ≥1 kept token.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val kept = TokenPipeline.docTokenCounts(spark, dir)
+    val n = kept.select("doc_id").distinct().count()
+    val df = kept.groupBy("token").agg(count(lit(1)).as("df"))
+    kept.join(broadcast(df), Seq("token"))
+      .select(
+        col("doc_id"), col("token"), col("qty"), col("df"),
+        round(col("qty") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+      .orderBy("doc_id", "token")
+  }
+}

