@@ -50,16 +50,18 @@ object OracleSql {
       |              ELSE regexp_replace(page_loc, '/[^/]*$', '') END AS parent_path
       |  FROM paths)""".stripMargin
 
-  /** 3-token shingle sets per doc, mirroring Dedup.shingles. */
-  val ShinglesCte: String =
-    """shingles AS (
-      |  SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, greatest(len(arr) - 1, 1)),
-      |                i -> array_to_string(arr[i:i+2], ' '))) AS shingle
-      |  FROM (SELECT doc_id,
-      |               list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
-      |                           x -> x <> '') AS arr
-      |        FROM documents))""".stripMargin
+  /** k-token shingle sets per doc, mirroring Dedup.shingles. */
+  val ShinglesCte: String = {
+    val k = graft.operators.Dedup.ShingleSize
+    s"""shingles AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(arr) - ${k - 2}, 1)),
+       |                i -> array_to_string(arr[i:i+${k - 1}], ' '))) AS shingle
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
+       |                           x -> x <> '') AS arr
+       |        FROM documents))""".stripMargin
+  }
 
   /** MinHash signatures + LSH band buckets, mirroring Dedup.minhash*. */
   val SigsCte: String = {
@@ -102,7 +104,9 @@ object OracleSql {
       |         ((CASE WHEN emb[1] > 0 THEN 1 ELSE 0 END) +
       |          (CASE WHEN emb[2] > 0 THEN 2 ELSE 0 END) +
       |          (CASE WHEN emb[3] > 0 THEN 4 ELSE 0 END) +
-      |          (CASE WHEN emb[4] > 0 THEN 8 ELSE 0 END)) AS bucket,
+      |          (CASE WHEN emb[4] > 0 THEN 8 ELSE 0 END) +
+      |          (CASE WHEN emb[5] > 0 THEN 16 ELSE 0 END) +
+      |          (CASE WHEN emb[6] > 0 THEN 32 ELSE 0 END)) AS bucket,
       |         sqrt(list_reduce(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i]),
       |                          (x, y) -> x + y)) AS nrm
       |  FROM e)""".stripMargin
@@ -187,7 +191,8 @@ object OracleSql {
         |ORDER BY c_custkey""".stripMargin,
     "q09_customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
     "q10_set_ops" ->
       """SELECT custkey FROM (

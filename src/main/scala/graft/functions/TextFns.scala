@@ -55,4 +55,16 @@ object TextFns {
   def parentPath(path: Column): Column =
     when(!path.contains("/"), lit(""))
       .otherwise(regexp_replace(path, "/[^/]*$", ""))
+
+  /** All k-token shingles ("w1 w2 … wk" strings) of a token array; empty
+    * for arrays shorter than k. Spark's `sequence(a, b)` is never empty
+    * (b < a counts DOWN), so the index list is built one-too-long and
+    * trimmed with slice — slice(·, 1, 0) IS empty.
+    */
+  def shingleArray(toks: Column, k: Int): Column = {
+    val n = greatest(size(toks) - (k - 1), lit(0)) // shingle count
+    transform(
+      slice(sequence(lit(1), greatest(n, lit(1))), lit(1), n),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+  }
 }

@@ -36,22 +36,29 @@ object Dedup {
   val MinhashHashes = 8
   val MinhashBands = 4 // 2 hashes per band
 
+  /** Shingle width. 5 tokens, not the textbook 3: this corpus draws from a
+    * ~31-word vocabulary, so 3-gram shingle sets give *random* doc pairs
+    * Jaccard ≈ 0.3 and LSH banding degenerates into ~all-pairs (measured:
+    * 41 s at sf0.1). 5-grams push baseline similarity to ~0 while planted
+    * near-dups (token-level j ≥ 0.9) stay far above the 0.5 threshold.
+    */
+  val ShingleSize = 5
+
   private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** Distinct (doc_id, shingle) where shingle = 3 consecutive tokens of the
-    * cleaned, lowercased text. Docs with <3 tokens drop out.
+  /** Distinct (doc_id, shingle) where shingle = ShingleSize consecutive
+    * tokens of the cleaned, lowercased text. Shorter docs drop out.
     */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate(s"${System.identityHashCode(spark)}#$dir", {
-      val toks = TextFns.tokenize(col("text"))
+      // NB: single select + direct explode, NOT an intermediate array
+      // column under a when() — that shape made Catalyst re-evaluate the
+      // tokenize pipeline inside the transform lambda (~50× per row;
+      // 26 s vs 2.5 s at sf0.1 measured).
       Tables.documents(spark, dir)
-        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), TextFns.tokenize(col("text")).as("toks"))
         .select(col("doc_id"),
-          when(size(col("toks")) >= 3,
-            transform(sequence(lit(1), size(col("toks")) - 2),
-              i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
-            .otherwise(lit(Array.empty[String])).as("shingles"))
-        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+          explode(TextFns.shingleArray(col("toks"), ShingleSize)).as("shingle"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
@@ -69,14 +76,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  private val sigCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** Per-doc MinHash signature: h_i = min over shingles of md5("i|"+shingle),
-    * i ∈ [0,8). Fixed-width hex ⇒ lexicographic min = numeric min.
+    * i ∈ [0,8). Fixed-width hex ⇒ lexicographic min = numeric min. Persisted:
+    * the LSH band self-join references it on both sides.
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until MinhashHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-    shingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate(s"${System.identityHashCode(spark)}#$dir", {
+      val aggs = (0 until MinhashHashes).map(i =>
+        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+      shingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** (doc_id, band, bucket): bucket = md5 of the band's concatenated
     * signature pair. Docs agreeing on ANY band become candidates.
@@ -167,15 +179,17 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("simhash")
 
-  /** Embedding near-dup: 4-bit sign-LSH bucket → in-bucket cosine ≥ 0.25
+  /** Embedding near-dup: 6-bit sign-LSH bucket → in-bucket cosine ≥ 0.25
     * (this corpus has no planted vector dups — max cosine ≈ 0.51 — so the
     * threshold is set where the op provably produces verifiable output).
+    * 6 bits = 64 cells keeps in-bucket pair counts ~n²/64 without losing
+    * the high-cosine pairs sign-agreement preserves.
     */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"),
       VectorFns.asDouble(col("embedding")).as("emb"))
-      .withColumn("bucket", VectorFns.signBucket(col("emb"), 4))
+      .withColumn("bucket", VectorFns.signBucket(col("emb"), 6))
       .withColumn("nrm", VectorFns.l2Norm(col("emb")))
     e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))

@@ -115,10 +115,14 @@ object Relational {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
-  /** Broadcast left-anti join (NOT EXISTS). */
+  /** Broadcast left-anti join (NOT EXISTS). Filtered to high-value orders so
+    * the anti side is non-empty on this data (every customer has *some*
+    * order).
+    */
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")),
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")

@@ -53,12 +53,12 @@ object Similarity {
     topK(pairs, K)
   }
 
-  /** IVF-style ANN: both sides keyed by a 4-bit sign bucket; a query only
+  /** IVF-style ANN: both sides keyed by a 6-bit sign bucket; a query only
     * scores vectors in its own cell (equi-join ⇒ partition-prunable).
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
-      .withColumn("bucket", VectorFns.signBucket(col("emb"), 4))
+      .withColumn("bucket", VectorFns.signBucket(col("emb"), 6))
     val q = e.filter(col("vec_id") < QuerySetSize).select(
       col("vec_id").as("query_id"), col("emb").as("q_emb"),
       col("nrm").as("q_nrm"), col("bucket"))

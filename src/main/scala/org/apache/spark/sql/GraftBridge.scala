@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for graft's custom Catalyst expressions.
+  * Spark 4 made these conversions `private[sql]` (columnNodeSupport), so —
+  * like other Spark extension libraries — we expose the two calls we need
+  * from inside the package.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -42,6 +42,16 @@ class TextFnsSpec extends AnyFunSuite {
     assert(one(TextFns.countSubstr($"s", "href=\"h"), "nothing") === 0)
   }
 
+  test("shingleArray emits n-k+1 shingles, empty below k tokens") {
+    def sh(s: String): List[String] =
+      one(TextFns.shingleArray(TextFns.tokenize($"s"), 3), s)
+        .asInstanceOf[scala.collection.Seq[String]].toList
+    assert(sh("a b c d") === List("a b c", "b c d"))
+    assert(sh("a b c") === List("a b c"))
+    assert(sh("a b") === List())
+    assert(sh("") === List())
+  }
+
   test("pagePath builds decimal-prefix paths; parentPath drops last segment") {
     val df = Seq(7L, 42L, 1234L).toDF("id")
       .select(TextFns.pagePath($"id").as("p"))

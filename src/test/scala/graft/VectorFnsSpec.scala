@@ -22,6 +22,18 @@ class VectorFnsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - math.sqrt(5)) < 1e-12)
   }
 
+  test("codegen DotProduct is bit-identical to the sequential HOF fold") {
+    val diff = Tables.embeddings(spark, TestSpark.Sf).limit(200)
+      .select(VectorFns.asDouble($"embedding").as("a"))
+      .crossJoin(Tables.embeddings(spark, TestSpark.Sf).limit(20)
+        .select(VectorFns.asDouble($"embedding").as("b")))
+      .select(VectorFns.dot($"a", $"b").as("fast"),
+        VectorFns.dotHof($"a", $"b").as("ref"))
+      .filter($"fast" =!= $"ref") // exact bit compare, not tolerance
+      .count()
+    assert(diff === 0)
+  }
+
   test("signBucket maps sign pattern of leading components") {
     val df = Seq(Array(1.0f, -1.0f, 0.5f, -0.5f)).toDF("a")
       .select(VectorFns.signBucket(VectorFns.asDouble($"a"), 4).as("b"))
