@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftExtensions
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("csv/json round-trip preserves declared-schema data") {
+    val docs = Tables.documents(spark, TestSpark.Sf).limit(50)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
+    Sources.writeCsv(docs, s"$tmp/csv")
+    Sources.writeJson(docs, s"$tmp/json")
+    val backCsv = Sources.readCsv(spark, s"$tmp/csv", docs.schema)
+    val backJson = Sources.readJson(spark, s"$tmp/json", docs.schema)
+    assert(backCsv.count() === 50 && backJson.count() === 50)
+    assert(backJson.exceptAll(docs).count() === 0)
+  }
+
+  test("partitioned parquet write enables partition pruning on read") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Sources.writeParquet(docs, s"$tmp/bylang", Seq("lang"))
+    val pruned = Sources.readParquet(spark, s"$tmp/bylang").filter($"lang" === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+    assert(pruned.count() ===
+      docs.filter($"lang" === "en").count())
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r === 11.0)
+  }
+
+  test("word-list text source lowercases like the reference dictionary load") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_words")
+    java.nio.file.Files.writeString(tmp.resolve("en.txt"), "Alpha\nBETA\ngamma\n")
+    val words = Sources.readWordList(spark, tmp.resolve("en.txt").toString)
+      .as[String].collect().toSet
+    assert(words === Set("alpha", "beta", "gamma"))
+  }
+}
