@@ -432,7 +432,24 @@ object OracleSql {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |       CAST(frame_idx * (byte_len // n_frames) AS BIGINT) AS frame_offset
         |FROM f
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Independent oracle: DuckDB's native ASOF JOIN vs our composed
+    // union+window implementation — two different algorithms, same answer.
+    "q41_asof_last_purchase" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts,
+        |         MAX(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT e.user_id AS user_id, e.event_id AS event_id, e.ts_us AS ts_us,
+        |       COALESCE(p.p_event_id, -1) AS last_purchase_id,
+        |       COALESCE(p.p_ts, -1) AS last_purchase_ts
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts_us >= p.p_ts
+        |ORDER BY user_id, event_id""".stripMargin)
 
   /** Tokenized-array CTE (raw tokens, pre-membership-filter). */
   private lazy val ArrCte: String =

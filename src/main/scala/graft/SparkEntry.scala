@@ -82,7 +82,9 @@ object SparkEntry {
     // Multimodal binary-column plumbing (decode step stubbed — no codecs here)
     "q38_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "q39_image_features" -> ((s, d) => Multimodal.imageFeatures(s, d).toDF()),
-    "q40_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)))
+    "q40_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    // As-of join (composed operator Spark lacks; DuckDB ASOF JOIN oracles it)
+    "q41_asof_last_purchase" -> ((s, d) => Events.errorsWithLastPurchase(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

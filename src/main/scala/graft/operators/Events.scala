@@ -61,6 +61,28 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** As-of join over the event stream: each 'error' event picks up the most
+    * recent 'purchase' by the same user at-or-before its timestamp
+    * (AsOfJoin — union + one sort-shuffle, no range-join explosion).
+    * Purchases are pre-deduplicated to one per (user, ts) so tie-breaks are
+    * engine-independent.
+    */
+  def errorsWithLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "event_id", "ts_us")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("p_ts"))
+      .agg(max("event_id").as("p_event_id"))
+      .select("user_id", "p_ts", "p_event_id")
+    AsOfJoin.asofJoin(errors, purchases, "user_id", "ts_us", "p_ts")
+      .select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        coalesce(col("asof.p_event_id"), lit(-1L)).as("last_purchase_id"),
+        coalesce(col("asof.p_ts"), lit(-1L)).as("last_purchase_ts"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** JSON property extraction + aggregate: pull integer `$.k` out of the
     * props JSON string, sum per event type.
     */
