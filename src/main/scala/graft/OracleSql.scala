@@ -449,7 +449,40 @@ object OracleSql {
         |       COALESCE(p.p_ts, -1) AS last_purchase_ts
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts_us >= p.p_ts
-        |ORDER BY user_id, event_id""".stripMargin)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q42_cube_summary" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q43_top_terms" ->
+      s"""WITH $KeptCte,
+         |df AS (SELECT token, COUNT(*) AS df FROM kept GROUP BY token),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM kept),
+         |scored AS (
+         |  SELECT doc_id, kept.token AS token, qty, df,
+         |         ROUND(qty * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |  FROM kept JOIN df USING (token), n),
+         |ranked AS (
+         |  SELECT doc_id, token, tfidf,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, rnk, token, tfidf FROM ranked WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
+    "q44_en_bigrams" ->
+      """SELECT doc_id,
+        |       CAST((length(lower(text)) - length(replace(lower(text), 'th', ''))) // 2
+        |          + (length(lower(text)) - length(replace(lower(text), 'he', ''))) // 2
+        |          + (length(lower(text)) - length(replace(lower(text), 'in', ''))) // 2
+        |          + (length(lower(text)) - length(replace(lower(text), 'er', ''))) // 2
+        |          + (length(lower(text)) - length(replace(lower(text), 'an', ''))) // 2
+        |         AS BIGINT) AS bigram_hits,
+        |       CAST(length(text) AS BIGINT) AS n_chars_seen
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)
 
   /** Tokenized-array CTE (raw tokens, pre-membership-filter). */
   private lazy val ArrCte: String =

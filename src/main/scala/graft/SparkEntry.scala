@@ -84,7 +84,11 @@ object SparkEntry {
     "q39_image_features" -> ((s, d) => Multimodal.imageFeatures(s, d).toDF()),
     "q40_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     // As-of join (composed operator Spark lacks; DuckDB ASOF JOIN oracles it)
-    "q41_asof_last_purchase" -> ((s, d) => Events.errorsWithLastPurchase(s, d)))
+    "q41_asof_last_purchase" -> ((s, d) => Events.errorsWithLastPurchase(s, d)),
+    // CUBE grouping sets; per-doc top TF-IDF terms; char-bigram lang signal
+    "q42_cube_summary" -> ((s, d) => Relational.cubeSummary(s, d)),
+    "q43_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
+    "q44_en_bigrams" -> ((s, d) => TextAnalysis.enBigramHits(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -107,6 +107,17 @@ object Relational {
         col("n_rows"), col("sum_price"))
       .orderBy("returnflag", "linestatus")
 
+  /** CUBE grouping sets (all four combinations of the two dimensions). */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), dsum2(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
   /** Broadcast left-semi join (EXISTS). */
   def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)

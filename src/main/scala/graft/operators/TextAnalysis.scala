@@ -81,4 +81,31 @@ object TextAnalysis {
         round(col("qty") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
       .orderBy("doc_id", "token")
   }
+
+  /** Top-k salient terms per doc by TF-IDF (ranking window over the text
+    * relation; ties break on token so ranks are engine-independent).
+    */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    tfidf(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "token", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Character-bigram language signal: occurrences of the five most common
+    * English bigrams (n-gram heuristic flavor of language ID; integer-exact
+    * for the oracle).
+    */
+  def enBigramHits(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Seq("th", "he", "in", "er", "an")
+    val hits = bigrams.map(b => TextFns.countSubstr(lower(col("text")), b))
+      .reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hits.cast("long").as("bigram_hits"),
+        length(col("text")).cast("long").as("n_chars_seen"))
+      .orderBy("doc_id")
+  }
 }
