@@ -482,7 +482,27 @@ object OracleSql {
         |         AS BIGINT) AS bigram_hits,
         |       CAST(length(text) AS BIGINT) AS n_chars_seen
         |FROM documents
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q45_orders_pivot" ->
+      """SELECT n_name,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q46_price_quantiles" ->
+      """SELECT l_returnflag,
+        |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
 
   /** Tokenized-array CTE (raw tokens, pre-membership-filter). */
   private lazy val ArrCte: String =

@@ -88,7 +88,10 @@ object SparkEntry {
     // CUBE grouping sets; per-doc top TF-IDF terms; char-bigram lang signal
     "q42_cube_summary" -> ((s, d) => Relational.cubeSummary(s, d)),
     "q43_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
-    "q44_en_bigrams" -> ((s, d) => TextAnalysis.enBigramHits(s, d)))
+    "q44_en_bigrams" -> ((s, d) => TextAnalysis.enBigramHits(s, d)),
+    // Pivot and exact percentiles
+    "q45_orders_pivot" -> ((s, d) => Relational.ordersPivot(s, d)),
+    "q46_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -118,6 +118,36 @@ object Relational {
         col("n_rows"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
 
+  /** Pivot: order counts per nation × priority, priorities as columns.
+    * Pivot values are enumerated explicitly (single-pass aggregate, no
+    * extra distinct scan) — the oracle mirrors with FILTERed aggregates.
+    */
+  def ordersPivot(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("n_name") +: priorities.map(p =>
+        col(s"`$p`").as("p" + p.charAt(0))): _*)
+      .orderBy("n_name")
+  }
+
+  /** Exact percentiles (linear interpolation — identical definition to
+    * DuckDB's quantile_cont) per group.
+    */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+      .orderBy("l_returnflag")
+
   /** Broadcast left-semi join (EXISTS). */
   def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
