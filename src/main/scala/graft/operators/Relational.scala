@@ -26,6 +26,14 @@ object Relational {
     */
   def dsum4(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** orders ⋈ customer ⋈ nation with broadcast dims — shared by the
+    * nation-grained queries.
+    */
+  private def ordersWithNation(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+
   /** TPC-H Q1-style pricing summary: filter + hash aggregate with
     * partial/final combine (reference O14's shape at relational scale).
     */
@@ -43,9 +51,7 @@ object Relational {
 
   /** Multi-way join: orders ⋈ customer ⋈ nation, dims broadcast. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+    ordersWithNation(spark, dir)
       .groupBy("n_name")
       .agg(
         count(lit(1)).as("n_orders"),
@@ -124,9 +130,7 @@ object Relational {
     */
   def ordersPivot(spark: SparkSession, dir: String): DataFrame = {
     val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
-    Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+    ordersWithNation(spark, dir)
       .groupBy("n_name")
       .pivot("o_orderpriority", priorities)
       .agg(count(lit(1)))
@@ -142,10 +146,12 @@ object Relational {
   def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("ps"), 1), 6).as("p50"),
+        round(element_at(col("ps"), 2), 6).as("p90"),
+        round(element_at(col("ps"), 3), 6).as("p99"))
       .orderBy("l_returnflag")
 
   /** Broadcast left-semi join (EXISTS). */
