@@ -502,7 +502,31 @@ object OracleSql {
         |       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q47_doc_cosine_topk" ->
+      s"""WITH $KeptCte, $DictCte,
+         |sv AS (SELECT doc_id, token_id, qty FROM kept JOIN dict USING (token)),
+         |norms AS (
+         |  SELECT doc_id, sqrt(CAST(SUM(qty * qty) AS DOUBLE)) AS nrm
+         |  FROM sv GROUP BY doc_id),
+         |q AS (SELECT doc_id AS q_id, token_id, qty AS q_qty FROM sv WHERE doc_id < 5),
+         |dots AS (
+         |  SELECT q_id, sv.doc_id AS doc_id, CAST(SUM(sv.qty * q_qty) AS BIGINT) AS dot
+         |  FROM sv JOIN q USING (token_id)
+         |  WHERE sv.doc_id <> q_id
+         |  GROUP BY q_id, sv.doc_id),
+         |scored AS (
+         |  SELECT q_id, dots.doc_id AS doc_id, dot,
+         |         dot / (qn.nrm * dn.nrm) AS c
+         |  FROM dots
+         |  JOIN norms qn ON qn.doc_id = q_id
+         |  JOIN norms dn ON dn.doc_id = dots.doc_id),
+         |ranked AS (
+         |  SELECT q_id, doc_id, dot, ROUND(c, 6) AS cos_sim,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT q_id, rnk, doc_id, dot, cos_sim FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin)
 
   /** Tokenized-array CTE (raw tokens, pre-membership-filter). */
   private lazy val ArrCte: String =

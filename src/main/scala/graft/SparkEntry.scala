@@ -91,7 +91,10 @@ object SparkEntry {
     "q44_en_bigrams" -> ((s, d) => TextAnalysis.enBigramHits(s, d)),
     // Pivot and exact percentiles
     "q45_orders_pivot" -> ((s, d) => Relational.ordersPivot(s, d)),
-    "q46_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)))
+    "q46_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
+    // Sparse TF cosine top-k over the inverted index (what the reference's
+    // precomputed EuclidianNorm is for)
+    "q47_doc_cosine_topk" -> ((s, d) => TokenPipeline.docCosineTopK(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -133,6 +133,36 @@ object TokenPipeline {
       .select("doc_id", "token_id", "qty")
       .orderBy("doc_id", "token_id")
 
+  /** Top-k cosine-similar documents for a small query set (doc_id < 5),
+    * over the sparse TF vectors — the query the reference's precomputed
+    * EuclidianNorm exists FOR (main.go:62): cosine = Σ qty_q·qty_d over
+    * shared tokens (exact integer dot via the inverted index) divided by
+    * the two norms. Query vectors broadcast; cost is |queries|·nnz, not
+    * |docs|², and distributes over the posting lists.
+    */
+  def docCosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val sv = sparseVectors(spark, dir)
+    val norms = sv.groupBy("doc_id")
+      .agg(sqrt(sum(col("qty") * col("qty"))).as("nrm"))
+    val q = sv.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("token_id"), col("qty").as("q_qty"))
+    val dots = sv.join(broadcast(q), Seq("token_id"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("qty") * col("q_qty")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("c").desc, col("doc_id"))
+    dots
+      .join(norms.select(col("doc_id").as("q_id"), col("nrm").as("q_nrm")), Seq("q_id"))
+      .join(norms, Seq("doc_id"))
+      .withColumn("c", col("dot") / (col("q_nrm") * col("nrm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("dot"),
+        round(col("c"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Map-typed vector per doc (reference's compressed_token_vector,
     * main.go:222–235) + its L2 norm. Not SQL-oracle-checkable (map type) —
     * covered by the relational form above plus unit tests.
