@@ -526,7 +526,40 @@ object OracleSql {
          |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, doc_id) AS BIGINT) AS rnk
          |  FROM scored)
          |SELECT q_id, rnk, doc_id, dot, cos_sim FROM ranked WHERE rnk <= 5
-         |ORDER BY q_id, rnk""".stripMargin)
+         |ORDER BY q_id, rnk""".stripMargin,
+    "q48_wikibook_records" ->
+      s"""WITH $KeptCte, $PathsCte,
+         |stats AS (
+         |  SELECT doc_id, COUNT(*) AS count_unique_words,
+         |         CAST(SUM(qty) AS BIGINT) AS total_tokens,
+         |         ROUND(SQRT(CAST(SUM(qty * qty) AS DOUBLE)), 6) AS euclidian_norm
+         |  FROM kept GROUP BY doc_id),
+         |parent AS (
+         |  SELECT c.doc_id, c.page_loc, COALESCE(p.doc_id, -1) AS parent_id
+         |  FROM links c LEFT JOIN links p ON c.parent_path = p.page_loc),
+         |kids AS (
+         |  SELECT p.doc_id AS doc_id, COUNT(*) AS count_children,
+         |         STRING_AGG(CAST(c.doc_id AS VARCHAR), ',' ORDER BY c.doc_id) AS child_ids
+         |  FROM links c JOIN links p ON c.parent_path = p.page_loc
+         |  GROUP BY p.doc_id),
+         |tokstr AS (
+         |  SELECT doc_id,
+         |         STRING_AGG(token || ':' || qty, ',' ORDER BY token) AS tokens
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id, parent.page_loc AS page_loc, parent.parent_id AS parent_id,
+         |       COALESCE(kids.count_children, 0) AS count_children,
+         |       COALESCE(kids.child_ids, '') AS child_ids,
+         |       COALESCE(stats.count_unique_words, 0) AS count_unique_words,
+         |       COALESCE(stats.total_tokens, 0) AS total_tokens,
+         |       CAST((length(d.text) - length(replace(d.text, 'data', ''))) // 4 AS BIGINT) AS count_external_links,
+         |       COALESCE(stats.euclidian_norm, 0.0) AS euclidian_norm,
+         |       COALESCE(tokstr.tokens, '') AS tokens
+         |FROM documents d
+         |JOIN parent ON parent.doc_id = d.doc_id
+         |LEFT JOIN kids ON kids.doc_id = d.doc_id
+         |LEFT JOIN stats ON stats.doc_id = d.doc_id
+         |LEFT JOIN tokstr ON tokstr.doc_id = d.doc_id
+         |ORDER BY doc_id""".stripMargin)
 
   /** Tokenized-array CTE (raw tokens, pre-membership-filter). */
   private lazy val ArrCte: String =

@@ -15,15 +15,12 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship: the full reference-parity document pipeline (stats ⋈
-    * hierarchy) on sf0.001; driver smoke-checks rows>0.
+  /** Flagship: the reference's primary sink end-to-end — full per-document
+    * wikibook records (stats + hierarchy + tokens + norms) on sf0.001;
+    * driver smoke-checks rows>0.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    TokenPipeline.docStats(spark, dir)
-      .join(Hierarchy.parentLinks(spark, dir), Seq("doc_id"))
-      .orderBy("doc_id")
-  }
+  def entry(spark: SparkSession): DataFrame =
+    TokenPipeline.wikibookRecords(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -94,7 +91,9 @@ object SparkEntry {
     "q46_price_quantiles" -> ((s, d) => Relational.priceQuantiles(s, d)),
     // Sparse TF cosine top-k over the inverted index (what the reference's
     // precomputed EuclidianNorm is for)
-    "q47_doc_cosine_topk" -> ((s, d) => TokenPipeline.docCosineTopK(s, d)))
+    "q47_doc_cosine_topk" -> ((s, d) => TokenPipeline.docCosineTopK(s, d)),
+    // The reference's primary sink, whole: full per-document records
+    "q48_wikibook_records" -> ((s, d) => TokenPipeline.wikibookRecords(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -51,14 +51,16 @@ object Dedup {
     */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate(s"${System.identityHashCode(spark)}#$dir", {
-      // NB: single select + direct explode, NOT an intermediate array
-      // column under a when() — that shape made Catalyst re-evaluate the
-      // tokenize pipeline inside the transform lambda (~50× per row;
-      // 26 s vs 2.5 s at sf0.1 measured).
+      // Native Generator (plans.ShingleGenerator) — emits one row per
+      // k-token window straight from the token array. (History: an
+      // intermediate array column under a when() made Catalyst re-evaluate
+      // the tokenize pipeline inside a transform lambda, 26 s vs 2.5 s at
+      // sf0.1; the composable explode(shingleArray(...)) form is kept in
+      // TextFns and differentially tested against this generator.)
       Tables.documents(spark, dir)
         .select(col("doc_id"), TextFns.tokenize(col("text")).as("toks"))
         .select(col("doc_id"),
-          explode(TextFns.shingleArray(col("toks"), ShingleSize)).as("shingle"))
+          graft.plans.ShingleGenerator.shingles(col("toks"), ShingleSize).as("shingle"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     })

@@ -163,6 +163,44 @@ object TokenPipeline {
       .orderBy("q_id", "rnk")
   }
 
+  /** The reference's primary sink, whole: one row per document with every
+    * field of the `wikibooks` collection contract (main.go:47–62 bson tags)
+    * that survives SURVEY §1.4's bug triage — stats, link counts, hierarchy,
+    * child ids, norm, and the token multiset as a canonical sorted string.
+    * A user of the reference switching to this library materializes this
+    * relation and writes it with Sources.writeParquet (or a Mongo connector
+    * — sink choice is orthogonal, SURVEY §2 O20).
+    */
+  def wikibookRecords(spark: SparkSession, dir: String): DataFrame = {
+    val stats = docStats(spark, dir)
+    val links = Hierarchy.parentLinks(spark, dir)
+    val children = Hierarchy.childAgg(spark, dir)
+      .select(col("parent_id").as("doc_id"), col("count_children"), col("child_ids"))
+    val extLinks = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      graft.functions.TextFns.countSubstr(col("text"), "data").cast("long")
+        .as("count_external_links"))
+    val tokens = docTokenCounts(spark, dir)
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("token"), col("qty")))),
+          e => concat(e.getField("token"), lit(":"), e.getField("qty").cast("string"))),
+        ",").as("tokens"))
+    stats
+      .join(links.select("doc_id", "page_loc", "parent_id"), Seq("doc_id"))
+      .join(children, Seq("doc_id"), "left")
+      .join(extLinks, Seq("doc_id"))
+      .join(tokens, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("page_loc"), col("parent_id"),
+        coalesce(col("count_children"), lit(0L)).as("count_children"),
+        coalesce(col("child_ids"), lit("")).as("child_ids"),
+        col("count_unique_words"), col("total_tokens"),
+        col("count_external_links"), col("euclidian_norm"),
+        coalesce(col("tokens"), lit("")).as("tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Map-typed vector per doc (reference's compressed_token_vector,
     * main.go:222–235) + its L2 norm. Not SQL-oracle-checkable (map type) —
     * covered by the relational form above plus unit tests.

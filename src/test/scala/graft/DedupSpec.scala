@@ -21,6 +21,24 @@ class DedupSpec extends AnyFunSuite {
       s"LSH missed ${exhaustive -- lsh} (banding should catch j≥0.9 pairs here)")
   }
 
+  test("ShingleGenerator matches the composable explode(shingleArray) form") {
+    import graft.functions.TextFns
+    val toks = TextFns.tokenize($"text")
+    val base = Tables.documents(spark, sf)
+      .select($"doc_id", toks.as("toks"))
+    val viaGen = base.select($"doc_id",
+      graft.plans.ShingleGenerator.shingles($"toks", 5).as("shingle"))
+    val viaHof = base.select($"doc_id",
+      explode(TextFns.shingleArray($"toks", 5)).as("shingle"))
+    assert(viaGen.exceptAll(viaHof).count() === 0)
+    assert(viaHof.exceptAll(viaGen).count() === 0)
+    // generator also yields zero rows for short docs
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select($"doc_id", TextFns.tokenize($"text").as("toks"))
+      .select(graft.plans.ShingleGenerator.shingles($"toks", 3))
+    assert(short.count() === 0)
+  }
+
   test("jaccard output is symmetric-canonical (a<b) and within bounds") {
     val bad = Dedup.ngramJaccardDups(spark, sf)
       .filter($"doc_a" >= $"doc_b" || $"inter" <= 0 || $"inter" > $"uni")

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFns
+
+/** Property-based tests (SURVEY §5.3) over generated strings — the column
+  * expressions must uphold the reference's invariants for ANY input, not
+  * just the corpus. (Plain ScalaCheck generators driven from ScalaTest; the
+  * scalatestplus bridge isn't on the offline classpath.)
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val weird: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.const(' '), Gen.const('é'), Gen.const('!'),
+    Gen.const('_'), Gen.const('中'))).map(_.mkString)
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("clean+tokenize agrees with reference string semantics on 200 random strings") {
+    val inputs = sample(weird, 200)
+    val got = inputs.toDF("s")
+      .select(TextFns.tokenize($"s").as("r")).collect().toSeq
+      .map(_.getSeq[String](0))
+    inputs.zip(got).foreach { case (s, toks) =>
+      toks.foreach { t =>
+        assert(t.nonEmpty && t.forall(ch => ch.isDigit || (ch >= 'a' && ch <= 'z')))
+      }
+      val want = s.replaceAll("[^a-zA-Z0-9 ]", "").toLowerCase
+        .split(" ").filter(_.nonEmpty).toSeq
+      assert(toks === want, s"input=${s.take(40)}")
+    }
+  }
+
+  test("shingleArray size is max(0, n-k+1) and each shingle has k tokens") {
+    val inputs = sample(weird, 100)
+    for (k <- 2 to 6) {
+      val rows = inputs.toDF("s")
+        .select(size(TextFns.tokenize($"s")).as("n"),
+          TextFns.shingleArray(TextFns.tokenize($"s"), k).as("sh"))
+        .collect()
+      rows.foreach { r =>
+        val n = r.getInt(0); val sh = r.getSeq[String](1)
+        assert(sh.length === math.max(0, n - k + 1))
+        sh.foreach(s => assert(s.split(" ").length === k))
+      }
+    }
+  }
+
+  test("pagePath/parentPath: parent of path(n) is path(n/10), for random ids") {
+    val ids = sample(Gen.choose(0L, 999999L), 300)
+    val rows = ids.toDF("id")
+      .select($"id", TextFns.pagePath($"id").as("p"))
+      .withColumn("pp", TextFns.parentPath($"p"))
+      .collect()
+    rows.foreach { r =>
+      val (id, p, pp) = (r.getLong(0), r.getString(1), r.getString(2))
+      assert(p.split("/").last === id.toString)
+      if (id < 10) assert(pp === "")
+      else assert(pp.split("/").last === (id / 10).toString)
+    }
+  }
+}
