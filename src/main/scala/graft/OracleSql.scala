@@ -559,7 +559,22 @@ object OracleSql {
          |LEFT JOIN kids ON kids.doc_id = d.doc_id
          |LEFT JOIN stats ON stats.doc_id = d.doc_id
          |LEFT JOIN tokstr ON tokstr.doc_id = d.doc_id
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    // Every event lands in exactly two 1h/30min sliding windows: the 30-min
+    // truncation of its timestamp and the one before it.
+    "q49_sliding_counts" ->
+      """WITH t AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS eus FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |         unnest([(eus // 1800000000) * 1800000000,
+        |                 (eus // 1800000000) * 1800000000 - 1800000000]) AS ws
+        |  FROM t)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, COUNT(*) AS n_events
+        |FROM w
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin)
 
   /** Tokenized-array CTE (raw tokens, pre-membership-filter). */
   private lazy val ArrCte: String =

@@ -15,6 +15,7 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
     val df = SparkEntry.entry(spark)
     val n = df.count()
     df.show(5, truncate = false)

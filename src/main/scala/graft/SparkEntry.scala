@@ -93,7 +93,9 @@ object SparkEntry {
     // precomputed EuclidianNorm is for)
     "q47_doc_cosine_topk" -> ((s, d) => TokenPipeline.docCosineTopK(s, d)),
     // The reference's primary sink, whole: full per-document records
-    "q48_wikibook_records" -> ((s, d) => TokenPipeline.wikibookRecords(s, d)))
+    "q48_wikibook_records" -> ((s, d) => TokenPipeline.wikibookRecords(s, d)),
+    // Sliding (overlapping) windows
+    "q49_sliding_counts" -> ((s, d) => Events.slidingCounts(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -61,6 +61,19 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sliding (overlapping) windows: 1-hour windows every 30 minutes — each
+    * event lands in two windows. Spark's `window()` generator handles the
+    * duplication; the oracle mirrors by unnesting the two candidate starts.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("win_start", "event_type")
+
   /** As-of join over the event stream: each 'error' event picks up the most
     * recent 'purchase' by the same user at-or-before its timestamp
     * (AsOfJoin — union + one sort-shuffle, no range-join explosion).

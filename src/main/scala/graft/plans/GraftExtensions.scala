@@ -16,8 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * After either, `SELECT graft_dot(a, b)` works from plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotFunction)
+    e.injectOptimizerRule(_ => SelfDotRule)
+  }
 }
 
 object GraftExtensions {
@@ -30,8 +32,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
     builder _)
 
-  /** Imperative registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration on a live session: the SQL function plus the
+    * self-dot optimizer rule (extraOptimizations is the live-session twin
+    * of injectOptimizerRule).
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", builder _, "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(SelfDotRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SelfDotRule
+    }
+  }
 }

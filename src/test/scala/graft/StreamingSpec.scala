@@ -38,6 +38,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("streaming exact-dedup (dropDuplicates on fp) keeps one row per fingerprint") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_stream")
+    // duplicate the corpus so the stream really contains dups
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    docs.union(docs).write.mode("overwrite").parquet(dir.toString + "/in")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val deduped = spark.readStream.schema(schema).parquet(dir.toString + "/in")
+      .withColumn("fp", md5($"text"))
+      .dropDuplicates("fp")
+    val got = StreamingOps.runToMemory(spark, deduped, "dedup_test", mode = "append")
+    assert(got.count() === docs.select(md5($"text")).distinct().count())
+  }
+
+  test("SelfDotRule rewrites graft_dot(x,x) and preserves values bit-exactly") {
+    import graft.functions.VectorFns
+    val e = Tables.embeddings(spark, sf)
+      .select(VectorFns.asDouble($"embedding").as("emb"))
+    val normed = e.select(VectorFns.dot($"emb", $"emb").as("sq"))
+    val plan = normed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_self_dot"), s"rule did not fire:\n$plan")
+    val viaHof = e.select(VectorFns.dotHof($"emb", $"emb").as("sq"))
+    assert(normed.exceptAll(viaHof).count() === 0)
+  }
+
   test("stateful sessionize (batch mode) matches window-function sessions") {
     val evs = Tables.events(spark, sf)
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"value")
