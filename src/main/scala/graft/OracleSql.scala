@@ -132,7 +132,7 @@ object OracleSql {
        |  FROM kept GROUP BY doc_id),
        |sh AS (SELECT doc_id, CAST($SimhashCombine AS BIGINT) AS simhash FROM sums)""".stripMargin
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -575,6 +575,12 @@ object OracleSql {
         |FROM w
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin)
+
+  /** The native physical as-of operator computes the same relation as q41;
+    * DuckDB's ASOF JOIN oracles both plans independently.
+    */
+  val all: Map[String, String] =
+    base + ("q50_asof_native" -> base("q41_asof_last_purchase"))
 
   /** Tokenized-array CTE (raw tokens, pre-membership-filter). */
   private lazy val ArrCte: String =

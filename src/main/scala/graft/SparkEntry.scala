@@ -95,7 +95,9 @@ object SparkEntry {
     // The reference's primary sink, whole: full per-document records
     "q48_wikibook_records" -> ((s, d) => TokenPipeline.wikibookRecords(s, d)),
     // Sliding (overlapping) windows
-    "q49_sliding_counts" -> ((s, d) => Events.slidingCounts(s, d)))
+    "q49_sliding_counts" -> ((s, d) => Events.slidingCounts(s, d)),
+    // Native physical as-of operator (custom LogicalPlan+Strategy+SparkPlan)
+    "q50_asof_native" -> ((s, d) => Events.errorsWithLastPurchaseNative(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -96,6 +96,27 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** Same as-of semantics through the NATIVE physical operator
+    * (graftx.AsOfJoinExec — LogicalPlan + Strategy + SparkPlan): one
+    * exchange + sort per side, streaming merge holding a single right row.
+    */
+  def errorsWithLastPurchaseNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "event_id", "ts_us")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("p_ts"))
+      .agg(max("event_id").as("p_event_id"))
+      .select("user_id", "p_ts", "p_event_id")
+    org.apache.spark.sql.graftx.AsOfJoinNative
+      .asofJoin(errors, purchases, "user_id", "ts_us", "p_ts")
+      .select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        coalesce(col("r_p_event_id"), lit(-1L)).as("last_purchase_id"),
+        coalesce(col("r_p_ts"), lit(-1L)).as("last_purchase_ts"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** JSON property extraction + aggregate: pull integer `$.k` out of the
     * props JSON string, sum per event type.
     */
