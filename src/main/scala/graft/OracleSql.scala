@@ -579,8 +579,18 @@ object OracleSql {
   /** The native physical as-of operator computes the same relation as q41;
     * DuckDB's ASOF JOIN oracles both plans independently.
     */
-  val all: Map[String, String] =
-    base + ("q50_asof_native" -> base("q41_asof_last_purchase"))
+  val all: Map[String, String] = base +
+    ("q50_asof_native" -> base("q41_asof_last_purchase")) +
+    ("q51_top_docs_per_token" ->
+      s"""WITH $KeptCte,
+         |ranked AS (
+         |  SELECT token, doc_id, qty,
+         |         ROW_NUMBER() OVER (PARTITION BY token ORDER BY qty DESC, doc_id) AS rn
+         |  FROM kept)
+         |SELECT token, STRING_AGG(doc_id || ':' || qty, ',' ORDER BY rn) AS top_docs
+         |FROM ranked WHERE rn <= 3
+         |GROUP BY token
+         |ORDER BY token""".stripMargin)
 
   /** Tokenized-array CTE (raw tokens, pre-membership-filter). */
   private lazy val ArrCte: String =

@@ -97,7 +97,9 @@ object SparkEntry {
     // Sliding (overlapping) windows
     "q49_sliding_counts" -> ((s, d) => Events.slidingCounts(s, d)),
     // Native physical as-of operator (custom LogicalPlan+Strategy+SparkPlan)
-    "q50_asof_native" -> ((s, d) => Events.errorsWithLastPurchaseNative(s, d)))
+    "q50_asof_native" -> ((s, d) => Events.errorsWithLastPurchaseNative(s, d)),
+    // Typed UDAF: bounded top-k buffer per group instead of a ranking window
+    "q51_top_docs_per_token" -> ((s, d) => TokenPipeline.topDocsPerToken(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

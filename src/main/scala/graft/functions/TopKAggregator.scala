@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF (Aggregator) coverage: per-group top-k by quantity with a
+  * bounded buffer — the partial/final-combinable alternative to ranking
+  * windows. A window sorts every group's full row set; this aggregator
+  * carries at most k rows per group through the map-side partial, the
+  * shuffle, and the final merge, which is the shape that survives groups
+  * with millions of members at 100 TB.
+  *
+  * Ordering contract: qty descending, doc_id ascending tie-break —
+  * identical to `ROW_NUMBER() OVER (ORDER BY qty DESC, doc_id)`, so the
+  * DuckDB oracle can mirror it exactly.
+  */
+object TopKAggregator {
+
+  case class DocQty(doc_id: Long, qty: Long)
+
+  private val ord: Ordering[DocQty] = Ordering.by(d => (-d.qty, d.doc_id))
+
+  class TopKByQty(k: Int) extends Aggregator[DocQty, Seq[DocQty], Seq[DocQty]] {
+    override def zero: Seq[DocQty] = Nil
+    override def reduce(buf: Seq[DocQty], a: DocQty): Seq[DocQty] =
+      merge(buf, Seq(a))
+    override def merge(b1: Seq[DocQty], b2: Seq[DocQty]): Seq[DocQty] =
+      (b1 ++ b2).sorted(ord).take(k)
+    override def finish(r: Seq[DocQty]): Seq[DocQty] = r.sorted(ord)
+    override def bufferEncoder: Encoder[Seq[DocQty]] =
+      Encoders.kryo[Seq[DocQty]]
+    override def outputEncoder: Encoder[Seq[DocQty]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Column-API handle: `groupBy(...).agg(topKByQty(3)($"doc_id", $"qty"))`. */
+  def topKByQty(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKByQty(k), Encoders.product[DocQty])
+}

@@ -32,14 +32,17 @@ object Hierarchy {
       TextFns.parentPath(TextFns.pagePath(col("doc_id"))).as("parent_path"))
 
   /** Left-outer equi self-join child.parent_path = parent.page_loc (O7). */
-  def parentLinks(spark: SparkSession, dir: String): DataFrame = {
+  def parentLinks(spark: SparkSession, dir: String): DataFrame =
+    parentLinksRaw(spark, dir).orderBy("doc_id")
+
+  /** parentLinks without the output sort, for reuse inside other pipelines. */
+  def parentLinksRaw(spark: SparkSession, dir: String): DataFrame = {
     val d = docPaths(Tables.documents(spark, dir))
     val parents = d.select(col("page_loc").as("p_loc"), col("doc_id").as("p_id"))
     d.join(parents, col("parent_path") === col("p_loc"), "left")
       .select(
         col("doc_id"), col("page_loc"), col("parent_path"),
         coalesce(col("p_id"), lit(-1L)).as("parent_id"))
-      .orderBy("doc_id")
   }
 
   /** Per-parent child aggregation (O8): direct-child count and the child id
@@ -47,7 +50,7 @@ object Hierarchy {
     * sorted ids are the deterministic equivalent).
     */
   def childAgg(spark: SparkSession, dir: String): DataFrame =
-    parentLinks(spark, dir)
+    parentLinksRaw(spark, dir)
       .filter(col("parent_id") >= 0)
       .groupBy("parent_id")
       .agg(

@@ -70,7 +70,14 @@ object TokenPipeline {
     * every token was filtered keep a row with zeros (reference writes the
     * struct regardless).
     */
-  def docStats(spark: SparkSession, dir: String): DataFrame = {
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    docStatsRaw(spark, dir).orderBy("doc_id")
+
+  /** docStats without the output sort — for reuse inside other pipelines
+    * (a global Sort in a building block taxes every consumer; sorts belong
+    * at query edges).
+    */
+  def docStatsRaw(spark: SparkSession, dir: String): DataFrame = {
     val counts = docTokenCounts(spark, dir)
     val agg = counts.groupBy("doc_id").agg(
       count(lit(1)).as("count_unique_words"),
@@ -83,18 +90,24 @@ object TokenPipeline {
         coalesce(col("count_unique_words"), lit(0L)).as("count_unique_words"),
         coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
         coalesce(col("euclidian_norm"), lit(0.0)).as("euclidian_norm"))
-      .orderBy("doc_id")
   }
+
+  private val dictCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Global token dictionary: distinct tokens, sorted, dense 0-based ids
     * (reference main.go:143–153). Dense ids via the scale-safe sorted
     * zipWithIndex (Ids.withDenseId), not a single-partition window.
+    * Persisted: the zipWithIndex materialization is a separate job, and
+    * five queries join against this relation.
     */
   def tokenDictionary(spark: SparkSession, dir: String): DataFrame =
-    Ids.withDenseId(
-      docTokenCounts(spark, dir).select("token").distinct(),
-      "token_id", col("token"))
-      .select("token_id", "token")
+    dictCache.getOrElseUpdate(s"${System.identityHashCode(spark)}#$dir", {
+      Ids.withDenseId(
+        docTokenCounts(spark, dir).select("token").distinct(),
+        "token_id", col("token"))
+        .select("token_id", "token")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Inverted index in relational form: (token_id, token, doc_id, qty)
     * (reference main.go:151–163 materializes this as posting-list structs;
@@ -128,10 +141,13 @@ object TokenPipeline {
     * (main.go:225–231).
     */
   def sparseVectors(spark: SparkSession, dir: String): DataFrame =
+    sparseVectorsRaw(spark, dir).orderBy("doc_id", "token_id")
+
+  /** Unsorted sparse vectors for internal reuse (see docStatsRaw note). */
+  def sparseVectorsRaw(spark: SparkSession, dir: String): DataFrame =
     docTokenCounts(spark, dir)
       .join(broadcast(tokenDictionary(spark, dir)), Seq("token"))
       .select("doc_id", "token_id", "qty")
-      .orderBy("doc_id", "token_id")
 
   /** Top-k cosine-similar documents for a small query set (doc_id < 5),
     * over the sparse TF vectors — the query the reference's precomputed
@@ -141,7 +157,7 @@ object TokenPipeline {
     * |docs|², and distributes over the posting lists.
     */
   def docCosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val sv = sparseVectors(spark, dir)
+    val sv = sparseVectorsRaw(spark, dir)
     val norms = sv.groupBy("doc_id")
       .agg(sqrt(sum(col("qty") * col("qty"))).as("nrm"))
     val q = sv.filter(col("doc_id") < 5)
@@ -172,8 +188,8 @@ object TokenPipeline {
     * — sink choice is orthogonal, SURVEY §2 O20).
     */
   def wikibookRecords(spark: SparkSession, dir: String): DataFrame = {
-    val stats = docStats(spark, dir)
-    val links = Hierarchy.parentLinks(spark, dir)
+    val stats = docStatsRaw(spark, dir)
+    val links = Hierarchy.parentLinksRaw(spark, dir)
     val children = Hierarchy.childAgg(spark, dir)
       .select(col("parent_id").as("doc_id"), col("count_children"), col("child_ids"))
     val extLinks = Tables.documents(spark, dir).select(
@@ -201,12 +217,31 @@ object TokenPipeline {
       .orderBy("doc_id")
   }
 
+  /** Top-3 documents per token by term frequency, via the bounded-buffer
+    * TopK Aggregator (typed UDAF) instead of a ranking window — at most k
+    * rows per token cross the shuffle. Output canonicalized to a
+    * "doc:qty,…" string for the oracle.
+    */
+  def topDocsPerToken(spark: SparkSession, dir: String): DataFrame = {
+    val topk = graft.functions.TopKAggregator.topKByQty(3)
+    docTokenCounts(spark, dir)
+      .groupBy("token")
+      .agg(topk(col("doc_id"), col("qty")).as("top"))
+      .select(col("token"),
+        array_join(
+          transform(col("top"),
+            e => concat(e.getField("doc_id").cast("string"), lit(":"),
+                        e.getField("qty").cast("string"))),
+          ",").as("top_docs"))
+      .orderBy("token")
+  }
+
   /** Map-typed vector per doc (reference's compressed_token_vector,
     * main.go:222–235) + its L2 norm. Not SQL-oracle-checkable (map type) —
     * covered by the relational form above plus unit tests.
     */
   def tokenVectorMap(spark: SparkSession, dir: String): DataFrame =
-    sparseVectors(spark, dir)
+    sparseVectorsRaw(spark, dir)
       .groupBy("doc_id")
       .agg(
         map_from_entries(array_sort(collect_list(struct(col("token_id"), col("qty")))))
