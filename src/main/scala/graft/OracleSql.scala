@@ -337,12 +337,12 @@ object OracleSql {
       s"""WITH $ArrCte
          |SELECT doc_id,
          |       CAST(len(arr) AS BIGINT) AS n_tokens,
-         |       CAST(len(list_filter(arr, x -> x IN $StopSql)) AS BIGINT) AS stop_count,
+         |       CAST(len(list_filter(arr, x -> x IN $Stop)) AS BIGINT) AS stop_count,
          |       CAST(CASE WHEN len(arr) = 0 THEN 0
          |                 ELSE list_reduce(list_transform(arr, x -> length(x)), (a, b) -> a + b)
          |            END AS BIGINT) AS sum_token_len,
          |       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
-         |       CASE WHEN len(arr) > 0 AND len(list_filter(arr, x -> x IN $StopSql)) * 5 >= len(arr)
+         |       CASE WHEN len(arr) > 0 AND len(list_filter(arr, x -> x IN $Stop)) * 5 >= len(arr)
          |            THEN 'en' ELSE 'unk' END AS lang_pred
          |FROM base
          |ORDER BY doc_id""".stripMargin,
@@ -600,6 +600,4 @@ object OracleSql {
       |                     x -> x <> '') AS arr
       |  FROM documents)""".stripMargin
 
-  private lazy val StopSql: String =
-    TokenPipeline.StopWords.map(w => s"'$w'").mkString("(", ",", ")")
 }

@@ -23,6 +23,11 @@ object Tables {
   /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects; read nanos as long and convert to a microsecond timestamp
     * (integer floor-div — exactly DuckDB's ns→us cast truncation).
+    *
+    * Side effect: sets the session-wide `nanosAsLong` legacy flag (the only
+    * way to read nanos), so any OTHER nanos-timestamp parquet read later in
+    * the session will also surface as BIGINT. events is the only such table
+    * here.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

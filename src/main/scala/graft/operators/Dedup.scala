@@ -50,7 +50,7 @@ object Dedup {
     * tokens of the cleaned, lowercased text. Shorter docs drop out.
     */
   def shingles(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}#$dir", {
+    cache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
       // Native Generator (plans.ShingleGenerator) — emits one row per
       // k-token window straight from the token array. (History: an
       // intermediate array column under a when() made Catalyst re-evaluate
@@ -85,7 +85,7 @@ object Dedup {
     * the LSH band self-join references it on both sides.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate(s"${System.identityHashCode(spark)}#$dir", {
+    sigCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
       val aggs = (0 until MinhashHashes).map(i =>
         min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
       shingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)

@@ -17,7 +17,13 @@ import graft.Tables
   */
 object Relational {
 
-  /** Exact order-independent sum of a 2-decimal double column, as double. */
+  /** Exact order-independent sum of a 2-decimal double column, as double.
+    * Contract: inputs must be exactly-2-decimal amounts (all money columns
+    * in this data are). For a double whose shortest decimal form has MORE
+    * digits, Spark's double→DECIMAL cast (string-based, HALF_UP) and
+    * DuckDB's (scaled-binary rounding) can disagree at an x.xx5 boundary —
+    * don't feed free-form doubles through this.
+    */
   def dsum2(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
   /** Exact sum of a ≤4-decimal product, as double. The per-row product is

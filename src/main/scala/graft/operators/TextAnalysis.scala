@@ -73,12 +73,15 @@ object TextAnalysis {
     */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val kept = TokenPipeline.docTokenCounts(spark, dir)
-    val n = kept.select("doc_id").distinct().count()
+    // N stays a lazy broadcast scalar (1-row cross join), not an eager
+    // .count() job at plan-construction time
+    val nDf = kept.agg(countDistinct(col("doc_id")).as("n_docs"))
     val df = kept.groupBy("token").agg(count(lit(1)).as("df"))
     kept.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nDf))
       .select(
         col("doc_id"), col("token"), col("qty"), col("df"),
-        round(col("qty") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+        round(col("qty") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
       .orderBy("doc_id", "token")
   }
 

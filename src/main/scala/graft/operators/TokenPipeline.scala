@@ -57,7 +57,7 @@ object TokenPipeline {
     * dir).
     */
   def docTokenCounts(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}#$dir", {
+    cache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
       val toks = rawTokens(Tables.documents(spark, dir))
         .join(broadcast(wordDf(spark, Dictionary)), Seq("token"), "left_semi")
         .join(broadcast(wordDf(spark, StopWords)), Seq("token"), "left_anti")
@@ -101,7 +101,7 @@ object TokenPipeline {
     * five queries join against this relation.
     */
   def tokenDictionary(spark: SparkSession, dir: String): DataFrame =
-    dictCache.getOrElseUpdate(s"${System.identityHashCode(spark)}#$dir", {
+    dictCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
       Ids.withDenseId(
         docTokenCounts(spark, dir).select("token").distinct(),
         "token_id", col("token"))

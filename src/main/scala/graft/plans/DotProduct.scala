@@ -25,14 +25,22 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // Ragged inputs yield NULL — the same result the HOF form (zip_with pads
+  // with null, which poisons the sum) and the DuckDB oracle produce, so the
+  // three implementations stay agreement-testable even on malformed data.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -40,12 +48,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}_s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double ${ev.value}_s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value}_s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = ${ev.value}_s;
          |}
-         |${ev.value} = ${ev.value}_s;
        """.stripMargin
     })
 

@@ -38,8 +38,7 @@ object StreamingOps {
         col("event_type"), col("n_events"))
 
   case class Ev(user_id: Long, ts_us: Long, value: Double)
-  case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,
-      n: Long, sumValue: Double)
+  case class SessionState(sessionId: Long, startUs: Long, lastUs: Long, n: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)
 
@@ -57,12 +56,12 @@ object StreamingOps {
       var st = state.getOption.orNull
       evs.toSeq.sortBy(e => e.ts_us).foreach { e =>
         if (st == null) {
-          st = SessionState(1L, e.ts_us, e.ts_us, 1L, e.value)
+          st = SessionState(1L, e.ts_us, e.ts_us, 1L)
         } else if (e.ts_us - st.lastUs > gapUs) {
           out += SessionOut(userId, st.sessionId, st.n, st.startUs, st.lastUs)
-          st = SessionState(st.sessionId + 1, e.ts_us, e.ts_us, 1L, e.value)
+          st = SessionState(st.sessionId + 1, e.ts_us, e.ts_us, 1L)
         } else {
-          st = st.copy(lastUs = e.ts_us, n = st.n + 1, sumValue = st.sumValue + e.value)
+          st = st.copy(lastUs = e.ts_us, n = st.n + 1)
         }
       }
       if (st != null) {

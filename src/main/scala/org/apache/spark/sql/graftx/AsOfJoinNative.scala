@@ -75,28 +75,41 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var curKey = 0L
       var haveMatch = false
       var matchRow: InternalRow = null
+      // NULL keys/timestamps never match (SQL equality semantics; the
+      // composed union+window form behaves the same). Nulls-first ordering
+      // puts them at the head of each side: left nulls emit nullRight,
+      // right nulls are drained unmatched.
+      def isNullAt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+          row: InternalRow): Boolean = e.eval(row) == null
       lIter.map { lRow =>
-        val k = lk.eval(lRow).asInstanceOf[Long]
-        val t = lt.eval(lRow).asInstanceOf[Long]
-        if (haveMatch && curKey != k) { haveMatch = false; matchRow = null }
-        // advance right while its (key, ts) <= (k, t)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rk.eval(head).asInstanceOf[Long]
-          if (hk < k || (hk == k && rt.eval(head).asInstanceOf[Long] <= t)) {
-            if (hk == k) {
-              matchRow = head.copy() // iterator reuses row buffers
-              haveMatch = true
-              curKey = k
+        if (isNullAt(lk, lRow) || isNullAt(lt, lRow)) {
+          resultProj(joined(lRow, nullRight))
+        } else {
+          val k = lk.eval(lRow).asInstanceOf[Long]
+          val t = lt.eval(lRow).asInstanceOf[Long]
+          if (haveMatch && curKey != k) { haveMatch = false; matchRow = null }
+          // advance right while its (key, ts) <= (k, t)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            if (isNullAt(rk, head) || isNullAt(rt, head)) { rBuf.next() }
+            else {
+              val hk = rk.eval(head).asInstanceOf[Long]
+              if (hk < k || (hk == k && rt.eval(head).asInstanceOf[Long] <= t)) {
+                if (hk == k) {
+                  matchRow = head.copy() // iterator reuses row buffers
+                  haveMatch = true
+                  curKey = k
+                }
+                rBuf.next()
+              } else advancing = false
             }
-            rBuf.next()
-          } else advancing = false
+          }
+          val out =
+            if (haveMatch && curKey == k) joined(lRow, matchRow)
+            else joined(lRow, nullRight)
+          resultProj(out)
         }
-        val out =
-          if (haveMatch && curKey == k) joined(lRow, matchRow)
-          else joined(lRow, nullRight)
-        resultProj(out)
       }
     }
   }

@@ -45,6 +45,25 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(plan.contains("AsOfJoin"), s"plan:\n$plan")
   }
 
+  test("NULL keys and timestamps never match (SQL equality semantics)") {
+    val left = Seq(
+      (Some(1L), Some(200L), "ok"),
+      (None: Option[Long], Some(200L), "nullkey"),
+      (Some(1L), None: Option[Long], "nullts"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (Some(1L), Some(100L), "r1"),
+      (None: Option[Long], Some(50L), "rnull"))
+      .toDF("k", "rts", "rtag")
+    val out = AsOfJoinNative.asofJoin(left, right, "k", "ts", "rts")
+      .select($"tag", $"r_rtag")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(out === Map(
+      "ok" -> Some("r1"),     // normal match; the null-key right row is skipped
+      "nullkey" -> None,      // NULL key matches nothing (not key 0)
+      "nullts" -> None))      // NULL ts matches nothing
+  }
+
   test("left rows with no preceding right row get nulls") {
     val left = Seq((1L, 50L, "early"), (1L, 300L, "late")).toDF("k", "ts", "tag")
     val right = Seq((1L, 100L, "r1")).toDF("k", "rts", "rtag")
