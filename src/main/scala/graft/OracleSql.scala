@@ -579,8 +579,41 @@ object OracleSql {
   /** The native physical as-of operator computes the same relation as q41;
     * DuckDB's ASOF JOIN oracles both plans independently.
     */
+  /** Connected components via transitive closure (WITH RECURSIVE) — an
+    * independent algorithm from Spark's iterative label propagation.
+    */
+  private val DupClustersSql: String =
+    s"""WITH RECURSIVE $ShinglesCte, $SigsCte,
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS inter
+       |  FROM cands c
+       |  JOIN shingles sa ON sa.doc_id = c.doc_a
+       |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY doc_a, doc_b),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE 2 * inter >= (za.sz + zb.sz - inter)),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc_a, doc_a FROM edges
+       |  UNION
+       |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a)
+       |SELECT a AS doc_id, MIN(b) AS component_id
+       |FROM reach GROUP BY a
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = base +
     ("q50_asof_native" -> base("q41_asof_last_purchase")) +
+    ("q52_dup_clusters" -> DupClustersSql) +
     ("q51_top_docs_per_token" ->
       s"""WITH $KeptCte,
          |ranked AS (

@@ -99,7 +99,9 @@ object SparkEntry {
     // Native physical as-of operator (custom LogicalPlan+Strategy+SparkPlan)
     "q50_asof_native" -> ((s, d) => Events.errorsWithLastPurchaseNative(s, d)),
     // Typed UDAF: bounded top-k buffer per group instead of a ranking window
-    "q51_top_docs_per_token" -> ((s, d) => TokenPipeline.topDocsPerToken(s, d)))
+    "q51_top_docs_per_token" -> ((s, d) => TokenPipeline.topDocsPerToken(s, d)),
+    // Connected components over near-dup edges (iterative label propagation)
+    "q52_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -150,6 +150,48 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Duplicate clusters: connected components over the verified near-dup
+    * pairs (Jaccard ≥ 0.5 edges), labeled by the minimum doc_id in the
+    * component — the step that turns pairwise matches into "keep one
+    * canonical document per cluster".
+    *
+    * Distributed iterative min-label propagation (each round: every vertex
+    * takes the min label among itself and its neighbors) — the standard
+    * large-graph connected-components idiom; rounds needed = graph
+    * diameter, and near-dup clusters are tiny cliques, so it converges in
+    * 2–3 rounds. No driver-side union-find, no full edge list collected.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = minhashNearDups(spark, dir).select("doc_a", "doc_b")
+    val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("component_id", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 10) {
+      val neighborMin = sym
+        .join(labels, sym("doc_b") === labels("doc_id"))
+        .groupBy(col("doc_a").as("doc_id2"))
+        .agg(min("component_id").as("nbr_min"))
+      val next = labels
+        .join(neighborMin, labels("doc_id") === col("doc_id2"), "left")
+        .select(col("doc_id"),
+          least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
+            .as("component_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component_id", "old"), "doc_id")
+        .filter(col("component_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    sym.unpersist()
+    labels.orderBy("doc_id")
+  }
+
   /** 16-bit SimHash per doc, weighted by token frequency. Bit b (nibble
     * j=b/4 of md5(token), intra-nibble bit k=b%4, LSB-first) accumulates
     * qty·(±1); the signature sets bit b iff the accumulated sum > 0.
