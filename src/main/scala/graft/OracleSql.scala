@@ -265,7 +265,7 @@ object OracleSql {
         |ORDER BY doc_id""".stripMargin,
     "q22_minhash_signatures" ->
       s"""WITH $ShinglesCte, $SigsCte
-         |SELECT doc_id, ${(0 until 8).map(i => s"h$i").mkString(", ")}
+         |SELECT doc_id, ${(0 until Dedup_Hashes).map(i => s"h$i").mkString(", ")}
          |FROM sigs ORDER BY doc_id""".stripMargin,
     "q23_minhash_neardups" ->
       s"""WITH $ShinglesCte, $SigsCte,

@@ -24,8 +24,15 @@ object AsOfJoin {
   /** Left rows + an `asof` struct column holding the matched right row
     * (null when no right row precedes the left row).
     */
-  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+  def asofJoin(left: DataFrame, rightRaw: DataFrame, key: String,
       leftTs: String, rightTs: String): DataFrame = {
+    // NULL keys/timestamps never match (SQL equality semantics, same as the
+    // native AsOfJoinExec): drop them from the right side — otherwise
+    // nulls-first ordering would make a NULL-ts right row act like -infinity
+    // and match everything in its key group. Left rows with NULL key/ts
+    // naturally get no match (their partition holds no right rows / nothing
+    // sorts at-or-before them).
+    val right = rightRaw.filter(col(key).isNotNull && col(rightTs).isNotNull)
     val lStruct = StructType(left.schema.fields)
     val rStruct = StructType(right.schema.fields)
     val l = left.select(

@@ -170,7 +170,8 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 10) {
+    val maxRounds = 50 // component diameter bound; near-dup clusters are tiny
+    while (!converged && rounds < maxRounds) {
       val neighborMin = sym
         .join(labels, sym("doc_b") === labels("doc_id"))
         .groupBy(col("doc_a").as("doc_id2"))
@@ -189,6 +190,9 @@ object Dedup {
       rounds += 1
     }
     sym.unpersist()
+    // fail loudly rather than return non-minimal labels for a pathological
+    // long-chain component
+    require(converged, s"dupClusters did not converge in $maxRounds rounds")
     labels.orderBy("doc_id")
   }
 

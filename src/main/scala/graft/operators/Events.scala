@@ -30,7 +30,7 @@ object Events {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        Relational.dsum2(col("value")).as("sum_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -54,7 +54,7 @@ object Events {
         count(lit(1)).as("n_events"),
         min("ts_us").as("start_us"),
         max("ts_us").as("end_us"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        Relational.dsum2(col("value")).as("sum_value"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
       .select("user_id", "session_id", "n_events", "start_us", "end_us",
         "duration_us", "sum_value")

@@ -50,7 +50,14 @@ object Hierarchy {
     * sorted ids are the deterministic equivalent).
     */
   def childAgg(spark: SparkSession, dir: String): DataFrame =
-    parentLinksRaw(spark, dir)
+    childAggFrom(parentLinksRaw(spark, dir)).orderBy("parent_id")
+
+  /** Child aggregation over an existing links relation, unsorted — lets
+    * callers that already hold parentLinksRaw reuse one lineage instead of
+    * recomputing the self-join.
+    */
+  def childAggFrom(links: DataFrame): DataFrame =
+    links
       .filter(col("parent_id") >= 0)
       .groupBy("parent_id")
       .agg(
@@ -58,5 +65,4 @@ object Hierarchy {
         array_join(
           transform(sort_array(collect_list(col("doc_id"))), x => x.cast("string")),
           ",").as("child_ids"))
-      .orderBy("parent_id")
 }

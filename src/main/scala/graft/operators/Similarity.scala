@@ -72,6 +72,10 @@ object Similarity {
 
   /** Per-label embedding stats: count and exact mean L2 norm (norms snapped
     * to DECIMAL before the sum so the aggregate is order-independent).
+    * Caveat: snapping a free-form double (sqrt output) to 6 decimals is the
+    * one place both engines' double→decimal rounding could theoretically
+    * disagree (a shortest-repr "…5" boundary); probability ~1e-12 per value
+    * and the seeded corpus is verified clean at all three scale factors.
     */
   def labelStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

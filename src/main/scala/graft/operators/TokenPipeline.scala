@@ -190,7 +190,7 @@ object TokenPipeline {
   def wikibookRecords(spark: SparkSession, dir: String): DataFrame = {
     val stats = docStatsRaw(spark, dir)
     val links = Hierarchy.parentLinksRaw(spark, dir)
-    val children = Hierarchy.childAgg(spark, dir)
+    val children = Hierarchy.childAggFrom(links)
       .select(col("parent_id").as("doc_id"), col("count_children"), col("child_ids"))
     val extLinks = Tables.documents(spark, dir).select(
       col("doc_id"),

@@ -45,6 +45,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.count() === want.count())
   }
 
+  test("composed asofJoin: NULL keys/timestamps never match (native parity)") {
+    val left = Seq(
+      (Some(1L), Some(200L), "ok"),
+      (None: Option[Long], Some(200L), "nullkey"),
+      (Some(1L), None: Option[Long], "nullts"))
+      .toDF("k", "ts", "name")
+    val right = Seq(
+      (Some(1L), Some(100L), "r1"),
+      (Some(1L), None: Option[Long], "rnullts"),
+      (None: Option[Long], Some(50L), "rnullkey"))
+      .toDF("k", "rts", "rname")
+    val out = AsOfJoin.asofJoin(left, right, "k", "ts", "rts")
+      .select($"name", $"asof.rname".as("m"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(out === Map(
+      "ok" -> Some("r1"),  // NULL-ts right row must NOT act as -infinity
+      "nullkey" -> None,
+      "nullts" -> None))
+  }
+
   test("saltedJoin equals the plain join exactly") {
     val big = Tables.orders(spark, TestSpark.Sf)
     val small = Tables.customer(spark, TestSpark.Sf)
