@@ -238,6 +238,14 @@ object OracleSql {
          |SELECT doc_id, token_id, qty
          |FROM kept JOIN dict USING (token)
          |ORDER BY doc_id, token_id""".stripMargin,
+    "q17_token_vector_map" ->
+      s"""WITH $KeptCte, $DictCte,
+         |sv AS (SELECT doc_id, token_id, qty FROM kept JOIN dict USING (token))
+         |SELECT doc_id,
+         |       STRING_AGG(token_id || ':' || qty, ',' ORDER BY token_id) AS compressed_token_vector,
+         |       ROUND(SQRT(CAST(SUM(qty * qty) AS DOUBLE)), 6) AS euclidian_norm
+         |FROM sv GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "q18_doc_hierarchy" ->
       s"""WITH $PathsCte
          |SELECT c.doc_id AS doc_id, c.page_loc AS page_loc,

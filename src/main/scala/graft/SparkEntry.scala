@@ -44,7 +44,7 @@ object SparkEntry {
     "q14_inverted_index" -> ((s, d) => TokenPipeline.invertedIndex(s, d)),
     "q15_postings" -> ((s, d) => TokenPipeline.postings(s, d)),
     "q16_sparse_vectors" -> ((s, d) => TokenPipeline.sparseVectors(s, d)),
-    "q17_token_vector_map" -> ((s, d) => TokenPipeline.tokenVectorMap(s, d)),
+    "q17_token_vector_map" -> ((s, d) => TokenPipeline.tokenVectorString(s, d)),
     // Hierarchy (SURVEY §2 O2/O5–O8)
     "q18_doc_hierarchy" -> ((s, d) => Hierarchy.parentLinks(s, d)),
     "q19_doc_children" -> ((s, d) => Hierarchy.childAgg(s, d)),

@@ -165,9 +165,12 @@ object Dedup {
     val edges = minhashNearDups(spark, dir).select("doc_a", "doc_b")
     val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) both materializes the round's labels AND
+    // truncates lineage — without it each round's plan stacks on the last
+    // and replanning cost compounds with the iteration count.
     var labels = sym.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("component_id", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var rounds = 0
     val maxRounds = 50 // component diameter bound; near-dup clusters are tiny
@@ -176,17 +179,20 @@ object Dedup {
         .join(labels, sym("doc_b") === labels("doc_id"))
         .groupBy(col("doc_a").as("doc_id2"))
         .agg(min("component_id").as("nbr_min"))
+      // Convergence detection rides the SAME propagation join as a `chg`
+      // flag — no second join + count per round; the follow-up agg is a
+      // narrow scan of the just-checkpointed rows.
       val next = labels
         .join(neighborMin, labels("doc_id") === col("doc_id2"), "left")
         .select(col("doc_id"),
           least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
-            .as("component_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("component_id", "old"), "doc_id")
-        .filter(col("component_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+            .as("component_id"),
+          (coalesce(col("nbr_min"), col("component_id")) < col("component_id"))
+            .as("chg"))
+        .localCheckpoint()
+      converged = !next.agg(coalesce(max(col("chg")), lit(false)))
+        .head().getBoolean(0)
+      labels = next.select("doc_id", "component_id")
       rounds += 1
     }
     sym.unpersist()

@@ -47,21 +47,45 @@ object TokenPipeline {
   def rawTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TextFns.tokenize(col("text"))).as("token"))
 
+  /** Core (doc_id, token, qty) pipeline parameterized over the membership
+    * tables — the reference loads a 235,886-word dictionary file and a
+    * ~668-entry stop-word table (main.go:108–118, 301–969); a real
+    * deployment passes those as DataFrames here (from
+    * Sources.readWordList or any other source). Both are broadcast: a
+    * 236k-word list is a few MB. Were the dictionary ever too big to
+    * broadcast, removing the hint degrades gracefully to a shuffled
+    * semi-join with no semantic change.
+    */
+  def docTokenCountsWith(docs: DataFrame, dictionary: DataFrame,
+      stopWords: DataFrame): DataFrame =
+    rawTokens(docs)
+      .join(broadcast(dictionary.select("token")), Seq("token"), "left_semi")
+      .join(broadcast(stopWords.select("token")), Seq("token"), "left_anti")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("qty"))
+
+  /** File-backed variant: dictionary and stop words as line-delimited text
+    * files, the reference's exact input shape (main.go:108–118).
+    */
+  def docTokenCountsFromFiles(spark: SparkSession, dir: String,
+      dictPath: String, stopPath: String): DataFrame =
+    docTokenCountsWith(Tables.documents(spark, dir),
+      graft.sources.Sources.readWordList(spark, dictPath),
+      graft.sources.Sources.readWordList(spark, stopPath))
+
   // The (doc_id, token, qty) relation is the hub every downstream operator
   // reuses (reference keeps it as tknQtyMap per doc, main.go:63); persist it
   // once per input dir instead of re-tokenizing per query.
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[graft] val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** (doc_id, token, qty) after dictionary semi-join (O11) and stop-word
     * anti-join (O12); qty = occurrences in doc (O14). Cached per (session,
-    * dir).
+    * dir). Uses the literal word lists (the synthetic corpus's vocabulary);
+    * production callers use docTokenCountsWith / docTokenCountsFromFiles.
     */
   def docTokenCounts(spark: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
-      val toks = rawTokens(Tables.documents(spark, dir))
-        .join(broadcast(wordDf(spark, Dictionary)), Seq("token"), "left_semi")
-        .join(broadcast(wordDf(spark, StopWords)), Seq("token"), "left_anti")
-      toks.groupBy("doc_id", "token").agg(count(lit(1)).as("qty"))
+      docTokenCountsWith(Tables.documents(spark, dir),
+        wordDf(spark, Dictionary), wordDf(spark, StopWords))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -237,8 +261,10 @@ object TokenPipeline {
   }
 
   /** Map-typed vector per doc (reference's compressed_token_vector,
-    * main.go:222–235) + its L2 norm. Not SQL-oracle-checkable (map type) —
-    * covered by the relational form above plus unit tests.
+    * main.go:222–235) + its L2 norm — the library API a Mongo-style sink
+    * would consume. The driver harness can't hash a map column, so the
+    * oracle-checked query form is tokenVectorString below; unit tests pin
+    * this map form to it entry-for-entry.
     */
   def tokenVectorMap(spark: SparkSession, dir: String): DataFrame =
     sparseVectorsRaw(spark, dir)
@@ -246,6 +272,24 @@ object TokenPipeline {
       .agg(
         map_from_entries(array_sort(collect_list(struct(col("token_id"), col("qty")))))
           .as("compressed_token_vector"),
+        round(sqrt(sum(col("qty") * col("qty"))), 6).as("euclidian_norm"))
+      .orderBy("doc_id")
+
+  /** Canonical string rendition of the compressed token vector:
+    * "token_id:qty,…" sorted by token_id — same information as the map
+    * form, deterministic and hashable, so the DuckDB oracle can verify it
+    * (the q15/q48 posting-string trick applied to the reference's primary
+    * sink shape, main.go:222–235).
+    */
+  def tokenVectorString(spark: SparkSession, dir: String): DataFrame =
+    sparseVectorsRaw(spark, dir)
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("token_id"), col("qty")))),
+            e => concat(e.getField("token_id").cast("string"), lit(":"),
+                        e.getField("qty").cast("string"))),
+          ",").as("compressed_token_vector"),
         round(sqrt(sum(col("qty") * col("qty"))), 6).as("euclidian_norm"))
       .orderBy("doc_id")
 }
