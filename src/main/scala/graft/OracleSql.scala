@@ -114,23 +114,24 @@ object OracleSql {
   private def dotExpr(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
-  /** 16-bit SimHash aggregate terms, mirroring Dedup.simhash. */
-  private val SimhashSums: String = (0 until 16).map { b =>
-    val j = b / 4; val k = b % 4
-    val nib = s"(strpos('0123456789abcdef', substring(md5(token), ${j + 1}, 1)) - 1)"
-    s"SUM(qty * (2 * (($nib // ${1 << k}) % 2) - 1)) AS s$b"
-  }.mkString(",\n         ")
-
-  private val SimhashCombine: String = (0 until 16)
-    .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
-    .mkString(" + ")
-
-  val SimhashCte: String =
+  /** `bits`-wide SimHash CTE builder, mirroring Dedup.simhashBits. */
+  private def simhashCte(bits: Int): String = {
+    val sums = (0 until bits).map { b =>
+      val j = b / 4; val k = b % 4
+      val nib = s"(strpos('0123456789abcdef', substring(md5(token), ${j + 1}, 1)) - 1)"
+      s"SUM(qty * (2 * (($nib // ${1 << k}) % 2) - 1)) AS s$b"
+    }.mkString(",\n         ")
+    val combine = (0 until bits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
     s"""sums AS (
        |  SELECT doc_id,
-       |         $SimhashSums
+       |         $sums
        |  FROM kept GROUP BY doc_id),
-       |sh AS (SELECT doc_id, CAST($SimhashCombine AS BIGINT) AS simhash FROM sums)""".stripMargin
+       |sh AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
+
+  val SimhashCte: String = simhashCte(16)
 
   private val base: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -619,9 +620,32 @@ object OracleSql {
        |FROM reach GROUP BY a
        |ORDER BY doc_id""".stripMargin
 
+  /** Banded-signature CTE mirroring Dedup.simhashNearPairs (4 bands × 4
+    * bits; pigeonhole guarantees recall for hamming ≤ 3).
+    */
+  private val SimhashBandsSql: String = {
+    val bw = 8 // 32-bit signature, 4 bands of 8 bits
+    val bands = (0 until 4)
+      .map(k => s"SELECT doc_id, simhash, $k AS band, (simhash // ${1L << (bw * k)}) % ${1L << bw} AS key FROM sh")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $KeptCte, ${simhashCte(32)},
+       |shbands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM shbands a JOIN shbands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Map[String, String] = base +
     ("q50_asof_native" -> base("q41_asof_last_purchase")) +
     ("q52_dup_clusters" -> DupClustersSql) +
+    ("q53_simhash_hamming" -> SimhashBandsSql) +
     ("q51_top_docs_per_token" ->
       s"""WITH $KeptCte,
          |ranked AS (

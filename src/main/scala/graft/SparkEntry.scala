@@ -101,7 +101,9 @@ object SparkEntry {
     // Typed UDAF: bounded top-k buffer per group instead of a ranking window
     "q51_top_docs_per_token" -> ((s, d) => TokenPipeline.topDocsPerToken(s, d)),
     // Connected components over near-dup edges (iterative label propagation)
-    "q52_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)))
+    "q52_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    // SimHash hamming-distance probing (banded LSH on the signature bits)
+    "q53_simhash_hamming" -> ((s, d) => Dedup.simhashNearDups(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -202,17 +202,20 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
-  /** 16-bit SimHash per doc, weighted by token frequency. Bit b (nibble
-    * j=b/4 of md5(token), intra-nibble bit k=b%4, LSB-first) accumulates
-    * qty·(±1); the signature sets bit b iff the accumulated sum > 0.
+  /** `bits`-wide SimHash per doc, weighted by token frequency. Bit b
+    * (nibble j=b/4 of md5(token), intra-nibble bit k=b%4, LSB-first)
+    * accumulates qty·(±1); the signature sets bit b iff the accumulated
+    * sum > 0. md5 has 32 nibbles = 128 independent ±1 draws, so any width
+    * up to 62 (staying clear of the long sign bit) needs no second hash.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sums = (0 until 16).map { b =>
+  def simhashBits(spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 62, "bits must fit a non-negative long")
+    val sums = (0 until bits).map { b =>
       val j = b / 4; val k = b % 4
       val nib = s"(instr('0123456789abcdef', substring(md5(token), ${j + 1}, 1)) - 1)"
       expr(s"sum(qty * (2 * (($nib div ${1 << k}) % 2) - 1))").as(s"s$b")
     }
-    val sig = (0 until 16)
+    val sig = (0 until bits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     TokenPipeline.docTokenCounts(spark, dir)
@@ -220,6 +223,10 @@ object Dedup {
       .select(col("doc_id"), sig.cast("long").as("simhash"))
       .orderBy("doc_id")
   }
+
+  /** 16-bit SimHash (the q24/q25 contract: collision groups at 16 bits). */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashBits(spark, dir, 16)
 
   /** SimHash collision groups: signatures shared by >1 doc (hamming-0
     * near-dups; planted ~0.97-Jaccard pairs collide at 16 bits).
@@ -232,6 +239,51 @@ object Dedup {
           x => x.cast("string")), ",").as("doc_ids"))
       .filter(col("n_docs") > 1)
       .orderBy("simhash")
+
+  /** SimHash near-dup pairs within hamming distance ≤ maxHamming — the
+    * probing step real SimHash dedup needs beyond exact collisions
+    * (simhashGroups only finds hamming-0). Banded LSH on the signature
+    * itself: split the 16 bits into 4 bands of 4; by pigeonhole, any pair
+    * within hamming ≤ 3 agrees exactly on ≥ 1 band, so candidates come
+    * from a band equi-join (never all-pairs) and are then verified with
+    * an exact popcount of the XOR. Same candidates-from-buckets scale
+    * posture as MinHash LSH; at 64-bit signatures this becomes the
+    * standard (d+1)-band construction.
+    */
+  def simhashNearPairs(sigs: DataFrame, maxHamming: Int = 3,
+      bits: Int = 16): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      "4 bands guarantee full recall only for hamming <= 3")
+    require(bits % 4 == 0, "signature width must split into 4 equal bands")
+    val bw = bits / 4 // band width in bits
+    val bandStructs = (0 until 4).map(k =>
+      struct(lit(k).as("band"),
+        expr(s"(simhash div ${1L << (bw * k)}) % ${1L << bw}").as("key")))
+    val bands = sigs
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(sh_a ^ sh_b) as bigint)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q53 form: hamming-≤3 SimHash pairs over the documents table, at 32
+    * bits — 16 bits saturates on a low-entropy corpus (measured: 12.6% of
+    * ALL doc pairs at sf0.01 land within hamming 3), so the probing query
+    * doubles the width to keep the candidate set tracking true near-dups.
+    */
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    simhashNearPairs(simhashBits(spark, dir, 32), bits = 32)
 
   /** Embedding near-dup: 6-bit sign-LSH bucket → in-bucket cosine ≥ 0.25
     * (this corpus has no planted vector dups — max cosine ≈ 0.51 — so the

@@ -58,6 +58,34 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L, 1), (2L, 2L, 2), (3L, 1L, 1)))
   }
 
+  test("simhashNearPairs finds a planted hamming-1 pair, skips far pairs") {
+    val sigs = Seq(
+      (1L, java.lang.Long.parseLong("1010101010101010", 2)),
+      (2L, java.lang.Long.parseLong("1010101010101011", 2)), // hamming 1 vs doc 1
+      (3L, java.lang.Long.parseLong("0101010101010101", 2)), // hamming 16 vs doc 1
+      (4L, java.lang.Long.parseLong("1011101110101011", 2))  // hamming 3 vs doc 1 (bits 0,8,12); band 1 intact
+    ).toDF("doc_id", "simhash")
+    val got = Dedup.simhashNearPairs(sigs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 1L)), "hamming-1 pair must be found")
+    assert(got.contains((1L, 4L, 3L)), "hamming-3 pair shares band 1 — must be found")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "hamming-16 doc must not pair")
+  }
+
+  test("simhashNearPairs ⊇ exact-collision groups, hamming within bound") {
+    val pairs = Dedup.simhashNearDups(spark, sf)
+    assert(pairs.filter($"hamming" > 3).count() === 0)
+    // every doc pair inside a hamming-0 collision group (at the SAME
+    // 32-bit width q53 probes at) must reappear
+    val zero = Dedup.simhashBits(spark, sf, 32).as[(Long, Long)].collect()
+      .groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    val got = pairs.filter($"hamming" === 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(zero.subsetOf(got))
+  }
+
   test("simhash: near-identical docs collide, disjoint docs don't (fixture)") {
     val planted = Dedup.minhashNearDups(spark, sf)
       .filter($"inter" * 100 >= $"uni" * 97).select("doc_a", "doc_b")

@@ -61,6 +61,41 @@ class TokenPipelineSpec extends AnyFunSuite {
       .filter($"token_id" =!= $"rn").count() === 0)
   }
 
+  test("file-backed word lists: 5k-word dictionary file matches literal path") {
+    // The reference's input shape: a one-word-per-line dictionary file
+    // (235,886 words) + stop-word list. A large file whose *relevant*
+    // membership equals the literal Seqs must produce the identical
+    // relation through the file-backed path.
+    val tmp = java.nio.file.Files.createTempDirectory("wordlists")
+    val filler = (1 to 5000).map(i => s"zzfiller$i") // absent from corpus
+    java.nio.file.Files.write(tmp.resolve("en.txt"),
+      String.join("\n", (TokenPipeline.Dictionary ++ filler): _*).getBytes)
+    java.nio.file.Files.write(tmp.resolve("stop.txt"),
+      String.join("\n", TokenPipeline.StopWords: _*).getBytes)
+    val viaFiles = TokenPipeline.docTokenCountsFromFiles(spark, sf,
+      tmp.resolve("en.txt").toString, tmp.resolve("stop.txt").toString)
+    val literal = TokenPipeline.docTokenCounts(spark, sf)
+    assert(viaFiles.count() === literal.count())
+    assert(viaFiles.join(literal, Seq("doc_id", "token", "qty"), "left_anti")
+      .count() === 0)
+  }
+
+  test("tokenVectorString renders tokenVectorMap entry-for-entry") {
+    val fromMap = TokenPipeline.tokenVectorMap(spark, sf)
+      .select($"doc_id",
+        array_join(
+          transform(map_entries($"compressed_token_vector"),
+            e => concat(e.getField("key").cast("string"), lit(":"),
+                        e.getField("value").cast("string"))),
+          ",").as("s"),
+        $"euclidian_norm")
+    val str = TokenPipeline.tokenVectorString(spark, sf)
+      .withColumnRenamed("compressed_token_vector", "s")
+    assert(fromMap.count() === str.count())
+    assert(fromMap.join(str, Seq("doc_id", "s", "euclidian_norm"), "left_anti")
+      .count() === 0)
+  }
+
   test("hierarchy: parent of doc N is doc N/10; roots have parent -1") {
     val links = Hierarchy.parentLinks(spark, sf)
     val bad = links.filter(
