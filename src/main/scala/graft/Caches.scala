@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Eviction hook for the per-(session, dir) persisted-relation caches
+  * (TokenPipeline hub + dictionary, Dedup shingles + signatures). Without
+  * it a long-lived session touching many input dirs accumulates unbounded
+  * cached storage, and entries for stopped sessions linger in the maps.
+  */
+object Caches {
+
+  private def maps = Seq(
+    operators.TokenPipeline.cache, operators.TokenPipeline.dictCache,
+    operators.Dedup.cache, operators.Dedup.sigCache)
+
+  /** Unpersist and drop every cached relation belonging to `spark`
+    * (other sessions' entries are untouched).
+    */
+  def clear(spark: SparkSession): Unit = {
+    val prefix = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#"
+    maps.foreach { m =>
+      m.keys.filter(_.startsWith(prefix)).foreach { k =>
+        m.remove(k).foreach(_.unpersist())
+      }
+    }
+  }
+
+  /** Drop every entry in every cache (test/teardown hammer). */
+  def clearAll(): Unit =
+    maps.foreach { m =>
+      m.keys.foreach(k => m.remove(k).foreach(df =>
+        try df.unpersist() catch { case _: Throwable => () }))
+    }
+}

@@ -44,7 +44,7 @@ object Dedup {
     */
   val ShingleSize = 5
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[graft] val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Distinct (doc_id, shingle) where shingle = ShingleSize consecutive
     * tokens of the cleaned, lowercased text. Shorter docs drop out.
@@ -78,7 +78,7 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private val sigCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[graft] val sigCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Per-doc MinHash signature: h_i = min over shingles of md5("i|"+shingle),
     * i ∈ [0,8). Fixed-width hex ⇒ lexicographic min = numeric min. Persisted:

@@ -70,6 +70,45 @@ object Similarity {
     topK(pairs, K)
   }
 
+  /** Materialize the IVF index as a BUCKETED table keyed by the coarse-
+    * quantizer cell — the storage layout that makes the q29 "partition-
+    * pruned probe" claim a code path: a probe on one cell reads only that
+    * cell's bucket files (SelectedBucketsCount in the scan) instead of the
+    * full table. At 100 TB this is the difference between touching ~1/2^bits
+    * of the index and scanning all of it.
+    */
+  def buildIvfIndex(spark: SparkSession, dir: String, table: String,
+      path: String, bits: Int = 6, buckets: Int = 16): Unit =
+    graft.sources.Sources.writeBucketed(
+      vectors(spark, dir).withColumn("bucket", VectorFns.signBucket(col("emb"), bits)),
+      table, path, buckets, "bucket", Seq("bucket"))
+
+  /** Driver-side mirror of VectorFns.signBucket for routing a query vector
+    * to its cell without a Spark job.
+    */
+  def signBucketOf(emb: Seq[Double], bits: Int): Int =
+    (0 until bits).map(i => if (emb(i) > 0) 1 << i else 0).sum
+
+  /** Probe the bucketed IVF index with one query vector: bucket-pruned
+    * scan of the query's cell, exact cosine inside it, top-k out.
+    * Note: Spark's DisableUnnecessaryBucketedScan rule can turn off
+    * bucketed reads for scan-only plans; set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` when
+    * probing to guarantee the pruned read (see BucketingSpec).
+    */
+  def probeIvf(spark: SparkSession, table: String, qEmb: Seq[Double],
+      k: Int = K, bits: Int = 6): DataFrame = {
+    val qNrm = math.sqrt(qEmb.map(x => x * x).sum)
+    spark.table(table)
+      .filter(col("bucket") === signBucketOf(qEmb, bits))
+      .select(col("vec_id").as("neighbor_id"),
+        VectorFns.cosine(VectorFns.dot(typedlit(qEmb), col("emb")),
+          lit(qNrm), col("nrm")).as("c"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+      .limit(k)
+      .select(col("neighbor_id"), round(col("c"), 6).as("cos_sim"))
+  }
+
   /** Per-label embedding stats: count and exact mean L2 norm (norms snapped
     * to DECIMAL before the sum so the aggregate is order-independent).
     * Caveat: snapping a free-form double (sqrt output) to 6 decimals is the

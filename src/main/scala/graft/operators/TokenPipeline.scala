@@ -116,7 +116,7 @@ object TokenPipeline {
         coalesce(col("euclidian_norm"), lit(0.0)).as("euclidian_norm"))
   }
 
-  private val dictCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[graft] val dictCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Global token dictionary: distinct tokens, sorted, dense 0-based ids
     * (reference main.go:143–153). Dense ids via the scale-safe sorted

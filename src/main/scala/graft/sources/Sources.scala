@@ -36,9 +36,43 @@ object Sources {
       .select(org.apache.spark.sql.functions.lower($"token").as("token"))
   }
 
+  /** JDBC source (reference O1 is literally a SQLite table scan,
+    * main.go:130). `options` passes through e.g. partitionColumn/
+    * lowerBound/upperBound/numPartitions for a parallel read — without
+    * them Spark reads the table on one task, which is fine for a dim
+    * table and wrong for a fact table. (This container has no SQLite
+    * driver jar; tests use the Derby jar Spark ships for its metastore —
+    * same code path, different URL.)
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).load()
+
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).mode("overwrite").save()
+
   def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Bucketed + sorted table write: the co-located-join / bucket-pruned-
+    * probe storage layout. Bucket metadata lives in the catalog, so this
+    * is a saveAsTable; `path` keeps the data external. Readers joining on
+    * the bucket column skip the shuffle (BucketingSpec), and equality
+    * probes on it read only the matching bucket files
+    * (SelectedBucketsCount in the scan).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      buckets: Int, bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, bucketCol)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.option("path", path).saveAsTable(table)
   }
 
   def writeCsv(df: DataFrame, path: String): Unit =

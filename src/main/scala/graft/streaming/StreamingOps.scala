@@ -44,11 +44,16 @@ object StreamingOps {
 
   /** Gap-based sessionization with explicit per-user state
     * (flatMapGroupsWithState): closes and emits a session whenever the next
-    * event arrives more than `gapUs` after the last one. In batch mode the
-    * group's full event list arrives at once (Spark runs the same function);
-    * in streaming mode state persists across micro-batches.
+    * event arrives more than `gapUs` after the last one. BATCH ONLY: the
+    * trailing open session is emitted at the end of the (complete) group,
+    * which is correct when the group arrives at once but would re-emit a
+    * still-open session every micro-batch under true streaming — use
+    * sessionizeStreaming for that.
     */
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
+    require(!events.isStreaming,
+      "sessionize is batch-only (re-emits the open trailing session); " +
+        "use sessionizeStreaming for incremental input")
     import events.sparkSession.implicits._
     def fn(userId: Long, evs: Iterator[Ev],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
@@ -75,6 +80,57 @@ object StreamingOps {
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  case class EvT(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** True incremental sessionization: state persists across micro-batches,
+    * sessions are emitted EXACTLY ONCE — either closed by a later event of
+    * the same user (gap exceeded) or flushed by EventTimeTimeout once the
+    * watermark passes last-event + gap. The trailing open session is held
+    * in state, never re-emitted per batch (the failure mode of running the
+    * batch variant incrementally).
+    *
+    * `delay` is the watermark delay (lateness tolerance); timeout fires
+    * when `watermark > last event + gap`, so a session's flush latency is
+    * bounded by gap + delay + one micro-batch.
+    */
+  def sessionizeStreaming(events: Dataset[EvT], gapUs: Long,
+      delay: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[EvT],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (!evs.hasNext && state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        return Iterator.single(
+          SessionOut(userId, st.sessionId, st.n, st.startUs, st.lastUs))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var st = state.getOption.orNull
+      evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val us = e.ts.getTime * 1000L
+        if (st == null) {
+          st = SessionState(1L, us, us, 1L)
+        } else if (us - st.lastUs > gapUs) {
+          out += SessionOut(userId, st.sessionId, st.n, st.startUs, st.lastUs)
+          st = SessionState(st.sessionId + 1, us, us, 1L)
+        } else {
+          st = st.copy(lastUs = us, n = st.n + 1)
+        }
+      }
+      if (st != null) {
+        state.update(st)
+        // flush the open session once the watermark proves no more events
+        // can extend it (setTimeoutTimestamp takes epoch-millis)
+        state.setTimeoutTimestamp(st.lastUs / 1000L + gapUs / 1000L)
+      }
+      out.iterator
+    }
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Drain a streaming DataFrame into a named in-memory table and return it

@@ -43,4 +43,36 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS c_bkt")
     }
   }
+
+  test("bucketed IVF index: a probe reads one bucket, matches unbucketed scan") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    spark.sql("DROP TABLE IF EXISTS ivf_idx")
+    val autoBefore = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      // the auto rule turns OFF bucketed scans when no join/agg needs the
+      // distribution — but here the point IS bucket-filter pruning, so pin it
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      Similarity.buildIvfIndex(spark, TestSpark.Sf, "ivf_idx", s"$tmp/ivf",
+        bits = 6, buckets = 8)
+      // a real query vector from the corpus
+      val q = Tables.embeddings(spark, TestSpark.Sf)
+        .filter($"vec_id" === 3L).select($"embedding".cast("array<double>"))
+        .as[Seq[Double]].head()
+      val probe = Similarity.probeIvf(spark, "ivf_idx", q, k = 5)
+      // bucket pruning proven in the plan: only 1 of 8 buckets scanned
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket-pruned scan, got:\n$plan")
+      // same answer as the unbucketed cell scan (minus the query row itself,
+      // which probeIvf deliberately keeps: it IS a member of its own cell)
+      val cell = Similarity.signBucketOf(q, 6)
+      val expected = spark.table("ivf_idx").filter($"bucket" === cell).count()
+      assert(probe.count() === math.min(5, expected))
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", autoBefore)
+      spark.sql("DROP TABLE IF EXISTS ivf_idx")
+    }
+  }
 }

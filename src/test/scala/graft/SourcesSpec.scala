@@ -40,6 +40,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(r === 11.0)
   }
 
+  test("jdbc round-trip via embedded Derby (the reference's SQLite scan shape)") {
+    // Spark ships Derby for its Hive metastore; an in-memory Derby DB
+    // exercises the same spark.read.format("jdbc") path a SQLite/Postgres
+    // deployment would use.
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"lang").limit(40)
+    Sources.writeJdbc(docs, url, "docs_jdbc")
+    val back = Sources.readJdbc(spark, url, "docs_jdbc")
+    assert(back.count() === 40)
+    assert(back.exceptAll(docs).count() === 0)
+    // predicate pushdown reaches the JDBC scan (filter in the plan's
+    // PushedFilters, not a post-scan Spark filter only)
+    val plan = back.filter($"doc_id" < 10).queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("pushedfilters") ||
+      plan.toLowerCase.contains("pushed"))
+  }
+
   test("word-list text source lowercases like the reference dictionary load") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_words")
     java.nio.file.Files.writeString(tmp.resolve("en.txt"), "Alpha\nBETA\ngamma\n")

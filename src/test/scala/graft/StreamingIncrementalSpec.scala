@@ -30,6 +30,47 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeStreaming: session spans batches, flushes once via timeout") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.EvT
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val gapUs = 30L * 60 * 1000 * 1000 // 30 min
+    val input = MemoryStream[EvT]
+    val q = StreamingOps.sessionizeStreaming(input.toDS(), gapUs)
+      .writeStream.format("memory").queryName("inc_sess")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens a session (2 events)
+      input.addData(EvT(1L, t("10:00:00"), 1.0), EvT(1L, t("10:05:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("inc_sess").count() === 0, "open session must stay in state")
+      // batch 2: same session continues across the batch boundary
+      input.addData(EvT(1L, t("10:10:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("inc_sess").count() === 0,
+        "still-open session must not be re-emitted per batch")
+      // batch 3: an unrelated user pushes the watermark past 10:40
+      // (last event + gap); the engine's watermark-advance micro-batch
+      // fires the timeout and flushes user 1's session — exactly once,
+      // closed by TIMEOUT, not by any user-1 event
+      input.addData(EvT(2L, t("12:00:00"), 1.0))
+      q.processAllAvailable()
+      val sess = spark.table("inc_sess")
+        .as[StreamingOps.SessionOut].collect()
+      assert(sess.length === 1)
+      assert(sess.head.user_id === 1L && sess.head.n_events === 3L)
+      assert(sess.head.start_us === t("10:00:00").getTime * 1000 &&
+        sess.head.end_us === t("10:10:00").getTime * 1000)
+      // batch 4: nothing re-emits user 1's flushed session
+      input.addData(EvT(3L, t("13:00:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("inc_sess").as[StreamingOps.SessionOut]
+        .filter(_.user_id == 1L).count() === 1)
+    } finally q.stop()
+  }
+
   test("windowed aggregation accumulates counts across micro-batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

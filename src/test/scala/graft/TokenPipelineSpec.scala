@@ -96,6 +96,20 @@ class TokenPipelineSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("Caches.clear evicts this session's persisted relations only") {
+    TokenPipeline.docTokenCounts(spark, sf) // ensure populated
+    val key = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#" + sf
+    assert(TokenPipeline.cache.contains(key))
+    TokenPipeline.cache.put("othersession#x", spark.range(1).toDF())
+    Caches.clear(spark)
+    assert(!TokenPipeline.cache.keys.exists(_.startsWith(
+      org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#")))
+    assert(TokenPipeline.cache.contains("othersession#x"))
+    TokenPipeline.cache.remove("othersession#x")
+    // repopulating after eviction works and is equivalent
+    assert(TokenPipeline.docTokenCounts(spark, sf).count() > 0)
+  }
+
   test("hierarchy: parent of doc N is doc N/10; roots have parent -1") {
     val links = Hierarchy.parentLinks(spark, sf)
     val bad = links.filter(
