@@ -590,8 +590,9 @@ object OracleSql {
     */
   /** Connected components via transitive closure (WITH RECURSIVE) — an
     * independent algorithm from Spark's iterative label propagation.
+    * Shared CTE prefix for q52 (cluster labels) and q54 (survivors).
     */
-  private val DupClustersSql: String =
+  private val DupClustersCtes: String =
     s"""WITH RECURSIVE $ShinglesCte, $SigsCte,
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -615,9 +616,21 @@ object OracleSql {
        |reach(a, b) AS (
        |  SELECT doc_a, doc_a FROM edges
        |  UNION
-       |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a)
+       |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a)""".stripMargin
+
+  private val DupClustersSql: String =
+    s"""$DupClustersCtes
        |SELECT a AS doc_id, MIN(b) AS component_id
        |FROM reach GROUP BY a
+       |ORDER BY doc_id""".stripMargin
+
+  private val DedupSurvivorsSql: String =
+    s"""$DupClustersCtes,
+       |comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a)
+       |SELECT d.doc_id AS doc_id,
+       |       COALESCE(comp.component_id, d.doc_id) AS component_id,
+       |       (COALESCE(comp.component_id, d.doc_id) = d.doc_id) AS kept
+       |FROM documents d LEFT JOIN comp USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
   /** Banded-signature CTE mirroring Dedup.simhashNearPairs (4 bands × 4
@@ -646,6 +659,7 @@ object OracleSql {
     ("q50_asof_native" -> base("q41_asof_last_purchase")) +
     ("q52_dup_clusters" -> DupClustersSql) +
     ("q53_simhash_hamming" -> SimhashBandsSql) +
+    ("q54_dedup_survivors" -> DedupSurvivorsSql) +
     ("q51_top_docs_per_token" ->
       s"""WITH $KeptCte,
          |ranked AS (

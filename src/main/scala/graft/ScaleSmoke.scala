@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale smoke: replicate sf0.1 (documents / embeddings / events) with
+  * id offsets into a local dir, then run the heaviest queries and print
+  * per-query timings. Text is kept IDENTICAL across copies on purpose:
+  * every near-dup cluster becomes 10× larger, so the dedup candidate
+  * joins, Jaccard verification, and label propagation are stressed at
+  * their skew point (big buckets), not just at 10× rows.
+  *
+  * Usage: runMain graft.ScaleSmoke [outDir] [copies]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/sf1x")
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val src = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val n = lit(1000000L)
+      def rep(table: String)(f: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit = {
+        val base = Tables.load(spark, src, table)
+        val all = (0 until copies).map(i => f(base, i)).reduce(_ unionAll _)
+        all.write.mode(SaveMode.Overwrite).parquet(s"$out/$table.parquet")
+      }
+      rep("documents")((d, i) => d.withColumn("doc_id", col("doc_id") + n * i))
+      rep("embeddings")((d, i) => d.withColumn("vec_id", col("vec_id") + n * i))
+      // events keep raw nanos `ts` (nanosAsLong reads it back identically);
+      // users offset so sessionization scales in group count
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      rep("events")((d, i) => d
+        .withColumn("event_id", col("event_id") + n * i)
+        .withColumn("user_id", col("user_id") + n * i))
+      println(s"[scale] generated $copies x sf0.1 at $out")
+    }
+
+    val heavy = Seq("q52_dup_clusters", "q22_minhash_signatures",
+      "q26_ngram_jaccard", "q25_simhash_groups", "q36_sessions",
+      "q23_minhash_neardups", "q27_embedding_neardups", "q53_simhash_hamming")
+    val qs = SparkEntry.queries
+    heavy.foreach { name =>
+      val t0 = System.nanoTime()
+      val r = try { val c = qs(name)(spark, out).count(); s"rows=$c" }
+        catch { case e: Throwable => s"FAILED: ${e.getMessage.take(200)}" }
+      println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $r")
+    }
+    spark.stop()
+  }
+}

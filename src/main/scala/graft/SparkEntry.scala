@@ -103,7 +103,10 @@ object SparkEntry {
     // Connected components over near-dup edges (iterative label propagation)
     "q52_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     // SimHash hamming-distance probing (banded LSH on the signature bits)
-    "q53_simhash_hamming" -> ((s, d) => Dedup.simhashNearDups(s, d)))
+    "q53_simhash_hamming" -> ((s, d) => Dedup.simhashNearDups(s, d)),
+    // Canonical-survivor materialization (the relation a pipeline filters
+    // on before training; see BASELINE-notes.md for the scale ordering)
+    "q54_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

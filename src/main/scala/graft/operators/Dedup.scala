@@ -202,6 +202,23 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** End-to-end dedup materialization: EVERY document labeled with its
+    * near-dup component and whether it is the canonical survivor (minimum
+    * doc_id of its component; docs in no cluster survive trivially). This
+    * is the relation a 100 TB pipeline filters on before training — and
+    * the 10× smoke (BASELINE-notes.md) shows the right ORDER at scale:
+    * collapse verbatim copies with exactDedup first, then run the LSH
+    * near-dup ladder on the collapsed corpus, then this.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select("doc_id")
+      .join(dupClusters(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("component_id"),
+        (coalesce(col("component_id"), col("doc_id")) === col("doc_id"))
+          .as("kept"))
+      .orderBy("doc_id")
+
   /** `bits`-wide SimHash per doc, weighted by token frequency. Bit b
     * (nibble j=b/4 of md5(token), intra-nibble bit k=b%4, LSB-first)
     * accumulates qty·(±1); the signature sets bit b iff the accumulated
@@ -221,18 +238,21 @@ object Dedup {
     TokenPipeline.docTokenCounts(spark, dir)
       .groupBy("doc_id").agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), sig.cast("long").as("simhash"))
-      .orderBy("doc_id")
+    // NO orderBy here: this is a building block (groups, banding) — a sort
+    // would tax every consumer with a range partition; q24 sorts at its edge
   }
 
-  /** 16-bit SimHash (the q24/q25 contract: collision groups at 16 bits). */
+  /** 16-bit SimHash sorted for output (the q24 contract; collision groups
+    * at 16 bits are q25's).
+    */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    simhashBits(spark, dir, 16)
+    simhashBits(spark, dir, 16).orderBy("doc_id")
 
   /** SimHash collision groups: signatures shared by >1 doc (hamming-0
     * near-dups; planted ~0.97-Jaccard pairs collide at 16 bits).
     */
   def simhashGroups(spark: SparkSession, dir: String): DataFrame =
-    simhash(spark, dir)
+    simhashBits(spark, dir, 16)
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"),
         array_join(transform(sort_array(collect_list(col("doc_id"))),
