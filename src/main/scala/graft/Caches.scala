@@ -11,7 +11,8 @@ object Caches {
 
   private def maps = Seq(
     operators.TokenPipeline.cache, operators.TokenPipeline.dictCache,
-    operators.Dedup.cache, operators.Dedup.sigCache)
+    operators.Dedup.cache, operators.Dedup.sigCache,
+    operators.Dedup.clusterCache)
 
   /** Unpersist and drop every cached relation belonging to `spark`
     * (other sessions' entries are untouched).
