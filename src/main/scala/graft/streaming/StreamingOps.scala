@@ -133,6 +133,26 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Continuous corpus ingestion with exact dedup: fingerprint each doc
+    * (md5, the q21 contract), drop duplicates STATEFULLY across
+    * micro-batches, and append survivors to a parquet corpus directory via
+    * foreachBatch — the streaming twin of exactDedup + writeParquet, and
+    * the front door of the dedup ladder (BASELINE-notes.md: collapse
+    * verbatim copies first). In production add a watermark on an event-time
+    * column so the dedup state is bounded; unbounded here because the test
+    * corpus is finite.
+    */
+  def dedupedIngest(docs: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.withColumn("fp", md5(col("text")))
+      .dropDuplicates("fp")
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .outputMode("append")
+      .start()
+
   /** Drain a streaming DataFrame into a named in-memory table and return it
     * (test helper: parquet-backed batch drives the streaming query
     * synchronously via processAllAvailable).

@@ -71,6 +71,25 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupedIngest appends only first-seen docs to the parquet corpus") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest")
+      .resolve("corpus").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.dedupedIngest(
+      input.toDS().toDF("doc_id", "text"), out)
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      // batch 2 re-sends "beta" (cross-batch state) and adds "gamma"
+      input.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out).select("text").as[String].collect().sorted
+      assert(got.toSeq === Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("windowed aggregation accumulates counts across micro-batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
