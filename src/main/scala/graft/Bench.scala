@@ -18,14 +18,22 @@ object Bench {
     // otherwise land on whichever query sorts first (q01 absorbed ~7 s of
     // it in round 1). Reported as "warmup_sec" in the JSON.
     val w0 = System.nanoTime()
+    // a broken warmup step must not abort the bench before the JSON line:
+    // the timed loop below will surface the same breakage as -1 + failures
+    var warmupFailures = 0
+    def warm(f: => Long): Unit =
+      try { f; () } catch { case e: Throwable =>
+        warmupFailures += 1
+        System.err.println(s"[bench] warmup step failed: ${e.getMessage}")
+      }
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
       "region", "documents", "embeddings").foreach(t =>
-      Tables.load(spark, sfDir, t).count())
-    Tables.events(spark, sfDir).count()
-    operators.TokenPipeline.docTokenCounts(spark, sfDir).count()
-    operators.TokenPipeline.tokenDictionary(spark, sfDir).count()
-    operators.Dedup.shingles(spark, sfDir).count()
-    operators.Dedup.minhashSignatures(spark, sfDir).count()
+      warm(Tables.load(spark, sfDir, t).count()))
+    warm(Tables.events(spark, sfDir).count())
+    warm(operators.TokenPipeline.docTokenCounts(spark, sfDir).count())
+    warm(operators.TokenPipeline.tokenDictionary(spark, sfDir).count())
+    warm(operators.Dedup.shingles(spark, sfDir).count())
+    warm(operators.Dedup.minhashSignatures(spark, sfDir).count())
     val warmup = (System.nanoTime() - w0) / 1e9
     // deterministic name order; a failed query reports -1 (not its wall
     // time) so breakage can never masquerade as a speedup; failure count is
@@ -43,7 +51,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failures = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"warmup_sec":$warmup,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"warmup_sec":$warmup,"warmup_failures":$warmupFailures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,11 +17,18 @@ object Caches {
   /** Unpersist and drop every cached relation belonging to `spark`
     * (other sessions' entries are untouched).
     */
+  private def free(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.unpersist() // CacheManager-backed relations (persist())
+    // checkpoint-backed relations (dupClusterLabels): unpersist is a no-op
+    // there, the RDD itself holds the blocks
+    org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(df)
+  }
+
   def clear(spark: SparkSession): Unit = {
     val prefix = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#"
     maps.foreach { m =>
       m.keys.filter(_.startsWith(prefix)).foreach { k =>
-        m.remove(k).foreach(_.unpersist())
+        m.remove(k).foreach(free)
       }
     }
   }
@@ -30,6 +37,6 @@ object Caches {
   def clearAll(): Unit =
     maps.foreach { m =>
       m.keys.foreach(k => m.remove(k).foreach(df =>
-        try df.unpersist() catch { case _: Throwable => () }))
+        try free(df) catch { case _: Throwable => () }))
     }
 }

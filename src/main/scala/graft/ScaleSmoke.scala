@@ -27,7 +27,13 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
 
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+    // completeness marker written LAST (and stamped with the copy count):
+    // a crash mid-generation or a different `copies` must trigger a rebuild,
+    // not a silent read of a half/stale dataset
+    val marker = java.nio.file.Paths.get(s"$out/.graft_complete")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker).trim == copies.toString
+    if (!fresh) {
       val n = lit(1000000L)
       def rep(table: String)(f: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit = {
         val base = Tables.load(spark, src, table)
@@ -42,6 +48,7 @@ object ScaleSmoke {
       rep("events")((d, i) => d
         .withColumn("event_id", col("event_id") + n * i)
         .withColumn("user_id", col("user_id") + n * i))
+      java.nio.file.Files.writeString(marker, copies.toString)
       println(s"[scale] generated $copies x sf0.1 at $out")
     }
 

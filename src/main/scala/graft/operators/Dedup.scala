@@ -203,6 +203,10 @@ object Dedup {
         .localCheckpoint()
       converged = !next.agg(coalesce(max(col("chg")), lit(false)))
         .head().getBoolean(0)
+      // `next` is eagerly materialized above, so the PREVIOUS round's
+      // checkpoint blocks can be freed now — Dataset.unpersist doesn't
+      // reach them (they're RDD-persisted, not CacheManager entries)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(labels)
       labels = next.select("doc_id", "component_id")
       rounds += 1
     }

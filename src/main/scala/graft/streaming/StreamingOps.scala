@@ -97,6 +97,10 @@ object StreamingOps {
     */
   def sessionizeStreaming(events: Dataset[EvT], gapUs: Long,
       delay: String = "0 seconds"): Dataset[SessionOut] = {
+    require(events.isStreaming,
+      "sessionizeStreaming is streaming-only (trailing sessions flush on " +
+        "EventTimeTimeout, which never fires in batch — open sessions would " +
+        "be silently dropped); use sessionize for batch input")
     import events.sparkSession.implicits._
     def fn(userId: Long, evs: Iterator[EvT],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
@@ -116,14 +120,23 @@ object StreamingOps {
           out += SessionOut(userId, st.sessionId, st.n, st.startUs, st.lastUs)
           st = SessionState(st.sessionId + 1, us, us, 1L)
         } else {
-          st = st.copy(lastUs = us, n = st.n + 1)
+          // cross-batch out-of-order events (tolerated by `delay`) may sort
+          // before the stored last event: extend bounds monotonically, never
+          // move lastUs backward (it drives the gap split AND the timeout)
+          st = st.copy(startUs = math.min(st.startUs, us),
+            lastUs = math.max(st.lastUs, us), n = st.n + 1)
         }
       }
       if (st != null) {
         state.update(st)
         // flush the open session once the watermark proves no more events
-        // can extend it (setTimeoutTimestamp takes epoch-millis)
-        state.setTimeoutTimestamp(st.lastUs / 1000L + gapUs / 1000L)
+        // can extend it (setTimeoutTimestamp takes epoch-millis). Clamp
+        // above the current watermark: a late event can put last+gap at or
+        // below it, and setTimeoutTimestamp(<= watermark) throws, killing
+        // the whole query — clamping instead flushes on the next advance.
+        state.setTimeoutTimestamp(math.max(
+          st.lastUs / 1000L + gapUs / 1000L,
+          state.getCurrentWatermarkMs() + 1L))
       }
       out.iterator
     }
@@ -142,15 +155,20 @@ object StreamingOps {
     * column so the dedup state is bounded; unbounded here because the test
     * corpus is finite.
     */
-  def dedupedIngest(docs: DataFrame, path: String)
+  def dedupedIngest(docs: DataFrame, path: String,
+      options: Map[String, String] = Map.empty)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.withColumn("fp", md5(col("text")))
       .dropDuplicates("fp")
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(path)
+      // idempotent per-batch landing: a retried micro-batch OVERWRITES its
+      // own batch=N directory instead of double-appending; readers see the
+      // batch id as a discovered partition column on `path`
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .outputMode("append")
+      .options(options) // pass checkpointLocation here for restartable state
       .start()
 
   /** Drain a streaming DataFrame into a named in-memory table and return it

@@ -17,4 +17,16 @@ object GraftBridge {
     */
   def sessionKey(spark: SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
+  /** Eagerly free the persisted blocks behind `localCheckpoint`-backed
+    * DataFrames. `Dataset.unpersist` only touches CacheManager entries;
+    * a checkpointed plan is a LogicalRDD whose RDD is persisted directly,
+    * so without this its MEMORY_AND_DISK blocks linger until GC.
+    */
+  def unpersistCheckpointRdds(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
