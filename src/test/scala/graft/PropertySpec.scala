@@ -53,6 +53,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhashNearPairs has FULL recall for hamming<=3 on random 32-bit sigs") {
+    // the pigeonhole claim, checked against a brute-force oracle: every
+    // pair within hamming 3 must appear, no pair beyond 3 may appear
+    val sigs = sample(Gen.choose(0L, (1L << 32) - 1), 120).distinct
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = graft.operators.Dedup
+      .simhashNearPairs(sigs.toDF("doc_id", "simhash"), bits = 32)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("pagePath/parentPath: parent of path(n) is path(n/10), for random ids") {
     val ids = sample(Gen.choose(0L, 999999L), 300)
     val rows = ids.toDF("id")
