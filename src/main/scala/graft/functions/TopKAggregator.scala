@@ -36,4 +36,29 @@ object TopKAggregator {
   /** Column-API handle: `groupBy(...).agg(topKByQty(3)($"doc_id", $"qty"))`. */
   def topKByQty(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKByQty(k), Encoders.product[DocQty])
+
+  case class TokScore(token: String, tfidf: Double)
+
+  private val scoreOrd: Ordering[TokScore] = Ordering.by(t => (-t.tfidf, t.token))
+
+  /** Same bounded-buffer shape keyed by (score desc, token asc) — the
+    * ranking contract of `ROW_NUMBER() OVER (ORDER BY tfidf DESC, token)`,
+    * so per-doc top terms (q43) drop the full-relation sort of a window:
+    * only k rows per doc cross the shuffle.
+    */
+  class TopKByScore(k: Int) extends Aggregator[TokScore, Seq[TokScore], Seq[TokScore]] {
+    override def zero: Seq[TokScore] = Nil
+    override def reduce(buf: Seq[TokScore], a: TokScore): Seq[TokScore] =
+      merge(buf, Seq(a))
+    override def merge(b1: Seq[TokScore], b2: Seq[TokScore]): Seq[TokScore] =
+      (b1 ++ b2).sorted(scoreOrd).take(k)
+    override def finish(r: Seq[TokScore]): Seq[TokScore] = r.sorted(scoreOrd)
+    override def bufferEncoder: Encoder[Seq[TokScore]] =
+      Encoders.kryo[Seq[TokScore]]
+    override def outputEncoder: Encoder[Seq[TokScore]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  def topKByScore(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKByScore(k), Encoders.product[TokScore])
 }

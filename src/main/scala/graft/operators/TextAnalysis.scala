@@ -89,12 +89,16 @@ object TextAnalysis {
     * relation; ties break on token so ranks are engine-independent).
     */
   def topTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    // bounded-buffer typed aggregator, not a ranking window: a window sorts
+    // every doc's full term set through the shuffle; this carries at most k
+    // rows per doc (same ordering contract, ROW_NUMBER parity in the oracle)
+    val topk = graft.functions.TopKAggregator.topKByScore(k)
     tfidf(spark, dir)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("doc_id", "rnk", "token", "tfidf")
+      .groupBy("doc_id")
+      .agg(topk(col("token"), col("tfidf")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("t.token").as("token"), col("t.tfidf").as("tfidf"))
       .orderBy("doc_id", "rnk")
   }
 
