@@ -103,11 +103,65 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** (doc_id, rep_id): rep = min doc_id among verbatim-identical texts —
+    * the exact-dedup pass (q21 shape) applied INSIDE the near-dup
+    * operators. Identical texts have identical shingle sets, hence
+    * identical signatures, candidates, and Jaccard values, so computing
+    * candidates + verification on representatives only and expanding pairs
+    * afterwards returns the EXACT same relation while collapsing the
+    * worst case (a corpus full of verbatim copies) from cluster-quadratic
+    * join work to representative-level work plus output expansion
+    * (measured in BASELINE-notes.md's 10× smoke).
+    */
+  private def verbatimReps(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("rep_id", min("doc_id").over(Window.partitionBy("fp")))
+      .select("doc_id", "rep_id")
+
+  /** Expand representative-level verified pairs back to all member pairs:
+    * cross pairs inherit the reps' (inter, uni) verbatim; within-group
+    * pairs are identical sets (inter = uni = shingle count; groups whose
+    * docs have no shingles produce no pairs, matching the direct path).
+    */
+  private def expandVerbatim(spark: SparkSession, dir: String,
+      reps: DataFrame, repPairs: DataFrame): DataFrame = {
+    val m = reps.select(col("doc_id").as("m_id"), col("rep_id"))
+    val cross = repPairs
+      .join(m.select(col("rep_id").as("doc_a"), col("m_id").as("ma")), Seq("doc_a"))
+      .join(m.select(col("rep_id").as("doc_b"), col("m_id").as("mb")), Seq("doc_b"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"),
+        col("inter"), col("uni"))
+    val sizes = shingles(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val within = m.as("x")
+      .join(m.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.m_id") < col("y.m_id"))
+      .join(sizes.select(col("doc_id").as("rid"), col("sz")),
+        col("x.rep_id") === col("rid"))
+      .select(col("x.m_id").as("doc_a"), col("y.m_id").as("doc_b"),
+        col("sz").as("inter"), col("sz").as("uni"))
+    cross.union(within).orderBy("doc_a", "doc_b")
+  }
+
   /** LSH candidate pairs verified by exact Jaccard ≥ 0.5 (2·∩ ≥ ∪).
     * Output: (doc_a, doc_b, inter, uni) — integer-exact, no float compare.
+    * Candidates + verification run on verbatim representatives only.
     */
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val reps = verbatimReps(spark, dir)
+    expandVerbatim(spark, dir, reps, repNearDupPairs(spark, dir, reps))
+  }
+
+  /** Verified near-dup pairs between verbatim REPRESENTATIVES (the LSH
+    * band-bucket candidate join + exact Jaccard, restricted to one doc per
+    * identical-text group).
+    */
+  private def repNearDupPairs(spark: SparkSession, dir: String,
+      reps: DataFrame): DataFrame = {
+    val repIds = reps.filter(col("doc_id") === col("rep_id")).select("doc_id")
     val bands = minhashBands(spark, dir)
+      .join(repIds, Seq("doc_id"), "left_semi")
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -119,16 +173,18 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dups with candidates = pairs sharing ≥1
     * shingle (posting-list self-join — the inverted index as a similarity
-    * accelerator).
+    * accelerator). Representative-collapsed like minhashNearDups.
     */
   def ngramJaccardDups(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    val reps = verbatimReps(spark, dir)
+    val repIds = reps.filter(col("doc_id") === col("rep_id")).select("doc_id")
+    val sh = shingles(spark, dir).join(repIds, Seq("doc_id"), "left_semi")
     val cands = sh.as("x")
       .join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    jaccardVerify(spark, dir, cands)
+    expandVerbatim(spark, dir, reps, jaccardVerify(spark, dir, cands))
   }
 
   /** Exact |A∩B| / |A∪B| for candidate pairs; keep Jaccard ≥ 0.5. */
@@ -173,13 +229,29 @@ object Dedup {
     */
   private def dupClusterLabels(spark: SparkSession, dir: String): DataFrame =
     clusterCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
-    val edges = minhashNearDups(spark, dir).select("doc_a", "doc_b")
+    // Propagate on the REPRESENTATIVE graph and expand member labels at
+    // the end: identical texts are by construction in one component, and
+    // the component's min doc_id IS its min rep_id (every member ≥ its
+    // group's rep), so rep-level labels expanded through the membership
+    // map equal doc-level labels — at a fraction of the per-round join
+    // size when verbatim copies exist.
+    val reps = verbatimReps(spark, dir)
+    val edges = repNearDupPairs(spark, dir, reps).select("doc_a", "doc_b")
     val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // vertex set: edge endpoints PLUS reps of multi-member groups that
+    // have shingles — their members form within-group pairs in the
+    // expanded relation even when the rep has no cross-rep edge
+    val multiReps = reps.groupBy("rep_id").agg(count(lit(1)).as("nm"))
+      .filter(col("nm") > 1)
+      .select(col("rep_id").as("doc_id"))
+      .join(shingles(spark, dir).select("doc_id").distinct(),
+        Seq("doc_id"), "left_semi")
     // localCheckpoint (eager) both materializes the round's labels AND
     // truncates lineage — without it each round's plan stacks on the last
     // and replanning cost compounds with the iteration count.
-    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+    var labels = sym.select(col("doc_a").as("doc_id"))
+      .union(multiReps).distinct()
       .withColumn("component_id", col("doc_id"))
       .localCheckpoint()
     var converged = false
@@ -214,7 +286,11 @@ object Dedup {
     // fail loudly rather than return non-minimal labels for a pathological
     // long-chain component
     require(converged, s"dupClusters did not converge in $maxRounds rounds")
-    labels
+    // expand rep-level labels to every member of each labeled group
+    labels.join(reps.select(col("doc_id").as("m_id"), col("rep_id")),
+        labels("doc_id") === col("rep_id"))
+      .select(col("m_id").as("doc_id"), col("component_id"))
+      .localCheckpoint()
   })
 
   /** End-to-end dedup materialization: EVERY document labeled with its
