@@ -86,6 +86,50 @@ class DedupSpec extends AnyFunSuite {
     assert(zero.subsetOf(got))
   }
 
+  test("verbatim collapse ≡ direct LSH on a corpus with planted exact copies") {
+    // planted: doc 0 ≈ doc 1 (near-dup), docs 2..5 verbatim copies of doc 0,
+    // doc 6 unrelated, doc 7 a verbatim copy of doc 6, docs 8/9 too short
+    val base = "spark table scan filter join group order sort merge hash key value row column batch stream"
+    val near = base.replace("batch", "fast")
+    val other = "customer orders line part region nation supplier query window vector data big small slow"
+    val docs = Seq(
+      0L -> base, 1L -> near, 2L -> base, 3L -> base, 4L -> base, 5L -> base,
+      6L -> other, 7L -> other, 8L -> "tiny doc", 9L -> "tiny doc")
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vb").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.minhashNearDups(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // direct (uncollapsed) reference computation: full band self-join +
+    // exact Jaccard over ALL docs — the pre-collapse algorithm inlined
+    val bands = Dedup.minhashBands(spark, dir)
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = Dedup.shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val want = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // sanity on the planted structure: the five copies pair with each other
+    // and with the near-dup; the unrelated pair is present; shorts absent
+    assert(got.exists(p => p._1 == 0L && p._2 == 2L && p._3 == p._4))
+    assert(got.exists(p => p._1 == 6L && p._2 == 7L))
+    assert(!got.exists(p => p._1 >= 8L || p._2 >= 8L))
+  }
+
   test("simhash: near-identical docs collide, disjoint docs don't (fixture)") {
     val planted = Dedup.minhashNearDups(spark, sf)
       .filter($"inter" * 100 >= $"uni" * 97).select("doc_a", "doc_b")
