@@ -95,12 +95,30 @@ object Dedup {
   /** (doc_id, band, bucket): bucket = md5 of the band's concatenated
     * signature pair. Docs agreeing on ANY band become candidates.
     */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandsOfSignatures(minhashSignatures(spark, dir))
+
+  private def bandsOfSignatures(sigs: DataFrame): DataFrame = {
     val buckets = (0 until MinhashBands).map(k =>
       struct(lit(k).as("band"), md5(concat(col(s"h${2 * k}"), col(s"h${2 * k + 1}"))).as("bucket")))
     sigs.select(col("doc_id"), explode(array(buckets: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Band buckets computed directly from a free-standing (doc_id, text)
+    * relation — same shingle/signature/band expressions as the cached
+    * corpus path, for callers that don't read from a table dir (e.g. the
+    * streaming near-dup ingest working micro-batch by micro-batch).
+    */
+  def bandBucketsFor(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), TextFns.tokenize(col("text")).as("toks"))
+      .select(col("doc_id"),
+        graft.plans.ShingleGenerator.shingles(col("toks"), ShingleSize).as("shingle"))
+      .distinct()
+    val aggs = (0 until MinhashHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    bandsOfSignatures(sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
   }
 
   /** (doc_id, rep_id): rep = min doc_id among verbatim-identical texts —

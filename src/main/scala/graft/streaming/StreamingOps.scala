@@ -171,6 +171,52 @@ object StreamingOps {
       .options(options) // pass checkpointLocation here for restartable state
       .start()
 
+  /** Streaming NEAR-dup ingestion: per micro-batch, compute MinHash band
+    * buckets for incoming (doc_id, text) docs and drop any doc whose
+    * bucket collides with the already-ingested corpus (or with a
+    * lower-id batchmate); survivors land in `corpusDir` and their bands
+    * in `bandsDir`, both as per-batch overwrite dirs so retries are
+    * idempotent — and the store read filters `batch < batchId` so a
+    * retried batch never sees its own earlier attempt. LSH-approximate by
+    * design (candidate collision = duplicate, no Jaccard verify): the
+    * streaming trade — exact verification would need the stored shingle
+    * sets; run the batch verifier over the corpus periodically to audit.
+    */
+  def nearDupIngest(docs: DataFrame, corpusDir: String, bandsDir: String,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val bands = graft.operators.Dedup.bandBucketsFor(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val store =
+          try spark.read.parquet(bandsDir)
+            .filter(col("batch") < batchId)
+            .select("band", "bucket")
+          catch { case _: Throwable =>
+            spark.emptyDataFrame.select(lit(0).as("band"), lit("").as("bucket"))
+          }
+        val dupVsStore = bands
+          .join(store, Seq("band", "bucket"), "left_semi")
+          .select("doc_id")
+        val dupInBatch = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") > col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_id"))
+        val drop = dupVsStore.union(dupInBatch).distinct()
+        batch.join(drop, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        bands.join(drop, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+        bands.unpersist()
+        ()
+      }
+      .outputMode("append")
+      .options(options)
+      .start()
+
   /** Drain a streaming DataFrame into a named in-memory table and return it
     * (test helper: parquet-backed batch drives the streaming query
     * synchronously via processAllAvailable).

@@ -90,6 +90,31 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupIngest drops LSH near-dups across and within micro-batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup")
+    val (corpus, bands) = (s"$tmp/corpus", s"$tmp/bands")
+    val base = "spark table scan filter join group order sort merge hash key value row column batch stream"
+    val other = "customer orders line part region nation supplier query window vector data big small slow"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.nearDupIngest(
+      input.toDS().toDF("doc_id", "text"), corpus, bands)
+    try {
+      // batch 1: base doc, a novel doc, and a within-batch copy of base
+      input.addData((10L, base), (11L, other), (14L, base))
+      q.processAllAvailable()
+      // batch 2: a near-identical variant of base (cross-batch dup) + novel
+      input.addData((12L, base.replace("batch", "fast")),
+        (13L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(corpus)
+        .select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(10L, 11L, 13L),
+        "within-batch copy (14), cross-batch near-dup (12) must be dropped")
+    } finally q.stop()
+  }
+
   test("windowed aggregation accumulates counts across micro-batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
