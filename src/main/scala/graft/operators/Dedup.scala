@@ -51,19 +51,26 @@ object Dedup {
     */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
-      // Native Generator (plans.ShingleGenerator) — emits one row per
-      // k-token window straight from the token array. (History: an
-      // intermediate array column under a when() made Catalyst re-evaluate
-      // the tokenize pipeline inside a transform lambda, 26 s vs 2.5 s at
-      // sf0.1; the composable explode(shingleArray(...)) form is kept in
-      // TextFns and differentially tested against this generator.)
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), TextFns.tokenize(col("text")).as("toks"))
-        .select(col("doc_id"),
-          graft.plans.ShingleGenerator.shingles(col("toks"), ShingleSize).as("shingle"))
-        .distinct()
+      shinglesOf(Tables.documents(spark, dir))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Distinct (doc_id, shingle) from a free-standing (doc_id, text)
+    * relation — THE single definition of the shingle pipeline, shared by
+    * the dir-cached path above and the streaming ingest, so the two can
+    * never drift apart. Native Generator (plans.ShingleGenerator) — emits
+    * one row per k-token window straight from the token array. (History:
+    * an intermediate array column under a when() made Catalyst
+    * re-evaluate the tokenize pipeline inside a transform lambda, 26 s vs
+    * 2.5 s at sf0.1; the composable explode(shingleArray(...)) form is
+    * kept in TextFns and differentially tested against this generator.)
+    */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextFns.tokenize(col("text")).as("toks"))
+      .select(col("doc_id"),
+        graft.plans.ShingleGenerator.shingles(col("toks"), ShingleSize).as("shingle"))
+      .distinct()
 
   /** Exact dedup by content hash: fingerprint, copies per group, rank of
     * this doc within its group (rank 1 = canonical survivor).
@@ -86,11 +93,18 @@ object Dedup {
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     sigCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
-      val aggs = (0 until MinhashHashes).map(i =>
-        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-      shingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      signaturesOfShingles(shingles(spark, dir))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** MinHash signatures from a (doc_id, shingle) relation — the single
+    * definition shared by the cached and streaming paths.
+    */
+  def signaturesOfShingles(sh: DataFrame): DataFrame = {
+    val aggs = (0 until MinhashHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** (doc_id, band, bucket): bucket = md5 of the band's concatenated
     * signature pair. Docs agreeing on ANY band become candidates.
@@ -106,20 +120,13 @@ object Dedup {
   }
 
   /** Band buckets computed directly from a free-standing (doc_id, text)
-    * relation — same shingle/signature/band expressions as the cached
-    * corpus path, for callers that don't read from a table dir (e.g. the
-    * streaming near-dup ingest working micro-batch by micro-batch).
+    * relation — composed from the SAME shingle/signature/band definitions
+    * as the cached corpus path, for callers that don't read from a table
+    * dir (e.g. the streaming near-dup ingest working micro-batch by
+    * micro-batch).
     */
-  def bandBucketsFor(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), TextFns.tokenize(col("text")).as("toks"))
-      .select(col("doc_id"),
-        graft.plans.ShingleGenerator.shingles(col("toks"), ShingleSize).as("shingle"))
-      .distinct()
-    val aggs = (0 until MinhashHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-    bandsOfSignatures(sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
-  }
+  def bandBucketsFor(docs: DataFrame): DataFrame =
+    bandsOfSignatures(signaturesOfShingles(shinglesOf(docs)))
 
   /** (doc_id, rep_id): rep = min doc_id among verbatim-identical texts —
     * the exact-dedup pass (q21 shape) applied INSIDE the near-dup
@@ -263,8 +270,7 @@ object Dedup {
     val multiReps = reps.groupBy("rep_id").agg(count(lit(1)).as("nm"))
       .filter(col("nm") > 1)
       .select(col("rep_id").as("doc_id"))
-      .join(shingles(spark, dir).select("doc_id").distinct(),
-        Seq("doc_id"), "left_semi")
+      .join(shingles(spark, dir).select("doc_id"), Seq("doc_id"), "left_semi")
     // localCheckpoint (eager) both materializes the round's labels AND
     // truncates lineage — without it each round's plan stacks on the last
     // and replanning cost compounds with the iteration count.
@@ -304,11 +310,17 @@ object Dedup {
     // fail loudly rather than return non-minimal labels for a pathological
     // long-chain component
     require(converged, s"dupClusters did not converge in $maxRounds rounds")
-    // expand rep-level labels to every member of each labeled group
-    labels.join(reps.select(col("doc_id").as("m_id"), col("rep_id")),
+    // expand rep-level labels to every member of each labeled group; once
+    // the expansion is checkpointed, the loop-final rep-level checkpoint
+    // can be freed (it would otherwise outlive Caches.clear, which only
+    // sees the returned DataFrame)
+    val expanded = labels
+      .join(reps.select(col("doc_id").as("m_id"), col("rep_id")),
         labels("doc_id") === col("rep_id"))
       .select(col("m_id").as("doc_id"), col("component_id"))
       .localCheckpoint()
+    org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(labels)
+    expanded
   })
 
   /** End-to-end dedup materialization: EVERY document labeled with its

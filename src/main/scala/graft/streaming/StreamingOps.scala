@@ -190,13 +190,17 @@ object StreamingOps {
         val spark = batch.sparkSession
         val bands = graft.operators.Dedup.bandBucketsFor(batch)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // only the FIRST batch may find the store missing; any other read
+        // failure (e.g. a corrupt partial file) must surface — swallowing
+        // it would silently disable cross-batch dedup forever after
+        val bandsPath = new org.apache.hadoop.fs.Path(bandsDir)
+        val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val store =
-          try spark.read.parquet(bandsDir)
+          if (!fs.exists(bandsPath))
+            spark.emptyDataFrame.select(lit(0).as("band"), lit("").as("bucket"))
+          else spark.read.parquet(bandsDir)
             .filter(col("batch") < batchId)
             .select("band", "bucket")
-          catch { case _: Throwable =>
-            spark.emptyDataFrame.select(lit(0).as("band"), lit("").as("bucket"))
-          }
         val dupVsStore = bands
           .join(store, Seq("band", "bucket"), "left_semi")
           .select("doc_id")
@@ -205,11 +209,15 @@ object StreamingOps {
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
               col("x.doc_id") > col("y.doc_id"))
           .select(col("x.doc_id").as("doc_id"))
+        // persisted: the corpus write and the bands write are separate
+        // jobs, and without this the store scan + both joins run twice
         val drop = dupVsStore.union(dupInBatch).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         batch.join(drop, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
         bands.join(drop, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+        drop.unpersist()
         bands.unpersist()
         ()
       }
