@@ -660,6 +660,23 @@ object OracleSql {
     ("q52_dup_clusters" -> DupClustersSql) +
     ("q53_simhash_hamming" -> SimhashBandsSql) +
     ("q54_dedup_survivors" -> DedupSurvivorsSql) +
+    ("q55_knn_multiprobe" ->
+      s"""WITH $EmbCte,
+         |q0 AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket FROM n WHERE vec_id < 8),
+         |q AS (
+         |  SELECT query_id, q_emb, q_nrm, xor(bucket, f.v) AS bucket
+         |  FROM q0, (VALUES (0), (1), (2), (4), (8), (16), (32)) f(v)),
+         |p AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |         ${dotExpr("q_emb", "emb")} / (q_nrm * nrm) AS c
+         |  FROM q JOIN n USING (bucket) WHERE vec_id <> query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rnk,
+         |         ROUND(c, 6) AS cos_sim
+         |  FROM p)
+         |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin) +
     ("q51_top_docs_per_token" ->
       s"""WITH $KeptCte,
          |ranked AS (

@@ -106,7 +106,9 @@ object SparkEntry {
     "q53_simhash_hamming" -> ((s, d) => Dedup.simhashNearDups(s, d)),
     // Canonical-survivor materialization (the relation a pipeline filters
     // on before training; see BASELINE-notes.md for the scale ordering)
-    "q54_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)))
+    "q54_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
+    // Multi-probe IVF ANN (hamming-1 cell fan-out, the recall/cost knob)
+    "q55_knn_multiprobe" -> ((s, d) => Similarity.knnIvfMultiProbe(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -70,6 +70,32 @@ object Similarity {
     topK(pairs, K)
   }
 
+  /** Multi-probe IVF: each query probes its own cell PLUS every cell at
+    * hamming distance 1 in the sign-bit code (bits+1 cells of 2^bits) —
+    * the standard ANN recall/cost knob: sign quantization loses neighbors
+    * whose near-zero components flip sign, and those land in adjacent
+    * cells by construction. Still an equi-join on the cell key (the probe
+    * set is exploded on the broadcast query side), so the scan stays
+    * partition/bucket-prunable; cost is (bits+1)/2^bits of the corpus per
+    * query instead of 1/2^bits.
+    */
+  def knnIvfMultiProbe(spark: SparkSession, dir: String,
+      bits: Int = 6): DataFrame = {
+    val e = vectors(spark, dir)
+      .withColumn("bucket", VectorFns.signBucket(col("emb"), bits))
+    val flips = lit(0) +: (0 until bits).map(i => lit(1 << i))
+    val q = e.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
+    val pairs = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFns.cosine(VectorFns.dot(col("q_emb"), col("emb")),
+          col("q_nrm"), col("nrm")).as("c"))
+    topK(pairs, K)
+  }
+
   /** Materialize the IVF index as a BUCKETED table keyed by the coarse-
     * quantizer cell — the storage layout that makes the q29 "partition-
     * pruned probe" claim a code path: a probe on one cell reads only that

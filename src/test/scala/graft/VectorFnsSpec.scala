@@ -53,4 +53,18 @@ class VectorFnsSpec extends AnyFunSuite {
       .filter($"count" > Similarity.K).count()
     assert(perQuery === 0)
   }
+
+  test("multi-probe IVF recall vs brute force >= single-probe recall") {
+    val sf = TestSpark.Sf
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = pairs(Similarity.knnBruteForce(spark, sf))
+    val single = pairs(Similarity.knnIvf(spark, sf))
+    val multi = pairs(Similarity.knnIvfMultiProbe(spark, sf))
+    // multi-probe's candidate set strictly contains single-probe's, and a
+    // true top-k pair can only be displaced by a strictly better candidate
+    // that is itself in the true top-k — so recall is monotone
+    assert((multi & bf).size >= (single & bf).size,
+      "hamming-1 probing must not lose true neighbors vs single-probe")
+  }
 }
