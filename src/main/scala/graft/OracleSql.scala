@@ -686,7 +686,21 @@ object OracleSql {
          |SELECT token, STRING_AGG(doc_id || ':' || qty, ',' ORDER BY rn) AS top_docs
          |FROM ranked WHERE rn <= 3
          |GROUP BY token
-         |ORDER BY token""".stripMargin)
+         |ORDER BY token""".stripMargin) +
+    ("q56_hash_split" -> HashSplitSql)
+
+  // lazy: referenced from `all` above (forward reference in init order)
+  private lazy val HashSplitSql: String =
+    """SELECT doc_id,
+      |       CAST((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+      |          + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) AS BIGINT) AS bucket,
+      |       CASE WHEN (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+      |               + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) < 204 THEN 'train'
+      |            WHEN (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+      |               + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) < 230 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 
   /** Tokenized-array CTE (raw tokens, pre-membership-filter). */
   private lazy val ArrCte: String =

@@ -108,7 +108,9 @@ object SparkEntry {
     // on before training; see BASELINE-notes.md for the scale ordering)
     "q54_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     // Multi-probe IVF ANN (hamming-1 cell fan-out, the recall/cost knob)
-    "q55_knn_multiprobe" -> ((s, d) => Similarity.knnIvfMultiProbe(s, d)))
+    "q55_knn_multiprobe" -> ((s, d) => Similarity.knnIvfMultiProbe(s, d)),
+    // Deterministic content-hash train/val/test split (dup-leak-proof)
+    "q56_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

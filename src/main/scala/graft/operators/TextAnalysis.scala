@@ -68,6 +68,26 @@ object TextAnalysis {
           .as("roll_hash"))
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test split by content hash — how a real
+    * pipeline shards: RNG-free (reproducible across runs, engines, and
+    * cluster sizes; `sample()` is none of those), keyed on the CONTENT so
+    * verbatim duplicates land in the same split and can never leak across
+    * the train/test boundary. Bucket = first two md5 nibbles (0..255);
+    * <80% train, <90% val, else test.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val nib = (j: Int) =>
+      expr(s"(instr('0123456789abcdef', substring(md5(text), $j, 1)) - 1)")
+    val bucket = (nib(1) * 16 + nib(2)).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 204, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF per (doc, token) from the shared (doc,token,qty) relation:
     * tfidf = qty · ln(N / df), N = docs with ≥1 kept token.
     */
