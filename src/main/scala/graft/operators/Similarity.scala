@@ -53,15 +53,26 @@ object Similarity {
     topK(pairs, K)
   }
 
-  /** IVF-style ANN: both sides keyed by a 6-bit sign bucket; a query only
-    * scores vectors in its own cell (equi-join ⇒ partition-prunable).
+  /** Sign-quantizer width. Fixed, not a parameter: the q29/q55 DuckDB
+    * oracles hardcode the 6-bit bucket expression, so a configurable
+    * width here would be a silent oracle-divergence trap.
     */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+  val IvfBits = 6
+
+  /** Shared IVF probe: each query scores vectors in the cells
+    * `own-cell XOR flip` for every flip in `flips` — the single
+    * definition both IVF variants delegate to, so the scoring/tiebreak
+    * contract cannot drift between them.
+    */
+  private def ivfTopK(spark: SparkSession, dir: String,
+      flips: Seq[Int]): DataFrame = {
     val e = vectors(spark, dir)
-      .withColumn("bucket", VectorFns.signBucket(col("emb"), 6))
-    val q = e.filter(col("vec_id") < QuerySetSize).select(
-      col("vec_id").as("query_id"), col("emb").as("q_emb"),
-      col("nrm").as("q_nrm"), col("bucket"))
+      .withColumn("bucket", VectorFns.signBucket(col("emb"), IvfBits))
+    val q = e.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(array(flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*))
+          .as("bucket"))
     val pairs = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -70,31 +81,23 @@ object Similarity {
     topK(pairs, K)
   }
 
-  /** Multi-probe IVF: each query probes its own cell PLUS every cell at
-    * hamming distance 1 in the sign-bit code (bits+1 cells of 2^bits) —
-    * the standard ANN recall/cost knob: sign quantization loses neighbors
-    * whose near-zero components flip sign, and those land in adjacent
-    * cells by construction. Still an equi-join on the cell key (the probe
-    * set is exploded on the broadcast query side), so the scan stays
-    * partition/bucket-prunable; cost is (bits+1)/2^bits of the corpus per
-    * query instead of 1/2^bits.
+  /** IVF-style ANN: both sides keyed by the sign bucket; a query only
+    * scores vectors in its own cell (equi-join ⇒ partition-prunable).
     */
-  def knnIvfMultiProbe(spark: SparkSession, dir: String,
-      bits: Int = 6): DataFrame = {
-    val e = vectors(spark, dir)
-      .withColumn("bucket", VectorFns.signBucket(col("emb"), bits))
-    val flips = lit(0) +: (0 until bits).map(i => lit(1 << i))
-    val q = e.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"),
-        explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
-    val pairs = e.join(broadcast(q), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorFns.cosine(VectorFns.dot(col("q_emb"), col("emb")),
-          col("q_nrm"), col("nrm")).as("c"))
-    topK(pairs, K)
-  }
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(spark, dir, Seq(0))
+
+  /** Multi-probe IVF: each query probes its own cell PLUS every cell at
+    * hamming distance 1 in the sign-bit code (IvfBits+1 cells of
+    * 2^IvfBits) — the standard ANN recall/cost knob: sign quantization
+    * loses neighbors whose near-zero components flip sign, and those land
+    * in adjacent cells by construction. Still an equi-join on the cell
+    * key (the probe set is exploded on the broadcast query side), so the
+    * scan stays partition/bucket-prunable; cost is (IvfBits+1)/2^IvfBits
+    * of the corpus per query instead of 1/2^IvfBits.
+    */
+  def knnIvfMultiProbe(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(spark, dir, 0 +: (0 until IvfBits).map(1 << _))
 
   /** Materialize the IVF index as a BUCKETED table keyed by the coarse-
     * quantizer cell — the storage layout that makes the q29 "partition-
@@ -104,7 +107,7 @@ object Similarity {
     * of the index and scanning all of it.
     */
   def buildIvfIndex(spark: SparkSession, dir: String, table: String,
-      path: String, bits: Int = 6, buckets: Int = 16): Unit =
+      path: String, bits: Int = IvfBits, buckets: Int = 16): Unit =
     graft.sources.Sources.writeBucketed(
       vectors(spark, dir).withColumn("bucket", VectorFns.signBucket(col("emb"), bits)),
       table, path, buckets, "bucket", Seq("bucket"))
@@ -123,7 +126,7 @@ object Similarity {
     * probing to guarantee the pruned read (see BucketingSpec).
     */
   def probeIvf(spark: SparkSession, table: String, qEmb: Seq[Double],
-      k: Int = K, bits: Int = 6): DataFrame = {
+      k: Int = K, bits: Int = IvfBits): DataFrame = {
     val qNrm = math.sqrt(qEmb.map(x => x * x).sum)
     spark.table(table)
       .filter(col("bucket") === signBucketOf(qEmb, bits))

@@ -190,13 +190,19 @@ object StreamingOps {
         val spark = batch.sparkSession
         val bands = graft.operators.Dedup.bandBucketsFor(batch)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // only the FIRST batch may find the store missing; any other read
-        // failure (e.g. a corrupt partial file) must surface — swallowing
-        // it would silently disable cross-batch dedup forever after
+        // the store counts as present only when it holds COMMITTED parquet
+        // files: a failed first write can leave the directory existing but
+        // empty, and a bare-existence check would then crash-loop every
+        // retry on schema inference. Beyond that, read failures (e.g. a
+        // corrupt file) must surface — swallowing them would silently
+        // disable cross-batch dedup forever after.
         val bandsPath = new org.apache.hadoop.fs.Path(bandsDir)
         val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(bandsPath) && Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(bandsDir, "batch=*/*.parquet")))
+          .exists(_.nonEmpty)
         val store =
-          if (!fs.exists(bandsPath))
+          if (!hasData)
             spark.emptyDataFrame.select(lit(0).as("band"), lit("").as("bucket"))
           else spark.read.parquet(bandsDir)
             .filter(col("batch") < batchId)
