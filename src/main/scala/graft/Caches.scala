@@ -12,7 +12,7 @@ object Caches {
   private def maps = Seq(
     operators.TokenPipeline.cache, operators.TokenPipeline.dictCache,
     operators.Dedup.cache, operators.Dedup.sigCache,
-    operators.Dedup.clusterCache)
+    operators.Dedup.clusterCache, operators.Dedup.repsCache)
 
   /** Unpersist and drop every cached relation belonging to `spark`
     * (other sessions' entries are untouched).
@@ -31,12 +31,16 @@ object Caches {
         m.remove(k).foreach(free)
       }
     }
+    operators.Dedup.repFlagCache.keys.filter(_.startsWith(prefix))
+      .foreach(operators.Dedup.repFlagCache.remove)
   }
 
   /** Drop every entry in every cache (test/teardown hammer). */
-  def clearAll(): Unit =
+  def clearAll(): Unit = {
     maps.foreach { m =>
       m.keys.foreach(k => m.remove(k).foreach(df =>
         try free(df) catch { case _: Throwable => () }))
     }
+    operators.Dedup.repFlagCache.clear()
+  }
 }

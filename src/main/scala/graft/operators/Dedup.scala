@@ -128,6 +128,31 @@ object Dedup {
   def bandBucketsFor(docs: DataFrame): DataFrame =
     bandsOfSignatures(signaturesOfShingles(shinglesOf(docs)))
 
+  private[graft] val repFlagCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private[graft] val repsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Is the representative collapse worth its overhead here? The collapse
+    * is a pure cost trade — identical texts have identical band sets, so
+    * the un-collapsed path returns the SAME relation (they become mutual
+    * candidates and verify at Jaccard 1) — so the guard is a cost model,
+    * not a semantics switch: collapse iff the duplicate-induced quadratic
+    * band-join work, Σ group_size² over verbatim groups, is at least 2×
+    * the linear row count. One cheap cached aggregate decides it. A
+    * dup-light corpus (the common case — real pipelines exact-dedup
+    * first; sf0.1 has 8 dups in 5000 docs) skips the rep window, the rep
+    * semi-join, and both expansion joins entirely; the 10× verbatim smoke
+    * (Σ group² = 10·n) still collapses.
+    */
+  private def hasVerbatimDups(spark: SparkSession, dir: String): Boolean =
+    repFlagCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+      val r = Tables.documents(spark, dir)
+        .select(md5(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt") * col("cnt")).as("sq"), sum(col("cnt")).as("n"))
+        .head()
+      r.getLong(0) >= 2 * r.getLong(1)
+    })
+
   /** (doc_id, rep_id): rep = min doc_id among verbatim-identical texts —
     * the exact-dedup pass (q21 shape) applied INSIDE the near-dup
     * operators. Identical texts have identical shingle sets, hence
@@ -136,13 +161,17 @@ object Dedup {
     * afterwards returns the EXACT same relation while collapsing the
     * worst case (a corpus full of verbatim copies) from cluster-quadratic
     * join work to representative-level work plus output expansion
-    * (measured in BASELINE-notes.md's 10× smoke).
+    * (measured in BASELINE-notes.md's 10× smoke). Only built (and
+    * persisted — three consumers) when hasVerbatimDups says it matters.
     */
   private def verbatimReps(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("fp"))
-      .withColumn("rep_id", min("doc_id").over(Window.partitionBy("fp")))
-      .select("doc_id", "rep_id")
+    repsCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .withColumn("rep_id", min("doc_id").over(Window.partitionBy("fp")))
+        .select("doc_id", "rep_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Expand representative-level verified pairs back to all member pairs:
     * cross pairs inherit the reps' (inter, uni) verbatim; within-group
@@ -171,22 +200,30 @@ object Dedup {
 
   /** LSH candidate pairs verified by exact Jaccard ≥ 0.5 (2·∩ ≥ ∪).
     * Output: (doc_a, doc_b, inter, uni) — integer-exact, no float compare.
-    * Candidates + verification run on verbatim representatives only.
+    * When verbatim duplicates exist, candidates + verification run on
+    * representatives only and expand back afterwards; otherwise the
+    * collapse machinery vanishes from the plan entirely.
     */
-  def minhashNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val reps = verbatimReps(spark, dir)
-    expandVerbatim(spark, dir, reps, repNearDupPairs(spark, dir, reps))
-  }
+  def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    if (hasVerbatimDups(spark, dir))
+      expandVerbatim(spark, dir, verbatimReps(spark, dir),
+        repNearDupPairs(spark, dir, collapse = true))
+    else
+      repNearDupPairs(spark, dir, collapse = false).orderBy("doc_a", "doc_b")
 
-  /** Verified near-dup pairs between verbatim REPRESENTATIVES (the LSH
-    * band-bucket candidate join + exact Jaccard, restricted to one doc per
-    * identical-text group).
+  /** Verified near-dup pairs from the LSH band-bucket candidate join +
+    * exact Jaccard; with `collapse` the join is restricted to one doc per
+    * identical-text group.
     */
   private def repNearDupPairs(spark: SparkSession, dir: String,
-      reps: DataFrame): DataFrame = {
-    val repIds = reps.filter(col("doc_id") === col("rep_id")).select("doc_id")
-    val bands = minhashBands(spark, dir)
-      .join(repIds, Seq("doc_id"), "left_semi")
+      collapse: Boolean): DataFrame = {
+    val all = minhashBands(spark, dir)
+    val bands =
+      if (!collapse) all
+      else all.join(
+        verbatimReps(spark, dir)
+          .filter(col("doc_id") === col("rep_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -198,21 +235,33 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dups with candidates = pairs sharing ≥1
     * shingle (posting-list self-join — the inverted index as a similarity
-    * accelerator). Representative-collapsed like minhashNearDups.
+    * accelerator). Representative-collapsed like minhashNearDups, with the
+    * same skip-when-dup-free guard.
     */
   def ngramJaccardDups(spark: SparkSession, dir: String): DataFrame = {
-    val reps = verbatimReps(spark, dir)
-    val repIds = reps.filter(col("doc_id") === col("rep_id")).select("doc_id")
-    val sh = shingles(spark, dir).join(repIds, Seq("doc_id"), "left_semi")
+    val collapse = hasVerbatimDups(spark, dir)
+    val all = shingles(spark, dir)
+    val sh =
+      if (!collapse) all
+      else all.join(
+        verbatimReps(spark, dir)
+          .filter(col("doc_id") === col("rep_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
     val cands = sh.as("x")
       .join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    expandVerbatim(spark, dir, reps, jaccardVerify(spark, dir, cands))
+    val verified = jaccardVerify(spark, dir, cands)
+    if (collapse) expandVerbatim(spark, dir, verbatimReps(spark, dir), verified)
+    else verified.orderBy("doc_a", "doc_b")
   }
 
-  /** Exact |A∩B| / |A∪B| for candidate pairs; keep Jaccard ≥ 0.5. */
+  /** Exact |A∩B| / |A∪B| for candidate pairs; keep Jaccard ≥ 0.5.
+    * UNSORTED building block: consumers are joins (expandVerbatim,
+    * dupClusterLabels' edge list) — a sort here would range-partition
+    * every one of them; query edges sort for themselves.
+    */
   private def jaccardVerify(spark: SparkSession, dir: String,
       cands: DataFrame): DataFrame = {
     val sh = shingles(spark, dir)
@@ -228,7 +277,6 @@ object Dedup {
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select("doc_a", "doc_b", "inter", "uni")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Duplicate clusters: connected components over the verified near-dup
@@ -259,23 +307,28 @@ object Dedup {
     // the component's min doc_id IS its min rep_id (every member ≥ its
     // group's rep), so rep-level labels expanded through the membership
     // map equal doc-level labels — at a fraction of the per-round join
-    // size when verbatim copies exist.
-    val reps = verbatimReps(spark, dir)
-    val edges = repNearDupPairs(spark, dir, reps).select("doc_a", "doc_b")
+    // size when verbatim copies exist. Dup-free corpora skip the rep
+    // machinery (vertices = edge endpoints, no final expansion join).
+    val collapse = hasVerbatimDups(spark, dir)
+    val edges = repNearDupPairs(spark, dir, collapse).select("doc_a", "doc_b")
     val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // vertex set: edge endpoints PLUS reps of multi-member groups that
     // have shingles — their members form within-group pairs in the
     // expanded relation even when the rep has no cross-rep edge
-    val multiReps = reps.groupBy("rep_id").agg(count(lit(1)).as("nm"))
-      .filter(col("nm") > 1)
-      .select(col("rep_id").as("doc_id"))
-      .join(shingles(spark, dir).select("doc_id"), Seq("doc_id"), "left_semi")
+    val endpoints = sym.select(col("doc_a").as("doc_id"))
+    val verts =
+      if (!collapse) endpoints
+      else endpoints.union(
+        verbatimReps(spark, dir)
+          .groupBy("rep_id").agg(count(lit(1)).as("nm"))
+          .filter(col("nm") > 1)
+          .select(col("rep_id").as("doc_id"))
+          .join(shingles(spark, dir).select("doc_id"), Seq("doc_id"), "left_semi"))
     // localCheckpoint (eager) both materializes the round's labels AND
     // truncates lineage — without it each round's plan stacks on the last
     // and replanning cost compounds with the iteration count.
-    var labels = sym.select(col("doc_a").as("doc_id"))
-      .union(multiReps).distinct()
+    var labels = verts.distinct()
       .withColumn("component_id", col("doc_id"))
       .localCheckpoint()
     var converged = false
@@ -313,14 +366,18 @@ object Dedup {
     // expand rep-level labels to every member of each labeled group; once
     // the expansion is checkpointed, the loop-final rep-level checkpoint
     // can be freed (it would otherwise outlive Caches.clear, which only
-    // sees the returned DataFrame)
-    val expanded = labels
-      .join(reps.select(col("doc_id").as("m_id"), col("rep_id")),
-        labels("doc_id") === col("rep_id"))
-      .select(col("m_id").as("doc_id"), col("component_id"))
-      .localCheckpoint()
-    org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(labels)
-    expanded
+    // sees the returned DataFrame). Dup-free corpora: the labels already
+    // ARE doc-level — return them as-is.
+    if (!collapse) labels
+    else {
+      val expanded = labels
+        .join(verbatimReps(spark, dir).select(col("doc_id").as("m_id"), col("rep_id")),
+          labels("doc_id") === col("rep_id"))
+        .select(col("m_id").as("doc_id"), col("component_id"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(labels)
+      expanded
+    }
   })
 
   /** End-to-end dedup materialization: EVERY document labeled with its
@@ -333,7 +390,7 @@ object Dedup {
     */
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select("doc_id")
-      .join(dupClusters(spark, dir), Seq("doc_id"), "left")
+      .join(dupClusterLabels(spark, dir), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component_id"), col("doc_id")).as("component_id"),
         (coalesce(col("component_id"), col("doc_id")) === col("doc_id"))

@@ -89,9 +89,11 @@ object TextAnalysis {
   }
 
   /** TF-IDF per (doc, token) from the shared (doc,token,qty) relation:
-    * tfidf = qty · ln(N / df), N = docs with ≥1 kept token.
+    * tfidf = qty · ln(N / df), N = docs with ≥1 kept token. UNSORTED
+    * building block — internal consumers (topTerms) must not inherit a
+    * global sort; q34 sorts at its edge via `tfidf`.
     */
-  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+  def tfidfRaw(spark: SparkSession, dir: String): DataFrame = {
     val kept = TokenPipeline.docTokenCounts(spark, dir)
     // N stays a lazy broadcast scalar (1-row cross join), not an eager
     // .count() job at plan-construction time
@@ -102,8 +104,11 @@ object TextAnalysis {
       .select(
         col("doc_id"), col("token"), col("qty"), col("df"),
         round(col("qty") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
-      .orderBy("doc_id", "token")
   }
+
+  /** q34 form: TF-IDF sorted for output. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfRaw(spark, dir).orderBy("doc_id", "token")
 
   /** Top-k salient terms per doc by TF-IDF (ranking window over the text
     * relation; ties break on token so ranks are engine-independent).
@@ -113,7 +118,7 @@ object TextAnalysis {
     // every doc's full term set through the shuffle; this carries at most k
     // rows per doc (same ordering contract, ROW_NUMBER parity in the oracle)
     val topk = graft.functions.TopKAggregator.topKByScore(k)
-    tfidf(spark, dir)
+    tfidfRaw(spark, dir)
       .groupBy("doc_id")
       .agg(topk(col("token"), col("tfidf")).as("top"))
       .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
