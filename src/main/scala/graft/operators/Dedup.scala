@@ -22,9 +22,10 @@ import graft.functions.{TextFns, VectorFns}
   * Scale posture: nothing here is all-pairs. Candidates always come from an
   * equi-join on a bucket/shingle key, so cost tracks the true near-dup
   * density, not n². Skewed buckets (a shingle shared by every doc) are the
-  * risk at 100 TB — AQE skew-join handles moderate skew; beyond that, drop
-  * top-frequency shingles like stop-words (documented, not needed at these
-  * SFs).
+  * risk at 100 TB — AQE skew-join handles moderate skew; beyond that pass
+  * `maxShingleDf` to minhashNearDups/ngramJaccardDups: candidate
+  * generation drops top-frequency shingles like stop-words
+  * (cappedShingles) while verification keeps full sets.
   *
   * Hash determinism: every hash is md5 over an explicit string — identical
   * in any engine — and MinHash minima compare md5 hex strings
@@ -71,6 +72,25 @@ object Dedup {
       .select(col("doc_id"),
         graft.plans.ShingleGenerator.shingles(col("toks"), ShingleSize).as("shingle"))
       .distinct()
+
+  /** Shingles with document frequency capped at `maxDf` — the skew escape
+    * hatch for 100 TB corpora, implemented (not just documented): a
+    * boilerplate shingle shared by millions of docs (license headers,
+    * navigation chrome) turns the band/posting equi-join into a quadratic
+    * hot bucket; dropping it BEFORE candidate generation is the shingle
+    * analogue of a stop-word list. Used for candidates only — Jaccard
+    * verification still runs on FULL shingle sets — so output pairs are
+    * unchanged for any pair that still shares one surviving shingle/band;
+    * the deliberate trade is losing pairs whose ONLY similarity is
+    * boilerplate (which is the point). One extra hash-agg + semi-join,
+    * both on the already-persisted shingle relation.
+    */
+  def cappedShingles(spark: SparkSession, dir: String, maxDf: Long): DataFrame = {
+    val sh = shingles(spark, dir)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    sh.join(rare, Seq("shingle"), "left_semi")
+  }
 
   /** Exact dedup by content hash: fingerprint, copies per group, rank of
     * this doc within its group (rank 1 = canonical survivor).
@@ -204,20 +224,28 @@ object Dedup {
     * representatives only and expand back afterwards; otherwise the
     * collapse machinery vanishes from the plan entirely.
     */
-  def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
+  def minhashNearDups(spark: SparkSession, dir: String,
+      maxShingleDf: Option[Long] = None): DataFrame =
     if (hasVerbatimDups(spark, dir))
       expandVerbatim(spark, dir, verbatimReps(spark, dir),
-        repNearDupPairs(spark, dir, collapse = true))
+        repNearDupPairs(spark, dir, collapse = true, maxShingleDf))
     else
-      repNearDupPairs(spark, dir, collapse = false).orderBy("doc_a", "doc_b")
+      repNearDupPairs(spark, dir, collapse = false, maxShingleDf)
+        .orderBy("doc_a", "doc_b")
 
   /** Verified near-dup pairs from the LSH band-bucket candidate join +
     * exact Jaccard; with `collapse` the join is restricted to one doc per
-    * identical-text group.
+    * identical-text group. `maxShingleDf` reroutes banding through the
+    * df-capped shingles (signatures recomputed on the capped sets; the
+    * cached full-corpus signatures stay untouched for q22).
     */
   private def repNearDupPairs(spark: SparkSession, dir: String,
-      collapse: Boolean): DataFrame = {
-    val all = minhashBands(spark, dir)
+      collapse: Boolean, maxShingleDf: Option[Long] = None): DataFrame = {
+    val all = maxShingleDf match {
+      case None      => minhashBands(spark, dir)
+      case Some(cap) => bandsOfSignatures(
+        signaturesOfShingles(cappedShingles(spark, dir, cap)))
+    }
     val bands =
       if (!collapse) all
       else all.join(
@@ -238,9 +266,11 @@ object Dedup {
     * accelerator). Representative-collapsed like minhashNearDups, with the
     * same skip-when-dup-free guard.
     */
-  def ngramJaccardDups(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccardDups(spark: SparkSession, dir: String,
+      maxShingleDf: Option[Long] = None): DataFrame = {
     val collapse = hasVerbatimDups(spark, dir)
-    val all = shingles(spark, dir)
+    val all = maxShingleDf.fold(shingles(spark, dir))(
+      cappedShingles(spark, dir, _))
     val sh =
       if (!collapse) all
       else all.join(
@@ -483,17 +513,27 @@ object Dedup {
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
     simhashNearPairs(simhashBits(spark, dir, 32), bits = 32)
 
-  /** Embedding near-dup: 6-bit sign-LSH bucket → in-bucket cosine ≥ 0.25
-    * (this corpus has no planted vector dups — max cosine ≈ 0.51 — so the
-    * threshold is set where the op provably produces verifiable output).
-    * 6 bits = 64 cells keeps in-bucket pair counts ~n²/64 without losing
-    * the high-cosine pairs sign-agreement preserves.
+  /** Embedding near-dup: `bits`-wide sign-LSH bucket → in-bucket cosine
+    * ≥ 0.25 (this corpus has no planted vector dups — max cosine ≈ 0.51 —
+    * so the threshold is set where the op provably produces verifiable
+    * output). In-bucket verification is ~n²/2^bits pairs, so `bits` must
+    * GROW with the corpus: bits ≈ log₂(n) keeps expected in-bucket pairs
+    * O(n). The default stays 6 (64 cells) because the q27 DuckDB oracle
+    * hardcodes that bucket expression (the Similarity.IvfBits trap);
+    * callers at scale pass log₂(n), bounded by the embedding dimension
+    * (each bit consumes one component's sign). Raising bits never adds
+    * pairs — it only splits buckets — and true near-dups (cosine → 1)
+    * agree on every sign, so they survive any width; borderline pairs
+    * with disagreeing signs are the recall/cost trade, same as every
+    * sign-LSH. For guaranteed-recall candidate sets, band multiple
+    * narrow sign tables the way MinHash does (minhashBands).
     */
-  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDups(spark: SparkSession, dir: String,
+      bits: Int = 6): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"),
       VectorFns.asDouble(col("embedding")).as("emb"))
-      .withColumn("bucket", VectorFns.signBucket(col("emb"), 6))
+      .withColumn("bucket", VectorFns.signBucket(col("emb"), bits))
       .withColumn("nrm", VectorFns.l2Norm(col("emb")))
     e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))

@@ -130,6 +130,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 >= 8L || p._2 >= 8L))
   }
 
+  test("embeddingNearDups: planted sign-stable pairs identical at 6 and 12 bits") {
+    // Orthogonal sign patterns (Hadamard-style): near-dup pairs share a
+    // pattern (cosine ≈ 1, every sign agrees ⇒ same bucket at ANY width);
+    // cross-pattern cosine is ≈ 0 (below threshold). Raising bits splits
+    // buckets but can never separate sign-identical vectors, so the output
+    // must be width-invariant on this corpus.
+    val dim = 16
+    val p1 = Seq.fill(dim)(1.0)
+    val p2 = (0 until dim).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val p3 = (0 until dim).map(i => if (i % 4 < 2) 1.0 else -1.0)
+    def perturb(p: Seq[Double], f: Double): Seq[Float] =
+      p.zipWithIndex.map { case (x, i) =>
+        (x * (1.0 + f * (i % 3))).toFloat } // scales components, keeps signs
+    val rows = Seq(
+      (1L, perturb(p1, 0.0)), (2L, perturb(p1, 0.05)),
+      (3L, perturb(p2, 0.0)), (4L, perturb(p2, 0.05)),
+      (5L, perturb(p3, 0.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val at6 = Dedup.embeddingNearDups(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val at12 = Dedup.embeddingNearDups(spark, dir, bits = 12)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(at6.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 4L)))
+    assert(at6 === at12, "raising the LSH width must not change planted pairs")
+  }
+
   test("simhash: near-identical docs collide, disjoint docs don't (fixture)") {
     val planted = Dedup.minhashNearDups(spark, sf)
       .filter($"inter" * 100 >= $"uni" * 97).select("doc_a", "doc_b")
