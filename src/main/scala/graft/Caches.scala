@@ -12,7 +12,8 @@ object Caches {
   private def maps = Seq(
     operators.TokenPipeline.cache, operators.TokenPipeline.dictCache,
     operators.Dedup.cache, operators.Dedup.sigCache,
-    operators.Dedup.clusterCache, operators.Dedup.repsCache)
+    operators.Dedup.clusterCache, operators.Dedup.repsCache,
+    operators.Dedup.fpCache)
 
   /** Unpersist and drop every cached relation belonging to `spark`
     * (other sessions' entries are untouched).

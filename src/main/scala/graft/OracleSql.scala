@@ -655,10 +655,51 @@ object OracleSql {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Two-long 64-bit SimHash + (d+1)-band probing, mirroring
+    * Dedup.simhash64Bits / simhash64NearPairs (4 bands × 16 bits; bands 0–1
+    * from the low half, 2–3 from the high half).
+    */
+  private val Simhash64BandsSql: String = {
+    val sums = (0 until 64).map { b =>
+      val j = b / 4; val k = b % 4
+      val nib = s"(strpos('0123456789abcdef', substring(md5(token), ${j + 1}, 1)) - 1)"
+      s"SUM(qty * (2 * (($nib // ${1 << k}) % 2) - 1)) AS s$b"
+    }.mkString(",\n         ")
+    def half(off: Int) = (0 until 32)
+      .map(b => s"(CASE WHEN s${off + b} > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    val keys = Seq(
+      "sh_lo % 65536", "(sh_lo // 65536) % 65536",
+      "sh_hi % 65536", "(sh_hi // 65536) % 65536")
+    val bands = keys.zipWithIndex
+      .map { case (k, i) => s"SELECT doc_id, sh_lo, sh_hi, $i AS band, $k AS key FROM sh" }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $KeptCte,
+       |sums AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM kept GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST(${half(0)} AS BIGINT) AS sh_lo,
+       |              CAST(${half(32)} AS BIGINT) AS sh_hi FROM sums),
+       |shbands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.sh_lo AS la, b.sh_lo AS lb, a.sh_hi AS ha, b.sh_hi AS hb
+       |  FROM shbands a JOIN shbands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Map[String, String] = base +
     ("q50_asof_native" -> base("q41_asof_last_purchase")) +
     ("q52_dup_clusters" -> DupClustersSql) +
     ("q53_simhash_hamming" -> SimhashBandsSql) +
+    ("q57_simhash64_hamming" -> Simhash64BandsSql) +
     ("q54_dedup_survivors" -> DedupSurvivorsSql) +
     ("q55_knn_multiprobe" ->
       s"""WITH $EmbCte,

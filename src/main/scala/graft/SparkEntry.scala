@@ -110,7 +110,9 @@ object SparkEntry {
     // Multi-probe IVF ANN (hamming-1 cell fan-out, the recall/cost knob)
     "q55_knn_multiprobe" -> ((s, d) => Similarity.knnIvfMultiProbe(s, d)),
     // Deterministic content-hash train/val/test split (dup-leak-proof)
-    "q56_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)))
+    "q56_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
+    // Full 64-bit SimHash probing: two-long signature, (d+1)-band LSH
+    "q57_simhash64_hamming" -> ((s, d) => Dedup.simhash64NearDups(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -92,13 +92,28 @@ object Dedup {
     sh.join(rare, Seq("shingle"), "left_semi")
   }
 
+  private[graft] val fpCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Cached (doc_id, fp = md5(text)) — THE one fingerprint scan over the
+    * corpus text, shared by exactDedup (q21), the collapse cost probe
+    * (hasVerbatimDups) and the representative map (verbatimReps). Before
+    * this was unified, the dedup ladder md5'd the full text three separate
+    * times; at 100 TB each of those is a whole corpus pass, so the three
+    * consumers now read one persisted (id, 32-hex) relation instead.
+    */
+  private[graft] def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    fpCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Exact dedup by content hash: fingerprint, copies per group, rank of
     * this doc within its group (rank 1 = canonical survivor).
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     val byFp = Window.partitionBy("fp")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("fp"))
+    fingerprints(spark, dir)
       .withColumn("n_copies", count(lit(1)).over(byFp))
       .withColumn("dup_rank",
         row_number().over(byFp.orderBy("doc_id")).cast("long"))
@@ -165,12 +180,14 @@ object Dedup {
     */
   private def hasVerbatimDups(spark: SparkSession, dir: String): Boolean =
     repFlagCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
-      val r = Tables.documents(spark, dir)
-        .select(md5(col("text")).as("fp"))
+      val r = fingerprints(spark, dir)
         .groupBy("fp").agg(count(lit(1)).as("cnt"))
-        .agg(sum(col("cnt") * col("cnt")).as("sq"), sum(col("cnt")).as("n"))
+        .agg(coalesce(sum(col("cnt") * col("cnt")), lit(0L)).as("sq"),
+          coalesce(sum(col("cnt")), lit(0L)).as("n"))
         .head()
-      r.getLong(0) >= 2 * r.getLong(1)
+      // n == 0 (empty corpus): no dups, and the coalesce keeps the empty
+      // SUM from NPE-ing the probe
+      r.getLong(1) > 0 && r.getLong(0) >= 2 * r.getLong(1)
     })
 
   /** (doc_id, rep_id): rep = min doc_id among verbatim-identical texts —
@@ -186,8 +203,7 @@ object Dedup {
     */
   private def verbatimReps(spark: SparkSession, dir: String): DataFrame =
     repsCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), md5(col("text")).as("fp"))
+      fingerprints(spark, dir)
         .withColumn("rep_id", min("doc_id").over(Window.partitionBy("fp")))
         .select("doc_id", "rep_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -470,30 +486,36 @@ object Dedup {
 
   /** SimHash near-dup pairs within hamming distance ≤ maxHamming — the
     * probing step real SimHash dedup needs beyond exact collisions
-    * (simhashGroups only finds hamming-0). Banded LSH on the signature
-    * itself: split the 16 bits into 4 bands of 4; by pigeonhole, any pair
-    * within hamming ≤ 3 agrees exactly on ≥ 1 band, so candidates come
-    * from a band equi-join (never all-pairs) and are then verified with
-    * an exact popcount of the XOR. Same candidates-from-buckets scale
-    * posture as MinHash LSH; at 64-bit signatures this becomes the
-    * standard (d+1)-band construction.
+    * (simhashGroups only finds hamming-0). The (d+1)-band construction:
+    * split the signature into `bands` ≥ maxHamming+1 contiguous bit
+    * ranges; by pigeonhole, any pair within hamming ≤ d differs in at
+    * most d bands, so it agrees EXACTLY on ≥ 1 — candidates come from a
+    * band equi-join (never all-pairs) and are then verified with an
+    * exact popcount of the XOR. Same candidates-from-buckets scale
+    * posture as MinHash LSH. More bands = higher recall headroom (larger
+    * d) but more candidates per doc; bands default to the minimal d+1.
     */
   def simhashNearPairs(sigs: DataFrame, maxHamming: Int = 3,
-      bits: Int = 16): DataFrame = {
-    require(maxHamming >= 1 && maxHamming <= 3,
-      "4 bands guarantee full recall only for hamming <= 3")
-    require(bits % 4 == 0, "signature width must split into 4 equal bands")
-    val bw = bits / 4 // band width in bits
-    val bandStructs = (0 until 4).map(k =>
+      bits: Int = 16, bands: Int = 0): DataFrame = {
+    val nb = if (bands > 0) bands else maxHamming + 1
+    require(maxHamming >= 1, "maxHamming must be at least 1")
+    require(nb > maxHamming,
+      s"pigeonhole full recall needs > maxHamming bands (got $nb bands for hamming <= $maxHamming)")
+    require(bits >= nb && bits <= 62, "each band needs at least one bit; one long holds <= 62")
+    // band k covers bits [k*bits/nb, (k+1)*bits/nb) — as even as bits
+    // allows, no divisibility constraint
+    val bandStructs = (0 until nb).map { k =>
+      val lo = k * bits / nb; val hi = (k + 1) * bits / nb
       struct(lit(k).as("band"),
-        expr(s"(simhash div ${1L << (bw * k)}) % ${1L << bw}").as("key")))
-    val bands = sigs
+        expr(s"(simhash div ${1L << lo}) % ${1L << (hi - lo)}").as("key"))
+    }
+    val bands0 = sigs
       .select(col("doc_id"), col("simhash"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("x")
-      .join(bands.as("y"),
+    bands0.as("x")
+      .join(bands0.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -512,6 +534,82 @@ object Dedup {
     */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
     simhashNearPairs(simhashBits(spark, dir, 32), bits = 32)
+
+  /** Full 64-bit SimHash as two 32-bit halves (sh_lo = bits 0..31, sh_hi =
+    * bits 32..63): a single non-negative long stops at 62 bits (simhashBits'
+    * sign-bit bound), so the literature-standard 64-bit signature packs into
+    * two longs instead. Per-bit construction is identical to simhashBits —
+    * md5 nibble j = b/4, intra-nibble bit k = b%4 — and 64 bits consume
+    * nibbles 0..15 of md5's 32, so no second hash is needed.
+    */
+  def simhash64Bits(spark: SparkSession, dir: String): DataFrame = {
+    val sums = (0 until 64).map { b =>
+      val j = b / 4; val k = b % 4
+      val nib = s"(instr('0123456789abcdef', substring(md5(token), ${j + 1}, 1)) - 1)"
+      expr(s"sum(qty * (2 * (($nib div ${1 << k}) % 2) - 1))").as(s"s$b")
+    }
+    def half(off: Int) = (0 until 32)
+      .map(b => when(col(s"s${off + b}") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    TokenPipeline.docTokenCounts(spark, dir)
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), half(0).cast("long").as("sh_lo"),
+        half(32).cast("long").as("sh_hi"))
+  }
+
+  /** (d+1)-band hamming probing over the two-long 64-bit signature: band k
+    * covers logical bits [k*64/(d+1), (k+1)*64/(d+1)) of the concatenated
+    * (sh_hi, sh_lo) bit string; a band straddling the half boundary stitches
+    * its key from both longs. Verification is the exact popcount summed
+    * across halves. Pigeonhole recall guarantee and scale posture are the
+    * same as simhashNearPairs — candidates only ever come from the band
+    * equi-join.
+    */
+  def simhash64NearPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nb = maxHamming + 1
+    require(maxHamming >= 1 && nb <= 64, "need 2..64 bands over 64 bits")
+    def keyExpr(a: Int, b: Int): String = { // logical bits [a, b)
+      val loPart =
+        if (a >= 32) None
+        else Some(s"((sh_lo div ${1L << a}) % ${1L << (math.min(b, 32) - a)})")
+      val hiPart =
+        if (b <= 32) None
+        else {
+          val a2 = math.max(a, 32)
+          val shift = if (a < 32) 32 - a else 0 // place above the lo part's bits
+          Some(s"(((sh_hi div ${1L << (a2 - 32)}) % ${1L << (b - a2)}) * ${1L << shift})")
+        }
+      (loPart.toSeq ++ hiPart.toSeq).mkString(" + ")
+    }
+    val bandStructs = (0 until nb).map { k =>
+      val a = k * 64 / nb; val b = (k + 1) * 64 / nb
+      struct(lit(k).as("band"), expr(keyExpr(a, b)).as("key"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh_lo").as("lo_a"), col("y.sh_lo").as("lo_b"),
+        col("x.sh_hi").as("hi_a"), col("y.sh_hi").as("hi_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q57 form: hamming-≤3 pairs at the full 64-bit signature width over the
+    * documents table — the width real pipelines run SimHash dedup at.
+    */
+  def simhash64NearDups(spark: SparkSession, dir: String): DataFrame =
+    simhash64NearPairs(simhash64Bits(spark, dir))
 
   /** Embedding near-dup: `bits`-wide sign-LSH bucket → in-bucket cosine
     * ≥ 0.25 (this corpus has no planted vector dups — max cosine ≈ 0.51 —

@@ -106,8 +106,19 @@ object StreamingOps {
         state: GroupState[SessionState]): Iterator[SessionOut] = {
       if (!evs.hasNext && state.hasTimedOut) {
         val st = state.get
-        state.remove()
-        return Iterator.single(
+        // Tombstone, NOT remove(): the per-user session counter must
+        // survive the flush, or the user's next event would restart at
+        // session_id 1 and (user_id, session_id) would stop being unique
+        // over the stream's life — diverging from batch sessionize's
+        // monotonic 1..k numbering. n == 0 marks "no open session"; no
+        // new timeout is armed (EventTimeTimeout clears unless re-set),
+        // so the tombstone sits inert until the user's next event. The
+        // honest cost of the monotonic contract: one small state row per
+        // user ever seen (exactly the information batch sessionize holds).
+        state.update(SessionState(
+          if (st.n == 0L) st.sessionId else st.sessionId + 1, 0L, 0L, 0L))
+        return if (st.n == 0L) Iterator.empty
+        else Iterator.single(
           SessionOut(userId, st.sessionId, st.n, st.startUs, st.lastUs))
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
@@ -116,6 +127,9 @@ object StreamingOps {
         val us = e.ts.getTime * 1000L
         if (st == null) {
           st = SessionState(1L, us, us, 1L)
+        } else if (st.n == 0L) {
+          // resurrect from tombstone: the carried counter numbers this one
+          st = SessionState(st.sessionId, us, us, 1L)
         } else if (us - st.lastUs > gapUs) {
           out += SessionOut(userId, st.sessionId, st.n, st.startUs, st.lastUs)
           st = SessionState(st.sessionId + 1, us, us, 1L)
@@ -127,7 +141,7 @@ object StreamingOps {
             lastUs = math.max(st.lastUs, us), n = st.n + 1)
         }
       }
-      if (st != null) {
+      if (st != null && st.n > 0L) {
         state.update(st)
         // flush the open session once the watermark proves no more events
         // can extend it (setTimeoutTimestamp takes epoch-millis). Clamp
@@ -146,20 +160,64 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  case class DocFp(doc_id: Long, text: String, fp: String)
+
+  /** Restart-safety guard shared by the ingest sinks: restarting WITHOUT a
+    * checkpointLocation resets batchId to 0 while batch=N directories from
+    * the previous run persist; once the new run's batchId passes a stale N,
+    * the old run's output silently mixes into the store as committed data.
+    * Fail fast at start() instead: either pass a checkpointLocation or
+    * start against empty directories.
+    */
+  private def requireCleanStore(spark: SparkSession,
+      options: Map[String, String], dirs: Seq[String]): Unit =
+    if (!options.contains("checkpointLocation")) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      dirs.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        val stale = fs.exists(p) && Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(d, "batch=*"))).exists(_.nonEmpty)
+        require(!stale,
+          s"$d already holds batch=* data but no checkpointLocation was " +
+            "given: a restarted query would reuse batch ids and silently " +
+            "mix the previous run's output into the store — pass " +
+            "options(checkpointLocation) or start with an empty directory")
+      }
+    }
+
   /** Continuous corpus ingestion with exact dedup: fingerprint each doc
-    * (md5, the q21 contract), drop duplicates STATEFULLY across
-    * micro-batches, and append survivors to a parquet corpus directory via
-    * foreachBatch — the streaming twin of exactDedup + writeParquet, and
-    * the front door of the dedup ladder (BASELINE-notes.md: collapse
-    * verbatim copies first). In production add a watermark on an event-time
-    * column so the dedup state is bounded; unbounded here because the test
-    * corpus is finite.
+    * (md5, the q21 contract), keep exactly one survivor per fingerprint
+    * STATEFULLY across micro-batches, and append survivors to a parquet
+    * corpus directory via foreachBatch — the streaming twin of exactDedup +
+    * writeParquet, and the front door of the dedup ladder
+    * (BASELINE-notes.md: collapse verbatim copies first).
+    *
+    * Survivor choice is DETERMINISTIC: within a micro-batch every row of a
+    * fingerprint reaches one stateful group, and the MINIMUM doc_id wins —
+    * the q21 canonical-survivor rule (dropDuplicates would keep an
+    * arbitrary row). Across micro-batches the first-arriving fingerprint
+    * wins by design: an already-landed survivor cannot be un-written by a
+    * later, lower doc_id. Input contract: (doc_id long, text string). In
+    * production add an event-time watermark + state timeout so the dedup
+    * state is bounded; unbounded here because the test corpus is finite.
     */
   def dedupedIngest(docs: DataFrame, path: String,
       options: Map[String, String] = Map.empty)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.withColumn("fp", md5(col("text")))
-      .dropDuplicates("fp")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    requireCleanStore(spark, options, Seq(path))
+    val survivors = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        md5(col("text")).as("fp")).as[DocFp]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[DocFp], seen: GroupState[Boolean]) =>
+          if (seen.exists) Iterator.empty
+          else { seen.update(true); Iterator.single(rows.minBy(_.doc_id)) }
+      }
+    survivors.toDF()
       .writeStream
       // idempotent per-batch landing: a retried micro-batch OVERWRITES its
       // own batch=N directory instead of double-appending; readers see the
@@ -170,6 +228,7 @@ object StreamingOps {
       .outputMode("append")
       .options(options) // pass checkpointLocation here for restartable state
       .start()
+  }
 
   /** Streaming NEAR-dup ingestion: per micro-batch, compute MinHash band
     * buckets for incoming (doc_id, text) docs and drop any doc whose
@@ -181,35 +240,43 @@ object StreamingOps {
     * design (candidate collision = duplicate, no Jaccard verify): the
     * streaming trade — exact verification would need the stored shingle
     * sets; run the batch verifier over the corpus periodically to audit.
+    *
+    * Within-batch drops are deliberately OVER-approximate: the self-join
+    * runs against the bands of ALL batch docs, including ones being
+    * dropped, so a doc whose only collision is with an already-dropped
+    * batchmate is itself dropped even though nothing similar to it lands
+    * in the corpus (band collision is not transitive). A sequential
+    * one-doc-at-a-time ingest would keep such a doc; iterating the drop
+    * to a fixpoint against survivors only would recover it at the cost of
+    * extra join rounds per batch — for an LSH-approximate ingest the
+    * single-round over-drop is the accepted trade.
+    *
+    * Store scale: the accumulated band store is consulted every
+    * micro-batch, so it must not become an ever-growing scan of per-batch
+    * small files (the corpus outlives any one batch by orders of
+    * magnitude). Every `compactEvery` batches the store folds into ONE
+    * bucketed-by-`bucket`, sorted table; the per-batch read then touches
+    * the compacted table (whose hash partitioning already satisfies the
+    * semi-join's distribution — no store-side shuffle) plus only the
+    * < compactEvery per-batch dirs newer than the last compaction
+    * (partition-pruned on `batch`).
     */
   def nearDupIngest(docs: DataFrame, corpusDir: String, bandsDir: String,
-      options: Map[String, String] = Map.empty)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      options: Map[String, String] = Map.empty, compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be >= 2")
+    requireCleanStore(docs.sparkSession, options, Seq(corpusDir, bandsDir))
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val bands = graft.operators.Dedup.bandBucketsFor(batch)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // the store counts as present only when it holds COMMITTED parquet
-        // files: a failed first write can leave the directory existing but
-        // empty, and a bare-existence check would then crash-loop every
-        // retry on schema inference. Beyond that, read failures (e.g. a
-        // corrupt file) must surface — swallowing them would silently
-        // disable cross-batch dedup forever after.
-        val bandsPath = new org.apache.hadoop.fs.Path(bandsDir)
-        val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasData = fs.exists(bandsPath) && Option(fs.globStatus(
-          new org.apache.hadoop.fs.Path(bandsDir, "batch=*/*.parquet")))
-          .exists(_.nonEmpty)
-        val store =
-          if (!hasData)
-            spark.emptyDataFrame.select(lit(0).as("band"), lit("").as("bucket"))
-          else spark.read.parquet(bandsDir)
-            .filter(col("batch") < batchId)
-            .select("band", "bucket")
-        val dupVsStore = bands
-          .join(store, Seq("band", "bucket"), "left_semi")
-          .select("doc_id")
+        // one semi-join per store part (compacted table / recent dirs):
+        // joining a UNION would discard the compacted side's bucketed
+        // partitioning and force a full store shuffle
+        val dupVsStore = bandStoreParts(spark, bandsDir, batchId, compactEvery)
+          .map(s => bands.join(s, Seq("band", "bucket"), "left_semi")
+            .select("doc_id"))
         val dupInBatch = bands.as("x")
           .join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -217,12 +284,17 @@ object StreamingOps {
           .select(col("x.doc_id").as("doc_id"))
         // persisted: the corpus write and the bands write are separate
         // jobs, and without this the store scan + both joins run twice
-        val drop = dupVsStore.union(dupInBatch).distinct()
+        val drop = (dupVsStore :+ dupInBatch).reduce(_.union(_)).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         batch.join(drop, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
         bands.join(drop, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+        // fold the store (now including this batch's bands) into the
+        // bucketed table; runs inside the batch, so a failed compaction
+        // fails the batch and the retry recompacts idempotently
+        if ((batchId + 1) % compactEvery == 0)
+          compactBandStore(spark, bandsDir)
         drop.unpersist()
         bands.unpersist()
         ()
@@ -230,6 +302,70 @@ object StreamingOps {
       .outputMode("append")
       .options(options)
       .start()
+  }
+
+  private[graft] val StoreBuckets = 64
+
+  /** Catalog name of the compacted band store for `bandsDir` (bucket
+    * metadata lives in the catalog; the data stays external under
+    * `bandsDir/_compacted`, an underscore path invisible to the
+    * partitioned per-batch read).
+    */
+  private[graft] def compactedTable(bandsDir: String): String =
+    "graft_bands_" + Integer.toHexString(bandsDir.hashCode)
+
+  /** Fold every committed per-batch band dir into one bucketed + sorted
+    * table. Overwrite = idempotent under retries; the `batch` column is
+    * kept so readers can still apply the `batch < batchId` retry guard.
+    */
+  private[graft] def compactBandStore(spark: SparkSession, bandsDir: String): Unit =
+    graft.sources.Sources.writeBucketed(
+      spark.read.parquet(bandsDir).select("doc_id", "band", "bucket", "batch"),
+      compactedTable(bandsDir), s"$bandsDir/_compacted",
+      StoreBuckets, "bucket", Seq("bucket"))
+
+  /** The committed band store visible to `batchId`, as separate parts so
+    * each keeps its own physical layout in the semi-join: the compacted
+    * bucketed table (batches ≤ compactedThrough — derived arithmetically:
+    * the last compaction ran at the end of batch
+    * `floor(batchId/compactEvery)·compactEvery − 1`) plus the
+    * still-uncompacted per-batch dirs, partition-pruned to
+    * `compactedThrough < batch < batchId`. Duplicate (band, bucket) rows
+    * across parts are harmless — consumers semi-join.
+    */
+  private[graft] def bandStoreParts(spark: SparkSession, bandsDir: String,
+      batchId: Long, compactEvery: Int): Seq[DataFrame] = {
+    val compactedThrough = (batchId / compactEvery) * compactEvery - 1
+    // the store counts as present only when it holds COMMITTED parquet
+    // files: a failed first write can leave the directory existing but
+    // empty, and a bare-existence check would then crash-loop every
+    // retry on schema inference. Beyond that, read failures (e.g. a
+    // corrupt file) must surface — swallowing them would silently
+    // disable cross-batch dedup forever after.
+    val bandsPath = new org.apache.hadoop.fs.Path(bandsDir)
+    val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(bandsPath) && Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(bandsDir, "batch=*/*.parquet")))
+      .exists(_.nonEmpty)
+    val recent =
+      if (!hasData) None
+      else Some(spark.read.parquet(bandsDir)
+        .filter(col("batch") > compactedThrough && col("batch") < batchId)
+        .select("band", "bucket"))
+    val compacted =
+      if (compactedThrough < 0) None
+      else {
+        // a restart with a fresh session loses the in-memory catalog entry
+        // while the data files persist — recompact (idempotent) to restore
+        // the bucketed table rather than reading the path un-bucketed
+        if (!spark.catalog.tableExists(compactedTable(bandsDir)))
+          compactBandStore(spark, bandsDir)
+        Some(spark.table(compactedTable(bandsDir))
+          .filter(col("batch") < batchId)
+          .select("band", "bucket"))
+      }
+    compacted.toSeq ++ recent.toSeq
+  }
 
   /** Drain a streaming DataFrame into a named in-memory table and return it
     * (test helper: parquet-backed batch drives the streaming query

@@ -158,6 +158,115 @@ class DedupSpec extends AnyFunSuite {
     assert(at6 === at12, "raising the LSH width must not change planted pairs")
   }
 
+  test("maxShingleDf: boilerplate candidates drop, planted recall + output unchanged") {
+    // every doc carries the same boilerplate tail (license-header analogue):
+    // uncapped, its shingles make EVERY doc pair a candidate; capped at 3,
+    // they vanish from candidate generation while verification (full sets)
+    // keeps the output identical
+    val bp = "copyright license reserved header standard footer legal"
+    val base = ("spark table scan filter join group order sort merge hash " +
+      "key value row column batch stream query plan stage task core node " +
+      "disk memory cache block page index race lock queue").trim
+    val near = base.replace("batch", "fast") // 1 of 30 tokens differs
+    def uniq(i: Int) = s"wholly distinct document number id$i holding words " +
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+    val docs = (Seq(0L -> s"$base $bp", 1L -> s"$near $bp") ++
+      (2 to 12).map(i => i.toLong -> s"${uniq(i)} $bp")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cap = Some(3L)
+
+    val mhFull = Dedup.minhashNearDups(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val mhCap = Dedup.minhashNearDups(spark, dir, cap)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(mhFull.exists(p => p._1 == 0L && p._2 == 1L), "planted pair uncapped")
+    assert(mhCap === mhFull, "cap must not change minhash output here")
+
+    val ngFull = Dedup.ngramJaccardDups(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ngCap = Dedup.ngramJaccardDups(spark, dir, cap)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ngFull.exists(p => p._1 == 0L && p._2 == 1L), "planted pair uncapped")
+    assert(ngCap === ngFull, "cap must not change ngram output here")
+
+    // the skew claim itself: candidate pairs (shared-shingle form) collapse
+    // from all-pairs to content-driven pairs once the df cap drops the
+    // boilerplate shingles
+    def candPairs(sh: org.apache.spark.sql.DataFrame): Long = sh.as("x")
+      .join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    val full = candPairs(Dedup.shingles(spark, dir))
+    val capped = candPairs(Dedup.cappedShingles(spark, dir, 3L))
+    val n = 13L
+    assert(full === n * (n - 1) / 2, "boilerplate makes every pair a candidate")
+    assert(capped < full / 10, s"cap must collapse the hot bucket ($capped vs $full)")
+  }
+
+  test("maxShingleDf preserves high-jaccard recall on the corpus") {
+    val exhaustive = Dedup.ngramJaccardDups(spark, sf)
+      .filter($"inter" * 10 >= $"uni" * 9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exhaustive.nonEmpty)
+    val capped = Dedup.minhashNearDups(spark, sf, Some(50L))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exhaustive.subsetOf(capped),
+      s"df cap lost planted pairs: ${exhaustive -- capped}")
+  }
+
+  test("simhash64NearPairs: planted hamming pairs found, far pairs skipped") {
+    val lo = java.lang.Long.parseLong("12345678", 16)
+    val hi = java.lang.Long.parseLong("9ABCDEF0", 16)
+    val sigs = Seq(
+      (1L, lo, hi),
+      (2L, lo ^ 1L, hi),                              // hamming 1 (bit 0)
+      (3L, ~lo & 0xFFFFFFFFL, ~hi & 0xFFFFFFFFL),     // hamming 64
+      // hamming 3 across bits 31, 32, 48 — bands 1,2,3 differ, band 0 intact
+      (4L, lo ^ (1L << 31), hi ^ 1L ^ (1L << 16)))
+      .toDF("doc_id", "sh_lo", "sh_hi")
+    val got = Dedup.simhash64NearPairs(sigs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 1L)), "hamming-1 pair must be found")
+    assert(got.contains((1L, 4L, 3L)), "hamming-3 pair agrees on band 0 — must be found")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "hamming-64 doc must not pair")
+
+    // maxHamming=4 → 5 uneven bands; band [25,38) straddles the half
+    // boundary and is the only agreeing band for logical-bit diffs 5,14,40,52
+    val s2 = Seq(
+      (1L, lo, hi),
+      (2L, lo ^ (1L << 5) ^ (1L << 14), hi ^ (1L << 8) ^ (1L << 20)))
+      .toDF("doc_id", "sh_lo", "sh_hi")
+    val straddle = Dedup.simhash64NearPairs(s2, maxHamming = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(straddle === Set((1L, 2L, 4L)),
+      "straddling band must stitch its key from both halves")
+  }
+
+  test("simhash64 pairs equal brute-force hamming<=3 at sf (full recall)") {
+    val sigs = Dedup.simhash64Bits(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      i <- sigs.indices.iterator; j <- (i + 1) until sigs.length
+      a = sigs(i); b = sigs(j)
+      h = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= 3
+    } yield if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)).toSet
+    val got = Dedup.simhash64NearDups(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === brute, "pigeonhole banding + exact verify = exact hamming ball")
+  }
+
+  test("empty corpus: dedup ladder returns empty, no NPE in the cost probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Dedup.exactDedup(spark, dir).count() === 0)
+    assert(Dedup.minhashNearDups(spark, dir).count() === 0)
+    assert(Dedup.ngramJaccardDups(spark, dir).count() === 0)
+    assert(Dedup.dupClusters(spark, dir).count() === 0)
+  }
+
   test("simhash: near-identical docs collide, disjoint docs don't (fixture)") {
     val planted = Dedup.minhashNearDups(spark, sf)
       .filter($"inter" * 100 >= $"uni" * 97).select("doc_a", "doc_b")

@@ -71,6 +71,83 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeStreaming keeps session ids monotonic across timeout flushes") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.EvT
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val gapUs = 30L * 60 * 1000 * 1000 // 30 min
+    val input = MemoryStream[EvT]
+    val q = StreamingOps.sessionizeStreaming(input.toDS(), gapUs)
+      .writeStream.format("memory").queryName("inc_sess_mono")
+      .outputMode("append").start()
+    try {
+      // session 1 for user 1, flushed by timeout when user 2 moves the watermark
+      input.addData(EvT(1L, t("10:00:00"), 1.0), EvT(1L, t("10:05:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(EvT(2L, t("12:00:00"), 1.0))
+      q.processAllAvailable()
+      // post-flush event for the SAME user: the counter must carry over,
+      // not restart at 1 (the state.remove() regression this test pins)
+      input.addData(EvT(1L, t("12:30:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(EvT(2L, t("15:00:00"), 1.0))
+      q.processAllAvailable()
+      val u1 = spark.table("inc_sess_mono").as[StreamingOps.SessionOut]
+        .filter(_.user_id == 1L).collect().sortBy(_.session_id)
+      assert(u1.map(_.session_id).toSeq === Seq(1L, 2L),
+        s"expected monotonic session ids 1,2; got ${u1.mkString(", ")}")
+      assert(u1(1).start_us === t("12:30:00").getTime * 1000)
+    } finally q.stop()
+  }
+
+  test("dedupedIngest survivor is the minimum doc_id within a micro-batch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_min")
+      .resolve("corpus").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.dedupedIngest(
+      input.toDS().toDF("doc_id", "text"), out)
+    try {
+      // doc 5 arrives before doc 3 with the same text: q21's canonical rule
+      // (min doc_id) must pick 3, not whichever row dropDuplicates saw first
+      input.addData((5L, "x"), (3L, "x"), (9L, "y"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+        .toSeq === Seq(3L, 9L))
+      // cross-batch: first-arriving fingerprint wins BY DESIGN — a later,
+      // lower doc_id cannot un-land the already-written survivor
+      input.addData((1L, "x"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+        .toSeq === Seq(3L, 9L))
+    } finally q.stop()
+  }
+
+  test("ingest without checkpointLocation fails fast on stale batch dirs") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stale").toString
+    assert(new java.io.File(s"$tmp/corpus/batch=0").mkdirs())
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDS().toDF("doc_id", "text")
+    // restarting without a checkpoint would reuse batch ids over the stale
+    // dir — both ingests must refuse rather than corrupt the store
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.dedupedIngest(docs, s"$tmp/corpus")
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.nearDupIngest(
+        docs, s"$tmp/other", s"$tmp/corpus")
+    }
+    // with a checkpointLocation the same dirs are legal (restart semantics)
+    val q = graft.streaming.StreamingOps.dedupedIngest(docs, s"$tmp/corpus",
+      Map("checkpointLocation" -> s"$tmp/ckpt"))
+    try { input.addData((1L, "a")); q.processAllAvailable() } finally q.stop()
+  }
+
   test("dedupedIngest appends only first-seen docs to the parquet corpus") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -113,6 +190,63 @@ class StreamingIncrementalSpec extends AnyFunSuite {
       assert(kept.toSeq === Seq(10L, 11L, 13L),
         "within-batch copy (14), cross-batch near-dup (12) must be dropped")
     } finally q.stop()
+  }
+
+  test("nearDupIngest compacts the band store; reads prune to post-compaction batches") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    val (corpus, bands) = (s"$tmp/corpus", s"$tmp/bands")
+    val base = "spark table scan filter join group order sort merge hash key value row column batch stream"
+    def uniq(i: Int) = s"wholly distinct document number id$i holding words alpha$i beta$i gamma$i delta$i epsilon$i"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.nearDupIngest(
+      input.toDS().toDF("doc_id", "text"), corpus, bands, compactEvery = 2)
+    try {
+      input.addData((10L, base), (11L, uniq(1))); q.processAllAvailable() // batch 0
+      input.addData((12L, uniq(2))); q.processAllAvailable()             // batch 1 → compact
+      input.addData((13L, uniq(3))); q.processAllAvailable()             // batch 2
+      // batch 3: near-dup of batch-0's base — its bands now live ONLY in
+      // the compacted table at this read (compactedThrough = 1), so the
+      // drop proves the compacted path preserves cross-batch dedup
+      input.addData((14L, base.replace("batch", "fast"))); q.processAllAvailable()
+      val kept = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(10L, 11L, 12L, 13L),
+        "near-dup vs compacted store must be dropped; uniques kept")
+
+      val tbl = StreamingOps.compactedTable(bands)
+      assert(spark.catalog.tableExists(tbl), "compaction must register the bucketed table")
+      // store parts shaped as a batch-3 read: compacted table + per-batch
+      // dirs pruned to compactedThrough < batch < 3 — the read never
+      // rescans already-compacted per-batch dirs. (By now the end-of-batch-3
+      // compaction has folded batch 2 in too, so the table holds docs
+      // 10–13; the batch < 3 retry guard is what the count exercises.)
+      val parts = StreamingOps.bandStoreParts(spark, bands, 3L, 2)
+      assert(parts.size === 2)
+      val bandsPerDoc = graft.operators.Dedup.MinhashBands
+      assert(parts(0).count() === 4L * bandsPerDoc, "compacted: docs 10,11,12,13")
+      assert(parts(1).count() === 1L * bandsPerDoc, "recent: batch 2 (doc 13) only")
+      val recentPlan = parts(1).queryExecution.executedPlan.toString
+      assert(recentPlan.contains("PartitionFilters"),
+        s"batch pruning must be partition-level, got:\n$recentPlan")
+
+      // the compacted table is physically bucketed on the join key: an
+      // equality probe reads 1 of StoreBuckets bucket files
+      val autoBefore = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      try {
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val oneBucket = spark.table(tbl).select("bucket").as[String].head()
+        val probe = spark.table(tbl).filter($"bucket" === oneBucket)
+        val plan = probe.queryExecution.executedPlan.toString
+        assert(plan.contains(s"SelectedBucketsCount: 1 out of ${StreamingOps.StoreBuckets}"),
+          s"expected bucket-pruned store probe, got:\n$plan")
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", autoBefore)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS ${StreamingOps.compactedTable(bands)}")
+    }
   }
 
   test("windowed aggregation accumulates counts across micro-batches") {
