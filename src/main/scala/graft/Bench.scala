@@ -38,20 +38,38 @@ object Bench {
     // deterministic name order; a failed query reports -1 (not its wall
     // time) so breakage can never masquerade as a speedup; failure count is
     // surfaced in the JSON
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+    def onePass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // STEADY-STATE protocol: run the whole suite `passes` times in ONE
+    // session and report the LAST pass as the headline numbers. A single
+    // cold pass conflates per-query work with JIT/codegen compilation and
+    // first-touch cache fills, which made untouched queries drift up to
+    // ~3× between rounds; the warm pass is reproducible run-to-run. The
+    // cold pass is kept in "queries_cold" so the warm-vs-cold gap stays
+    // observable.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    def fmt(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val all = (1 to passes).map { i =>
+      // later passes re-do real per-query work (cluster labels are a
+      // memoized RESULT, not an index) but keep index-like caches warm
+      if (i > 1) Caches.clearResultMemos(spark)
+      onePass()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val cold = all.head
+    val results = all.last
     val failures = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"warmup_sec":$warmup,"warmup_failures":$warmupFailures,"sf":"$sfDir"}""")
+    val coldTotal = cold.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"failures":$failures,"warmup_sec":$warmup,"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":$coldTotal,"queries_cold":${fmt(cold)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,6 +25,20 @@ object Caches {
     org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(df)
   }
 
+  /** Evict memoized RESULT relations (the converged cluster labels) while
+    * keeping the building-block caches (shingles, signatures, fingerprints,
+    * token hub) warm. Bench steady-state passes call this between passes:
+    * replaying a memoized final result would measure a cache hit, not the
+    * query — but an engine deployment legitimately keeps its index-like
+    * relations resident, so those stay.
+    */
+  def clearResultMemos(spark: SparkSession): Unit = {
+    val prefix = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#"
+    operators.Dedup.clusterCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      operators.Dedup.clusterCache.remove(k).foreach(free)
+    }
+  }
+
   def clear(spark: SparkSession): Unit = {
     val prefix = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#"
     maps.foreach { m =>

@@ -75,6 +75,24 @@ object Sources {
     ws.option("path", path).saveAsTable(table)
   }
 
+  /** Format-pluggable sink passthrough: the write side is one
+    * DataSource-API call, so the sink choice is a string. The reference's
+    * MongoDB bulk sinks (main.go:164,174,238) are exactly
+    * `writeFormat(df, "mongodb", options = Map("collection" -> …))` with
+    * the connector jar on the classpath — absent from this container, so
+    * the test exercises the identical code path through built-in formats
+    * (orc/json/parquet). Everything upstream of the write is
+    * sink-agnostic; formats that need no path (JDBC-like) pass their
+    * target through `options` and `path = null` is not supported — use
+    * writeJdbc for those.
+    */
+  def writeFormat(df: DataFrame, format: String, path: String,
+      options: Map[String, String] = Map.empty,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.format(format).options(options).mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

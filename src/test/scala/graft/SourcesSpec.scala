@@ -58,6 +58,25 @@ class SourcesSpec extends AnyFunSuite {
       plan.toLowerCase.contains("pushed"))
   }
 
+  test("writeFormat is sink-pluggable: same rows through orc/json/parquet") {
+    // the connector-sink shape: one format string switches the sink; a
+    // mongodb/elasticsearch connector jar would slot in the same way
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"lang", $"text").limit(30)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    Seq("orc", "json", "parquet").foreach { fmt =>
+      Sources.writeFormat(docs, fmt, s"$tmp/$fmt")
+      val back = spark.read.schema(docs.schema).format(fmt).load(s"$tmp/$fmt")
+      assert(back.count() === 30, s"$fmt row count")
+      assert(back.exceptAll(docs).count() === 0, s"$fmt contents")
+    }
+    // partition columns pass through to directory layout
+    Sources.writeFormat(docs, "parquet", s"$tmp/bylang",
+      partitionCols = Seq("lang"))
+    assert(spark.read.parquet(s"$tmp/bylang").filter($"lang" === "en").count()
+      === docs.filter($"lang" === "en").count())
+  }
+
   test("word-list text source lowercases like the reference dictionary load") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_words")
     java.nio.file.Files.writeString(tmp.resolve("en.txt"), "Alpha\nBETA\ngamma\n")
