@@ -443,6 +443,22 @@ object Dedup {
           .as("kept"))
       .orderBy("doc_id")
 
+  /** Per-distinct-token hash bits, packed: nibble j of md5(token) maps
+    * LSB-first to signature bits 4j..4j+3, so `nibbles` consecutive md5
+    * hex chars, reversed, ARE the packed little-endian value — one conv()
+    * per token instead of per-bit substring/strpos chains. Evaluated on
+    * the distinct-token relation (vocabulary-sized, Zipf ≪ corpus-sized)
+    * and broadcast back onto the counts: the per-row aggregate work drops
+    * from `bits` md5+substring+instr chains to `bits` shift/masks on a
+    * long, and md5 runs |vocab| times, not |rows|·bits.
+    */
+  private def tokenHashBits(counts: DataFrame,
+      cols: (String, Int, Int)*): DataFrame =
+    cols.foldLeft(counts.select("token").distinct()) {
+      case (df, (name, startNibble, nibbles)) => df.withColumn(name, expr(
+        s"cast(conv(reverse(substring(md5(token), ${startNibble + 1}, $nibbles)), 16, 10) as bigint)"))
+    }
+
   /** `bits`-wide SimHash per doc, weighted by token frequency. Bit b
     * (nibble j=b/4 of md5(token), intra-nibble bit k=b%4, LSB-first)
     * accumulates qty·(±1); the signature sets bit b iff the accumulated
@@ -450,16 +466,19 @@ object Dedup {
     * up to 62 (staying clear of the long sign bit) needs no second hash.
     */
   def simhashBits(spark: SparkSession, dir: String, bits: Int): DataFrame = {
-    require(bits >= 1 && bits <= 62, "bits must fit a non-negative long")
-    val sums = (0 until bits).map { b =>
-      val j = b / 4; val k = b % 4
-      val nib = s"(instr('0123456789abcdef', substring(md5(token), ${j + 1}, 1)) - 1)"
-      expr(s"sum(qty * (2 * (($nib div ${1 << k}) % 2) - 1))").as(s"s$b")
-    }
+    // 60, not 62: the packed per-token bits round up to whole nibbles, and
+    // 16 nibbles could overflow the signed long conv() lands in; 15 nibbles
+    // (60 bits) cannot. Wider signatures go through simhash64Bits.
+    require(bits >= 1 && bits <= 60, "bits must fit 15 md5 nibbles; use simhash64Bits for 64")
+    val counts = TokenPipeline.docTokenCounts(spark, dir)
+    val nibbles = (bits + 3) / 4
+    val sums = (0 until bits).map(b =>
+      expr(s"sum(qty * (2 * ((tbits div ${1L << b}) % 2) - 1))").as(s"s$b"))
     val sig = (0 until bits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    TokenPipeline.docTokenCounts(spark, dir)
+    counts
+      .join(broadcast(tokenHashBits(counts, ("tbits", 0, nibbles))), "token")
       .groupBy("doc_id").agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), sig.cast("long").as("simhash"))
     // NO orderBy here: this is a building block (groups, banding) — a sort
@@ -543,15 +562,18 @@ object Dedup {
     * nibbles 0..15 of md5's 32, so no second hash is needed.
     */
   def simhash64Bits(spark: SparkSession, dir: String): DataFrame = {
+    val counts = TokenPipeline.docTokenCounts(spark, dir)
+    // two packed 32-bit halves per distinct token (md5 nibbles 0–7 and
+    // 8–15), broadcast onto the counts — see tokenHashBits
+    val tokBits = tokenHashBits(counts, ("t_lo", 0, 8), ("t_hi", 8, 8))
     val sums = (0 until 64).map { b =>
-      val j = b / 4; val k = b % 4
-      val nib = s"(instr('0123456789abcdef', substring(md5(token), ${j + 1}, 1)) - 1)"
-      expr(s"sum(qty * (2 * (($nib div ${1 << k}) % 2) - 1))").as(s"s$b")
+      val (c, k) = if (b < 32) ("t_lo", b) else ("t_hi", b - 32)
+      expr(s"sum(qty * (2 * (($c div ${1L << k}) % 2) - 1))").as(s"s$b")
     }
     def half(off: Int) = (0 until 32)
       .map(b => when(col(s"s${off + b}") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    TokenPipeline.docTokenCounts(spark, dir)
+    counts.join(broadcast(tokBits), "token")
       .groupBy("doc_id").agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), half(0).cast("long").as("sh_lo"),
         half(32).cast("long").as("sh_hi"))
