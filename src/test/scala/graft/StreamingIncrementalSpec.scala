@@ -215,6 +215,14 @@ class StreamingIncrementalSpec extends AnyFunSuite {
       assert(kept.toSeq === Seq(10L, 11L, 12L, 13L),
         "near-dup vs compacted store must be dropped; uniques kept")
 
+      // the periodic batch audit the scaladoc prescribes: the landed corpus,
+      // re-checked with the exact batch verifier, contains no near-dups
+      val audit = s"$tmp/audit"
+      spark.read.parquet(corpus).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$audit/documents.parquet")
+      assert(graft.operators.Dedup.minhashNearDups(spark, audit).count() === 0,
+        "streamed corpus must pass the batch near-dup audit")
+
       val tbl = StreamingOps.compactedTable(bands)
       assert(spark.catalog.tableExists(tbl), "compaction must register the bucketed table")
       // store parts shaped as a batch-3 read: compacted table + per-batch
