@@ -114,22 +114,33 @@ object OracleSql {
   private def dotExpr(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
-  /** `bits`-wide SimHash CTE builder, mirroring Dedup.simhashBits. */
-  private def simhashCte(bits: Int): String = {
-    val sums = (0 until bits).map { b =>
+  /** Per-bit weighted SUM columns s0..s{bits-1}, mirroring
+    * Dedup.simhashBits' construction (md5 nibble b/4, intra-nibble bit
+    * b%4) — the ONE definition both the single-long and two-long SimHash
+    * oracles generate from.
+    */
+  private def simhashSumsSql(bits: Int): String =
+    (0 until bits).map { b =>
       val j = b / 4; val k = b % 4
       val nib = s"(strpos('0123456789abcdef', substring(md5(token), ${j + 1}, 1)) - 1)"
       s"SUM(qty * (2 * (($nib // ${1 << k}) % 2) - 1)) AS s$b"
     }.mkString(",\n         ")
-    val combine = (0 until bits)
-      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+
+  /** Sign-combine of `width` sum columns starting at s{from} into packed
+    * bits 0..width-1.
+    */
+  private def simhashCombineSql(from: Int, width: Int): String =
+    (0 until width)
+      .map(b => s"(CASE WHEN s${from + b} > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
+
+  /** `bits`-wide SimHash CTE builder, mirroring Dedup.simhashBits. */
+  private def simhashCte(bits: Int): String =
     s"""sums AS (
        |  SELECT doc_id,
-       |         $sums
+       |         ${simhashSumsSql(bits)}
        |  FROM kept GROUP BY doc_id),
-       |sh AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM sums)""".stripMargin
-  }
+       |sh AS (SELECT doc_id, CAST(${simhashCombineSql(0, bits)} AS BIGINT) AS simhash FROM sums)""".stripMargin
 
   val SimhashCte: String = simhashCte(16)
 
@@ -660,14 +671,8 @@ object OracleSql {
     * from the low half, 2–3 from the high half).
     */
   private val Simhash64BandsSql: String = {
-    val sums = (0 until 64).map { b =>
-      val j = b / 4; val k = b % 4
-      val nib = s"(strpos('0123456789abcdef', substring(md5(token), ${j + 1}, 1)) - 1)"
-      s"SUM(qty * (2 * (($nib // ${1 << k}) % 2) - 1)) AS s$b"
-    }.mkString(",\n         ")
-    def half(off: Int) = (0 until 32)
-      .map(b => s"(CASE WHEN s${off + b} > 0 THEN ${1L << b} ELSE 0 END)")
-      .mkString(" + ")
+    val sums = simhashSumsSql(64)
+    def half(off: Int) = simhashCombineSql(off, 32)
     val keys = Seq(
       "sh_lo % 65536", "(sh_lo // 65536) % 65536",
       "sh_hi % 65536", "(sh_hi // 65536) % 65536")

@@ -448,9 +448,12 @@ object Dedup {
     * hex chars, reversed, ARE the packed little-endian value — one conv()
     * per token instead of per-bit substring/strpos chains. Evaluated on
     * the distinct-token relation (vocabulary-sized, Zipf ≪ corpus-sized)
-    * and broadcast back onto the counts: the per-row aggregate work drops
+    * and joined back onto the counts: the per-row aggregate work drops
     * from `bits` md5+substring+instr chains to `bits` shift/masks on a
-    * long, and md5 runs |vocab| times, not |rows|·bits.
+    * long, and md5 runs |vocab| times, not |rows|·bits. No broadcast
+    * hint: AQE broadcasts when the vocabulary is actually small, while a
+    * forced broadcast of a web-scale vocabulary (Zipf bounds token
+    * frequency, not vocabulary size) would OOM the driver.
     */
   private def tokenHashBits(counts: DataFrame,
       cols: (String, Int, Int)*): DataFrame =
@@ -478,7 +481,7 @@ object Dedup {
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     counts
-      .join(broadcast(tokenHashBits(counts, ("tbits", 0, nibbles))), "token")
+      .join(tokenHashBits(counts, ("tbits", 0, nibbles)), "token")
       .groupBy("doc_id").agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), sig.cast("long").as("simhash"))
     // NO orderBy here: this is a building block (groups, banding) — a sort
@@ -573,7 +576,7 @@ object Dedup {
     def half(off: Int) = (0 until 32)
       .map(b => when(col(s"s${off + b}") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    counts.join(broadcast(tokBits), "token")
+    counts.join(tokBits, "token")
       .groupBy("doc_id").agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), half(0).cast("long").as("sh_lo"),
         half(32).cast("long").as("sh_hi"))

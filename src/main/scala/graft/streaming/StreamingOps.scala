@@ -170,21 +170,35 @@ object StreamingOps {
     * start against empty directories.
     */
   private def requireCleanStore(spark: SparkSession,
-      options: Map[String, String], dirs: Seq[String]): Unit =
-    if (!options.contains("checkpointLocation")) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      dirs.foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        val fs = p.getFileSystem(conf)
-        val stale = fs.exists(p) && Option(fs.globStatus(
-          new org.apache.hadoop.fs.Path(d, "batch=*"))).exists(_.nonEmpty)
-        require(!stale,
-          s"$d already holds batch=* data but no checkpointLocation was " +
-            "given: a restarted query would reuse batch ids and silently " +
-            "mix the previous run's output into the store — pass " +
-            "options(checkpointLocation) or start with an empty directory")
-      }
+      options: Map[String, String], dirs: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def staleData(d: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      fs.exists(p) && (
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(d, "batch=*")))
+          .exists(_.nonEmpty) ||
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(d, "_compacted_*")))
+          .exists(_.nonEmpty) ||
+        fs.exists(new org.apache.hadoop.fs.Path(d, FoldMarker)))
     }
+    // a checkpoint only protects against batch-id reuse when it actually
+    // carries committed offsets: a fresh (or wiped) checkpoint restarts
+    // batchId at 0 exactly like no checkpoint at all
+    val resuming = options.get("checkpointLocation").exists { ckpt =>
+      val off = new org.apache.hadoop.fs.Path(ckpt, "offsets")
+      val fs = off.getFileSystem(conf)
+      fs.exists(off) && Option(fs.listStatus(off)).exists(_.nonEmpty)
+    }
+    if (!resuming) dirs.foreach { d =>
+      require(!staleData(d),
+        s"$d already holds store data but the query is not resuming from " +
+          "a committed checkpoint: batch ids would restart at 0 and " +
+          "silently mix the previous run's output into the store — resume " +
+          "with the original checkpointLocation or start with empty " +
+          "directories")
+    }
+  }
 
   /** Continuous corpus ingestion with exact dedup: fingerprint each doc
     * (md5, the q21 contract), keep exactly one survivor per fingerprint
@@ -208,6 +222,12 @@ object StreamingOps {
     val spark = docs.sparkSession
     import spark.implicits._
     requireCleanStore(spark, options, Seq(path))
+    // fail loudly rather than silently narrow: the landed corpus is
+    // exactly (doc_id, text, fp) — callers carrying metadata columns must
+    // project (and re-join on doc_id downstream), not lose them
+    require(docs.columns.toSet == Set("doc_id", "text"),
+      s"dedupedIngest lands exactly (doc_id, text, fp); project the input " +
+        s"to (doc_id, text) first — got (${docs.columns.mkString(", ")})")
     val survivors = docs
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         md5(col("text")).as("fp")).as[DocFp]
@@ -254,12 +274,17 @@ object StreamingOps {
     * Store scale: the accumulated band store is consulted every
     * micro-batch, so it must not become an ever-growing scan of per-batch
     * small files (the corpus outlives any one batch by orders of
-    * magnitude). Every `compactEvery` batches the store folds into ONE
-    * bucketed-by-`bucket`, sorted table; the per-batch read then touches
-    * the compacted table (whose hash partitioning already satisfies the
-    * semi-join's distribution — no store-side shuffle) plus only the
-    * < compactEvery per-batch dirs newer than the last compaction
-    * (partition-pruned on `batch`).
+    * magnitude). Once ≥ `compactEvery` uncompacted batches pile up — and,
+    * LSM-style, only once they also exceed half the compacted store, so
+    * total fold I/O stays amortized O(rows) however long the stream
+    * lives — the store folds into ONE bucketed-by-`bucket`, sorted,
+    * versioned dir and the folded per-batch dirs are deleted: the
+    * per-batch read touches the compacted store (whose hash partitioning
+    * already satisfies the semi-join's distribution — no store-side
+    * shuffle) plus a bounded set of recent per-batch dirs, and directory
+    * listings stay bounded too. Coverage is tracked in a marker file, not
+    * derived from the cadence, so restarts with a different `compactEvery`
+    * stay correct.
     */
   def nearDupIngest(docs: DataFrame, corpusDir: String, bandsDir: String,
       options: Map[String, String] = Map.empty, compactEvery: Int = 8)
@@ -274,7 +299,7 @@ object StreamingOps {
         // one semi-join per store part (compacted table / recent dirs):
         // joining a UNION would discard the compacted side's bucketed
         // partitioning and force a full store shuffle
-        val dupVsStore = bandStoreParts(spark, bandsDir, batchId, compactEvery)
+        val dupVsStore = bandStoreParts(spark, bandsDir, batchId)
           .map(s => bands.join(s, Seq("band", "bucket"), "left_semi")
             .select("doc_id"))
         val dupInBatch = bands.as("x")
@@ -290,10 +315,13 @@ object StreamingOps {
           .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
         bands.join(drop, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
-        // fold the store (now including this batch's bands) into the
-        // bucketed table; runs inside the batch, so a failed compaction
-        // fails the batch and the retry recompacts idempotently
-        if ((batchId + 1) % compactEvery == 0)
+        // fold the store (now including this batch's bands) once enough
+        // uncompacted batches accumulate — geometric: also wait until
+        // they rival half the compacted store, bounding total fold I/O.
+        // Runs inside the batch, so a failed fold fails the batch and
+        // the retry refolds idempotently
+        val through = compactedThroughOf(spark, bandsDir)
+        if (batchId - through >= math.max(compactEvery.toLong, (through + 1) / 2))
           compactBandStore(spark, bandsDir)
         drop.unpersist()
         bands.unpersist()
@@ -305,64 +333,118 @@ object StreamingOps {
   }
 
   private[graft] val StoreBuckets = 64
+  private[graft] val FoldMarker = "_fold_marker"
 
-  /** Catalog name of the compacted band store for `bandsDir` (bucket
-    * metadata lives in the catalog; the data stays external under
-    * `bandsDir/_compacted`, an underscore path invisible to the
-    * partitioned per-batch read).
+  /** Catalog name of the compacted band store for `bandsDir`: md5 of the
+    * normalized path, so distinct stores can never collide on a 32-bit
+    * hashCode and `dir` vs `dir/` resolve to one table. Bucket metadata
+    * lives in the catalog; the data stays external under
+    * `bandsDir/_compacted_<through>`, an underscore path invisible to the
+    * partitioned per-batch read.
     */
-  private[graft] def compactedTable(bandsDir: String): String =
-    "graft_bands_" + Integer.toHexString(bandsDir.hashCode)
+  private[graft] def compactedTable(bandsDir: String): String = {
+    val canonical = new org.apache.hadoop.fs.Path(bandsDir).toString
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+    "graft_bands_" + d.map("%02x".format(_)).mkString
+  }
 
-  /** Fold every committed per-batch band dir into one bucketed + sorted
-    * table. Overwrite = idempotent under retries; the `batch` column is
-    * kept so readers can still apply the `batch < batchId` retry guard.
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest batch id folded into the compacted store, from the marker
+    * file — NOT derived from the compaction cadence, so restarts with a
+    * different `compactEvery` (or none) read exactly the right coverage.
+    * −1 = never compacted.
     */
-  private[graft] def compactBandStore(spark: SparkSession, bandsDir: String): Unit =
-    graft.sources.Sources.writeBucketed(
-      spark.read.parquet(bandsDir).select("doc_id", "band", "bucket", "batch"),
-      compactedTable(bandsDir), s"$bandsDir/_compacted",
-      StoreBuckets, "bucket", Seq("bucket"))
+  private[graft] def compactedThroughOf(spark: SparkSession, bandsDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(bandsDir, FoldMarker)
+    val fs = fsOf(spark, bandsDir)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Fold the uncompacted per-batch band dirs plus the previous compacted
+    * version into a NEW versioned bucketed+sorted dir, flip the marker,
+    * then delete the folded inputs. Ordering makes every crash window
+    * safe: before the marker flip the old version + dirs are intact (a
+    * retry refolds the same inputs into the same target, overwrite);
+    * after the flip, leftover folded inputs are excluded by the
+    * `batch > through` read filter and swept on the next fold. The
+    * `batch` column is kept so readers can apply the `batch < batchId`
+    * retry guard.
+    */
+  private[graft] def compactBandStore(spark: SparkSession, bandsDir: String): Unit = {
+    val fs = fsOf(spark, bandsDir)
+    val dirs = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(bandsDir, "batch=*"))).getOrElse(Array.empty)
+    def batchOf(s: org.apache.hadoop.fs.FileStatus): Long =
+      s.getPath.getName.stripPrefix("batch=").toLong
+    val prevThrough = compactedThroughOf(spark, bandsDir)
+    val freshIds = dirs.map(batchOf).filter(_ > prevThrough)
+    if (freshIds.isEmpty) return
+    val through = freshIds.max
+    val cols = Seq("doc_id", "band", "bucket", "batch")
+    val fresh = spark.read.parquet(bandsDir)
+      .filter(col("batch") > prevThrough)
+      .select(cols.head, cols.tail: _*)
+    val folded =
+      if (prevThrough < 0) fresh
+      else fresh.unionByName(
+        spark.read.parquet(s"$bandsDir/_compacted_$prevThrough")
+          .select(cols.head, cols.tail: _*))
+    graft.sources.Sources.writeBucketed(folded, compactedTable(bandsDir),
+      s"$bandsDir/_compacted_$through", StoreBuckets, "bucket", Seq("bucket"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(bandsDir, FoldMarker), true)
+    try out.write(through.toString.getBytes("UTF-8")) finally out.close()
+    dirs.filter(batchOf(_) <= through).foreach(s => fs.delete(s.getPath, true))
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(bandsDir, "_compacted_*")))
+      .getOrElse(Array.empty)
+      .filter(_.getPath.getName != s"_compacted_$through")
+      .foreach(s => fs.delete(s.getPath, true))
+  }
 
   /** The committed band store visible to `batchId`, as separate parts so
     * each keeps its own physical layout in the semi-join: the compacted
-    * bucketed table (batches ≤ compactedThrough — derived arithmetically:
-    * the last compaction ran at the end of batch
-    * `floor(batchId/compactEvery)·compactEvery − 1`) plus the
-    * still-uncompacted per-batch dirs, partition-pruned to
-    * `compactedThrough < batch < batchId`. Duplicate (band, bucket) rows
-    * across parts are harmless — consumers semi-join.
+    * bucketed store (batches ≤ marker) plus the still-uncompacted
+    * per-batch dirs, partition-pruned to `marker < batch < batchId`.
+    * Duplicate (band, bucket) rows across parts are harmless — consumers
+    * semi-join.
     */
   private[graft] def bandStoreParts(spark: SparkSession, bandsDir: String,
-      batchId: Long, compactEvery: Int): Seq[DataFrame] = {
-    val compactedThrough = (batchId / compactEvery) * compactEvery - 1
-    // the store counts as present only when it holds COMMITTED parquet
-    // files: a failed first write can leave the directory existing but
-    // empty, and a bare-existence check would then crash-loop every
+      batchId: Long): Seq[DataFrame] = {
+    val through = compactedThroughOf(spark, bandsDir)
+    // the per-batch store counts as present only when it holds COMMITTED
+    // parquet files: a failed first write can leave the directory existing
+    // but empty, and a bare-existence check would then crash-loop every
     // retry on schema inference. Beyond that, read failures (e.g. a
     // corrupt file) must surface — swallowing them would silently
     // disable cross-batch dedup forever after.
-    val bandsPath = new org.apache.hadoop.fs.Path(bandsDir)
-    val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(bandsPath) && Option(fs.globStatus(
+    val hasData = Option(fsOf(spark, bandsDir).globStatus(
       new org.apache.hadoop.fs.Path(bandsDir, "batch=*/*.parquet")))
       .exists(_.nonEmpty)
     val recent =
       if (!hasData) None
       else Some(spark.read.parquet(bandsDir)
-        .filter(col("batch") > compactedThrough && col("batch") < batchId)
+        .filter(col("batch") > through && col("batch") < batchId)
         .select("band", "bucket"))
     val compacted =
-      if (compactedThrough < 0) None
+      if (through < 0) None
       else {
-        // a restart with a fresh session loses the in-memory catalog entry
-        // while the data files persist — recompact (idempotent) to restore
-        // the bucketed table rather than reading the path un-bucketed
-        if (!spark.catalog.tableExists(compactedTable(bandsDir)))
-          compactBandStore(spark, bandsDir)
-        Some(spark.table(compactedTable(bandsDir))
-          .filter(col("batch") < batchId)
-          .select("band", "bucket"))
+        // a restart in a fresh session loses the in-memory catalog entry
+        // while the versioned data files persist: read the path directly
+        // (plain parquet — correct, just unbucketed until the next fold
+        // re-registers the table)
+        val tbl = compactedTable(bandsDir)
+        val df =
+          if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+          else spark.read.parquet(s"$bandsDir/_compacted_$through")
+        Some(df.filter(col("batch") < batchId).select("band", "bucket"))
       }
     compacted.toSeq ++ recent.toSeq
   }

@@ -126,15 +126,14 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("ingest without checkpointLocation fails fast on stale batch dirs") {
+  test("ingest fails fast on stale batch dirs unless resuming a real checkpoint") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_stale").toString
     assert(new java.io.File(s"$tmp/corpus/batch=0").mkdirs())
     val input = MemoryStream[(Long, String)]
     val docs = input.toDS().toDF("doc_id", "text")
-    // restarting without a checkpoint would reuse batch ids over the stale
-    // dir — both ingests must refuse rather than corrupt the store
+    // no checkpoint: batch ids would restart at 0 over the stale dir
     intercept[IllegalArgumentException] {
       graft.streaming.StreamingOps.dedupedIngest(docs, s"$tmp/corpus")
     }
@@ -142,10 +141,25 @@ class StreamingIncrementalSpec extends AnyFunSuite {
       graft.streaming.StreamingOps.nearDupIngest(
         docs, s"$tmp/other", s"$tmp/corpus")
     }
-    // with a checkpointLocation the same dirs are legal (restart semantics)
-    val q = graft.streaming.StreamingOps.dedupedIngest(docs, s"$tmp/corpus",
-      Map("checkpointLocation" -> s"$tmp/ckpt"))
-    try { input.addData((1L, "a")); q.processAllAvailable() } finally q.stop()
+    // a FRESH (or wiped) checkpoint restarts batch ids at 0 all the same —
+    // equally rejected (the checkpoint-wiped-but-data-kept corruption)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.dedupedIngest(docs, s"$tmp/corpus",
+        Map("checkpointLocation" -> s"$tmp/ckpt_fresh"))
+    }
+    // a genuine resume — checkpoint with committed offsets — is legal
+    val out = s"$tmp/corpus2"
+    val ck = s"$tmp/ck"
+    val q1 = graft.streaming.StreamingOps.dedupedIngest(docs, out,
+      Map("checkpointLocation" -> ck))
+    try { input.addData((1L, "a")); q1.processAllAvailable() } finally q1.stop()
+    val q2 = graft.streaming.StreamingOps.dedupedIngest(docs, out,
+      Map("checkpointLocation" -> ck))
+    try {
+      input.addData((2L, "b")); q2.processAllAvailable()
+      assert(spark.read.parquet(out).select("text").as[String].collect().sorted
+        .toSeq === Seq("a", "b"))
+    } finally q2.stop()
   }
 
   test("dedupedIngest appends only first-seen docs to the parquet corpus") {
@@ -208,11 +222,13 @@ class StreamingIncrementalSpec extends AnyFunSuite {
       input.addData((12L, uniq(2))); q.processAllAvailable()             // batch 1 → compact
       input.addData((13L, uniq(3))); q.processAllAvailable()             // batch 2
       // batch 3: near-dup of batch-0's base — its bands now live ONLY in
-      // the compacted table at this read (compactedThrough = 1), so the
-      // drop proves the compacted path preserves cross-batch dedup
+      // the compacted store at this read (marker = 1, dirs 0–1 deleted),
+      // so the drop proves the compacted path preserves cross-batch dedup
       input.addData((14L, base.replace("batch", "fast"))); q.processAllAvailable()
+      // batch 4: fresh doc, no fold yet (1 uncompacted < compactEvery)
+      input.addData((15L, uniq(4))); q.processAllAvailable()
       val kept = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
-      assert(kept.toSeq === Seq(10L, 11L, 12L, 13L),
+      assert(kept.toSeq === Seq(10L, 11L, 12L, 13L, 15L),
         "near-dup vs compacted store must be dropped; uniques kept")
 
       // the periodic batch audit the scaladoc prescribes: the landed corpus,
@@ -225,16 +241,21 @@ class StreamingIncrementalSpec extends AnyFunSuite {
 
       val tbl = StreamingOps.compactedTable(bands)
       assert(spark.catalog.tableExists(tbl), "compaction must register the bucketed table")
-      // store parts shaped as a batch-3 read: compacted table + per-batch
-      // dirs pruned to compactedThrough < batch < 3 — the read never
-      // rescans already-compacted per-batch dirs. (By now the end-of-batch-3
-      // compaction has folded batch 2 in too, so the table holds docs
-      // 10–13; the batch < 3 retry guard is what the count exercises.)
-      val parts = StreamingOps.bandStoreParts(spark, bands, 3L, 2)
+      assert(StreamingOps.compactedThroughOf(spark, bands) === 3L,
+        "marker records fold coverage (batches 0-3)")
+      // folded per-batch dirs are deleted — listings stay bounded; only
+      // the uncompacted batch 4 remains
+      val remaining = new java.io.File(bands).listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).sorted
+      assert(remaining.toSeq === Seq("batch=4"),
+        s"folded batch dirs must be swept, got ${remaining.mkString(", ")}")
+      // store parts for a batch-5 read: compacted store (≤ 3) + the one
+      // recent per-batch dir — the read never rescans folded history
+      val parts = StreamingOps.bandStoreParts(spark, bands, 5L)
       assert(parts.size === 2)
       val bandsPerDoc = graft.operators.Dedup.MinhashBands
       assert(parts(0).count() === 4L * bandsPerDoc, "compacted: docs 10,11,12,13")
-      assert(parts(1).count() === 1L * bandsPerDoc, "recent: batch 2 (doc 13) only")
+      assert(parts(1).count() === 1L * bandsPerDoc, "recent: batch 4 (doc 15) only")
       val recentPlan = parts(1).queryExecution.executedPlan.toString
       assert(recentPlan.contains("PartitionFilters"),
         s"batch pruning must be partition-level, got:\n$recentPlan")
