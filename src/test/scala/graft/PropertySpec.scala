@@ -68,6 +68,37 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("simhash64NearPairs has full recall for random two-long sigs at d=1..5") {
+    // the (d+1)-band construction over the concatenated 64-bit space,
+    // including straddling bands (d=3 splits cleanly; d=1,2,4,5 put a band
+    // across the lo/hi boundary), against a brute-force oracle. Random
+    // 64-bit pairs sit at expected hamming 32, so each base gets a planted
+    // variant with 0..6 flipped bits — recall is exercised, not just
+    // precision
+    val bases = sample(Gen.choose(0L, (1L << 32) - 1), 80)
+      .grouped(2).collect { case Seq(lo, hi) => (lo, hi) }.toSeq
+    val flips = sample(Gen.listOfN(8, Gen.choose(0, 63)), bases.size)
+    val sigs = bases.zip(flips).zipWithIndex.flatMap {
+      case (((lo, hi), pos), i) =>
+        val ps = pos.distinct.take(i % 7)
+        val (flo, fhi) = ps.foldLeft((lo, hi)) { case ((l, h), p) =>
+          if (p < 32) (l ^ (1L << p), h) else (l, h ^ (1L << (p - 32)))
+        }
+        Seq((2L * i, lo, hi), (2L * i + 1, flo, fhi))
+    }
+    for (d <- 1 to 5) {
+      val want = (for {
+        (a, la, ha) <- sigs; (b, lb, hb) <- sigs if a < b
+        h = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+        if h <= d
+      } yield (a, b, h.toLong)).toSet
+      val got = graft.operators.Dedup
+        .simhash64NearPairs(sigs.toDF("doc_id", "sh_lo", "sh_hi"), maxHamming = d)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want, s"maxHamming=$d")
+    }
+  }
+
   test("pagePath/parentPath: parent of path(n) is path(n/10), for random ids") {
     val ids = sample(Gen.choose(0L, 999999L), 300)
     val rows = ids.toDF("id")
