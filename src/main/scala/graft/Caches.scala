@@ -39,6 +39,17 @@ object Caches {
     }
   }
 
+  /** Evict every cached relation for ONE (session, input dir) — for
+    * callers that rewrite a dir's contents in place (e.g. the streaming
+    * corpus audit's staging dir) and must not read stale cache entries.
+    */
+  def clearDir(spark: SparkSession, dir: String): Unit = {
+    val key = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#" + dir
+    maps.foreach(m => m.remove(key).foreach(free))
+    operators.Dedup.repFlagCache.remove(key)
+    ()
+  }
+
   def clear(spark: SparkSession): Unit = {
     val prefix = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#"
     maps.foreach { m =>

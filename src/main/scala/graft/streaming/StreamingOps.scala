@@ -449,6 +449,23 @@ object StreamingOps {
     compacted.toSeq ++ recent.toSeq
   }
 
+  /** The periodic audit nearDupIngest's scaladoc prescribes, as one call:
+    * stage the landed corpus into a documents-table layout and run the
+    * EXACT batch verifier (LSH candidates + full-set Jaccard) over it.
+    * Returns the verified near-dup pairs still present — empty when the
+    * LSH-approximate streaming drops kept the corpus clean. `stagingDir`
+    * keys the batch ladder's caches, so repeated audits of the same
+    * staging dir reuse the shingle/signature relations.
+    */
+  def auditCorpus(spark: SparkSession, corpusDir: String,
+      stagingDir: String): DataFrame = {
+    spark.read.parquet(corpusDir).select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$stagingDir/documents.parquet")
+    // staging contents changed in place: drop that dir's cache entries only
+    graft.Caches.clearDir(spark, stagingDir)
+    graft.operators.Dedup.minhashNearDups(spark, stagingDir)
+  }
+
   /** Drain a streaming DataFrame into a named in-memory table and return it
     * (test helper: parquet-backed batch drives the streaming query
     * synchronously via processAllAvailable).

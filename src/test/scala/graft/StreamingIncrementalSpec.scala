@@ -233,10 +233,7 @@ class StreamingIncrementalSpec extends AnyFunSuite {
 
       // the periodic batch audit the scaladoc prescribes: the landed corpus,
       // re-checked with the exact batch verifier, contains no near-dups
-      val audit = s"$tmp/audit"
-      spark.read.parquet(corpus).select("doc_id", "text")
-        .write.mode("overwrite").parquet(s"$audit/documents.parquet")
-      assert(graft.operators.Dedup.minhashNearDups(spark, audit).count() === 0,
+      assert(StreamingOps.auditCorpus(spark, corpus, s"$tmp/audit").count() === 0,
         "streamed corpus must pass the batch near-dup audit")
 
       val tbl = StreamingOps.compactedTable(bands)
