@@ -733,7 +733,35 @@ object OracleSql {
          |FROM ranked WHERE rn <= 3
          |GROUP BY token
          |ORDER BY token""".stripMargin) +
-    ("q56_hash_split" -> HashSplitSql)
+    ("q56_hash_split" -> HashSplitSql) +
+    ("q58_doc_repetition" ->
+      s"""WITH $ArrCte,
+         |bg AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, greatest(len(arr), 1)),
+         |                        i -> array_to_string(arr[i:i+1], ' ')) AS bgs
+         |  FROM base)
+         |SELECT doc_id,
+         |       CAST(len(bgs) AS BIGINT) AS n_bigrams,
+         |       CAST(len(list_distinct(bgs)) AS BIGINT) AS n_distinct,
+         |       CASE WHEN len(bgs) > 0
+         |            THEN ROUND(1 - len(list_distinct(bgs)) / CAST(len(bgs) AS DOUBLE), 6)
+         |            ELSE 0.0 END AS rep_ratio
+         |FROM bg
+         |ORDER BY doc_id""".stripMargin) +
+    ("q59_split_contamination" ->
+      s"""WITH $SplitCte, $ShinglesCte,
+         |ev AS (SELECT doc_id, split FROM splits WHERE split <> 'train'),
+         |tr AS (SELECT s.doc_id, s.shingle FROM shingles s
+         |       JOIN splits sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'),
+         |es AS (SELECT s.doc_id, s.shingle FROM shingles s
+         |       JOIN ev ON s.doc_id = ev.doc_id),
+         |pairs AS (SELECT DISTINCT es.doc_id AS doc_id, tr.doc_id AS train_doc
+         |          FROM es JOIN tr ON es.shingle = tr.shingle),
+         |cnt AS (SELECT doc_id, COUNT(*) AS c FROM pairs GROUP BY doc_id)
+         |SELECT ev.doc_id, ev.split, CAST(COALESCE(c, 0) AS BIGINT) AS n_train_overlap
+         |FROM ev LEFT JOIN cnt ON ev.doc_id = cnt.doc_id
+         |ORDER BY ev.doc_id""".stripMargin)
 
   // lazy: referenced from `all` above (forward reference in init order)
   private lazy val HashSplitSql: String =
@@ -747,6 +775,20 @@ object OracleSql {
       |            ELSE 'test' END AS split
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Split assignment CTE mirroring TextAnalysis.splitRaw (first two md5
+    * nibbles of the content → 80/10/10 buckets).
+    */
+  private lazy val SplitCte: String =
+    """splits AS (
+      |  SELECT doc_id,
+      |         CASE WHEN b < 204 THEN 'train'
+      |              WHEN b < 230 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |               (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+      |             + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) AS b
+      |        FROM documents))""".stripMargin
 
   /** Tokenized-array CTE (raw tokens, pre-membership-filter). */
   private lazy val ArrCte: String =

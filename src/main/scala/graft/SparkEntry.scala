@@ -112,7 +112,11 @@ object SparkEntry {
     // Deterministic content-hash train/val/test split (dup-leak-proof)
     "q56_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     // Full 64-bit SimHash probing: two-long signature, (d+1)-band LSH
-    "q57_simhash64_hamming" -> ((s, d) => Dedup.simhash64NearDups(s, d)))
+    "q57_simhash64_hamming" -> ((s, d) => Dedup.simhash64NearDups(s, d)),
+    // Within-doc repetition (duplicate-bigram quality filter)
+    "q58_doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(s, d)),
+    // Cross-split n-gram contamination (decontamination's core query)
+    "q59_split_contamination" -> ((s, d) => TextAnalysis.splitContamination(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

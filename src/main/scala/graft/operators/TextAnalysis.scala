@@ -75,7 +75,13 @@ object TextAnalysis {
     * the train/test boundary. Bucket = first two md5 nibbles (0..255);
     * <80% train, <90% val, else test.
     */
-  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    splitRaw(spark, dir).orderBy("doc_id")
+
+  /** UNSORTED split assignment — building-block form for internal joins
+    * (splitContamination); q56 sorts at its edge via hashSplit.
+    */
+  private def splitRaw(spark: SparkSession, dir: String): DataFrame = {
     val nib = (j: Int) =>
       expr(s"(instr('0123456789abcdef', substring(md5(text), $j, 1)) - 1)")
     val bucket = (nib(1) * 16 + nib(2)).cast("long")
@@ -85,6 +91,56 @@ object TextAnalysis {
         when(col("bucket") < 204, "train")
           .when(col("bucket") < 230, "val")
           .otherwise("test"))
+  }
+
+  /** Within-document repetition — the duplicate-n-gram quality filter a
+    * pretraining pipeline runs before anything cross-document: word-bigram
+    * count, distinct count, and repetition ratio (1 − distinct/total;
+    * 0 for docs shorter than one bigram). Boilerplate-heavy or looping
+    * text scores high and gets filtered. Pure per-row work — no shuffle
+    * beyond the edge sort.
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    withTokens(spark, dir)
+      .select(col("doc_id"), TextFns.shingleArray(col("toks"), 2).as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        when(col("n_bigrams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  /** Cross-split contamination — decontamination's core query: for every
+    * eval-side (val/test) document, how many TRAIN documents share at
+    * least one 5-gram shingle with it. The hash split already pins
+    * verbatim copies to one split; this measures the NEAR-duplicate
+    * leakage across the boundary that n-gram decontamination would
+    * remove (eval docs with n_train_overlap > 0 are suspect). Candidates
+    * come from the shingle posting join — never all-pairs — and
+    * `maxShingleDf` drops boilerplate shingles from the join exactly as
+    * in the dedup ladder.
+    */
+  def splitContamination(spark: SparkSession, dir: String,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val splits = splitRaw(spark, dir)
+    val sh = maxShingleDf.fold(Dedup.shingles(spark, dir))(
+      Dedup.cappedShingles(spark, dir, _))
+    val trainSh = sh.join(
+      splits.filter(col("split") === "train").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val evalDocs = splits.filter(col("split") =!= "train")
+      .select("doc_id", "split")
+    val evalSh = sh.join(evalDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+    val counts = evalSh.as("e")
+      .join(trainSh.as("t"), col("e.shingle") === col("t.shingle"))
+      .select(col("e.doc_id").as("doc_id"), col("t.doc_id").as("train_doc"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_train_overlap"))
+    evalDocs.join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_train_overlap"), lit(0L)).as("n_train_overlap"))
       .orderBy("doc_id")
   }
 
