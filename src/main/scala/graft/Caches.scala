@@ -13,7 +13,7 @@ object Caches {
     operators.TokenPipeline.cache, operators.TokenPipeline.dictCache,
     operators.Dedup.cache, operators.Dedup.sigCache,
     operators.Dedup.clusterCache, operators.Dedup.repsCache,
-    operators.Dedup.fpCache)
+    operators.Dedup.fpCache, operators.Dedup.cappedCache)
 
   /** Unpersist and drop every cached relation belonging to `spark`
     * (other sessions' entries are untouched).
@@ -45,7 +45,12 @@ object Caches {
     */
   def clearDir(spark: SparkSession, dir: String): Unit = {
     val key = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#" + dir
-    maps.foreach(m => m.remove(key).foreach(free))
+    maps.foreach { m =>
+      // exact dir entries plus parameterized ones keyed "…#dir#<param>"
+      // (cappedShingles) — both go stale when the dir's contents change
+      m.keys.filter(k => k == key || k.startsWith(key + "#"))
+        .foreach(k => m.remove(k).foreach(free))
+    }
     operators.Dedup.repFlagCache.remove(key)
     ()
   }

@@ -85,12 +85,21 @@ object Dedup {
     * boilerplate (which is the point). One extra hash-agg + semi-join,
     * both on the already-persisted shingle relation.
     */
-  def cappedShingles(spark: SparkSession, dir: String, maxDf: Long): DataFrame = {
-    val sh = shingles(spark, dir)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    sh.join(rare, Seq("shingle"), "left_semi")
-  }
+  private[graft] val cappedCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def cappedShingles(spark: SparkSession, dir: String, maxDf: Long): DataFrame =
+    // persisted per (session, dir, cap): consumers reference the capped
+    // relation on BOTH sides of their self-joins, and re-aliased exprIds
+    // defeat exchange reuse — without the cache the df hash-agg +
+    // semi-join would execute once per side
+    cappedCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir#$maxDf", {
+        val sh = shingles(spark, dir)
+        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("shingle")
+        sh.join(rare, Seq("shingle"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
 
   private[graft] val fpCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 

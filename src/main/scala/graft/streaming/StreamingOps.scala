@@ -453,9 +453,10 @@ object StreamingOps {
     * stage the landed corpus into a documents-table layout and run the
     * EXACT batch verifier (LSH candidates + full-set Jaccard) over it.
     * Returns the verified near-dup pairs still present — empty when the
-    * LSH-approximate streaming drops kept the corpus clean. `stagingDir`
-    * keys the batch ladder's caches, so repeated audits of the same
-    * staging dir reuse the shingle/signature relations.
+    * LSH-approximate streaming drops kept the corpus clean. The staging
+    * dir's cache entries are deliberately evicted first: its contents are
+    * rewritten in place on every call, so each audit pays a fresh
+    * shingle/signature build — the price of auditing a moving corpus.
     */
   def auditCorpus(spark: SparkSession, corpusDir: String,
       stagingDir: String): DataFrame = {

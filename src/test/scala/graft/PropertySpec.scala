@@ -70,8 +70,9 @@ class PropertySpec extends AnyFunSuite {
 
   test("simhash64NearPairs has full recall for random two-long sigs at d=1..5") {
     // the (d+1)-band construction over the concatenated 64-bit space,
-    // including straddling bands (d=3 splits cleanly; d=1,2,4,5 put a band
-    // across the lo/hi boundary), against a brute-force oracle. Random
+    // against a brute-force oracle. Band edges are k·64/(d+1): d=2 and
+    // d=4 put a band across the lo/hi boundary ([21,42) and [25,38)),
+    // exercising the two-long key stitch; d=1,3,5 split cleanly. Random
     // 64-bit pairs sit at expected hamming 32, so each base gets a planted
     // variant with 0..6 flipped bits — recall is exercised, not just
     // precision
