@@ -64,7 +64,8 @@ object ScaleSmoke {
     val heavy = Seq("q52_dup_clusters", "q22_minhash_signatures",
       "q26_ngram_jaccard", "q25_simhash_groups", "q36_sessions",
       "q23_minhash_neardups", "q27_embedding_neardups", "q53_simhash_hamming",
-      "q57_simhash64_hamming", "q54_dedup_survivors")
+      "q57_simhash64_hamming", "q54_dedup_survivors",
+      "q58_doc_repetition", "q59_split_contamination")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()
