@@ -212,9 +212,17 @@ object StreamingOps {
     * the q21 canonical-survivor rule (dropDuplicates would keep an
     * arbitrary row). Across micro-batches the first-arriving fingerprint
     * wins by design: an already-landed survivor cannot be un-written by a
-    * later, lower doc_id. Input contract: (doc_id long, text string). In
-    * production add an event-time watermark + state timeout so the dedup
-    * state is bounded; unbounded here because the test corpus is finite.
+    * later, lower doc_id. Input contract: (doc_id long, text string).
+    *
+    * State is unbounded by design here (exact dedup over a finite
+    * corpus). For a truly unbounded stream, bound it with EVENT time, not
+    * processing time: add a timestamp column and use
+    * `dropDuplicatesWithinWatermark` (or an EventTimeTimeout state), so
+    * expiry rides the watermark. A processing-time TTL was tried and
+    * rejected: a pending ProcessingTimeTimeout makes the engine schedule
+    * micro-batches continuously (several per second with the default
+    * trigger), and every tick fires the foreachBatch sink — an empty
+    * batch=N parquet dir per tick, forever.
     */
   def dedupedIngest(docs: DataFrame, path: String,
       options: Map[String, String] = Map.empty)
