@@ -37,6 +37,30 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"))
 
+  /** Watermarked stream-stream interval join — the streaming twin of the
+    * as-of join family (Events.errorsWithLastPurchase / q41, q50): every
+    * error event joined to the SAME user's purchases in the preceding
+    * `windowUs`. Both sides carry watermarks and the join condition
+    * bounds the event-time range, so each side's buffered state is
+    * bounded by watermark delay + window — the engine drops rows older
+    * than the watermark instead of buffering the stream forever. Unlike
+    * the batch as-of (latest single purchase), the interval join emits
+    * ALL in-window purchases; take the max ts downstream for as-of
+    * semantics once the window closes.
+    */
+  def errorsWithRecentPurchases(errors: DataFrame, purchases: DataFrame,
+      windowUs: Long, delay: String = "2 hours"): DataFrame = {
+    val win = s"INTERVAL ${windowUs / 1000000L} SECOND"
+    errors.withWatermark("ts", delay).alias("e")
+      .join(purchases.withWatermark("ts", delay).alias("p"),
+        expr(s"e.user_id = p.user_id AND p.ts >= e.ts - $win AND p.ts <= e.ts"))
+      .select(col("e.user_id").as("user_id"),
+        col("e.event_id").as("error_event_id"),
+        col("e.ts").as("error_ts"),
+        col("p.ts").as("purchase_ts"),
+        col("p.value").as("purchase_value"))
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(sessionId: Long, startUs: Long, lastUs: Long, n: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,

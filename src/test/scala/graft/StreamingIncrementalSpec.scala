@@ -275,6 +275,37 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join pairs errors with in-window purchases only") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    // (event_id, ts, user_id, value)
+    val errors = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val joined = graft.streaming.StreamingOps.errorsWithRecentPurchases(
+      errors.toDS().toDF("event_id", "ts", "user_id", "value"),
+      purchases.toDS().toDF("event_id", "ts", "user_id", "value"),
+      windowUs = 60L * 60 * 1000 * 1000) // 1 hour
+    val q = joined.writeStream.format("memory").queryName("inc_ssj")
+      .outputMode("append").start()
+    try {
+      // purchases arrive in one batch, errors in a LATER one: the join
+      // must buffer stream state across batches to pair them
+      purchases.addData(
+        (100L, t("09:30:00"), 1L, 10.0), // in window for the 10:00 error
+        (101L, t("08:30:00"), 1L, 20.0), // outside (>1h before)
+        (102L, t("09:45:00"), 2L, 30.0)) // other user
+      q.processAllAvailable()
+      errors.addData((200L, t("10:00:00"), 1L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("inc_ssj")
+        .select("error_event_id", "purchase_value").as[(Long, Double)]
+        .collect().toSet
+      assert(got === Set((200L, 10.0)),
+        "only the same-user, in-window purchase may pair")
+    } finally q.stop()
+  }
+
   test("windowed aggregation accumulates counts across micro-batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
