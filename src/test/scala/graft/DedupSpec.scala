@@ -70,6 +70,11 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L, 1L)), "hamming-1 pair must be found")
     assert(got.contains((1L, 4L, 3L)), "hamming-3 pair shares band 1 — must be found")
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "hamming-16 doc must not pair")
+    // extra bands beyond the pigeonhole minimum (6 > 3+1, uneven 16/6
+    // split) may only widen candidate generation — same verified output
+    val got6 = Dedup.simhashNearPairs(sigs, bands = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got6 === got, "more bands must not change the verified pairs")
   }
 
   test("simhashNearPairs ⊇ exact-collision groups, hamming within bound") {
