@@ -749,6 +749,17 @@ object OracleSql {
          |            ELSE 0.0 END AS rep_ratio
          |FROM bg
          |ORDER BY doc_id""".stripMargin) +
+    ("q60_retention_cohorts" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(d) AS cohort FROM a GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+        |       CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+        |       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY cohort, date_diff('day', cohort, d)
+        |ORDER BY cohort_date, day_offset""".stripMargin) +
     ("q59_split_contamination" ->
       s"""WITH $SplitCte, $ShinglesCte,
          |ev AS (SELECT doc_id, split FROM splits WHERE split <> 'train'),

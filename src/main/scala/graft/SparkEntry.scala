@@ -116,7 +116,9 @@ object SparkEntry {
     // Within-doc repetition (duplicate-bigram quality filter)
     "q58_doc_repetition" -> ((s, d) => TextAnalysis.docRepetition(s, d)),
     // Cross-split n-gram contamination (decontamination's core query)
-    "q59_split_contamination" -> ((s, d) => TextAnalysis.splitContamination(s, d)))
+    "q59_split_contamination" -> ((s, d) => TextAnalysis.splitContamination(s, d)),
+    // Day-cohort retention over the event stream
+    "q60_retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -117,6 +117,25 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** Day-cohort retention — the event-analytics staple: users grouped by
+    * their first-active (UTC) date; for each (cohort, day offset) the
+    * count of distinct cohort members active that day. Three hash
+    * aggregates and one equi-join on user_id — integer/date-exact, no
+    * windows, scales as plain shuffles.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("d").as("cohort"))
+    activity.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_date"),
+        col("day_offset").cast("long").as("day_offset"), col("n_users"))
+      .orderBy("cohort_date", "day_offset")
+  }
+
   /** JSON property extraction + aggregate: pull integer `$.k` out of the
     * props JSON string, sum per event type.
     */
