@@ -749,6 +749,25 @@ object OracleSql {
          |            ELSE 0.0 END AS rep_ratio
          |FROM bg
          |ORDER BY doc_id""".stripMargin) +
+    ("q61_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT '2_view_click', CAST(COUNT(*) AS BIGINT) FROM s2
+        |  UNION ALL
+        |  SELECT '3_view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM s3)
+        |ORDER BY step""".stripMargin) +
     ("q60_retention_cohorts" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d

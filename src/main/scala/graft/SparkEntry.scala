@@ -118,7 +118,9 @@ object SparkEntry {
     // Cross-split n-gram contamination (decontamination's core query)
     "q59_split_contamination" -> ((s, d) => TextAnalysis.splitContamination(s, d)),
     // Day-cohort retention over the event stream
-    "q60_retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)))
+    "q60_retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)),
+    // Strict-order conversion funnel (view -> click -> purchase)
+    "q61_funnel" -> ((s, d) => Events.funnel(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

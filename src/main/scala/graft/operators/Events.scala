@@ -136,6 +136,34 @@ object Events {
       .orderBy("cohort_date", "day_offset")
   }
 
+  /** Strict-order conversion funnel view → click → purchase: step k
+    * counts users whose FIRST step-k event falls strictly after their
+    * first qualifying step-(k−1) event. Each step is one filter + hash
+    * aggregate + user_id equi-join — a narrow sequential pipeline, no
+    * windows, no all-pairs. Comparisons are on microsecond timestamps
+    * (both engines truncate the ns source identically).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(step: String, prev: Option[DataFrame], prevCol: String,
+        name: String): DataFrame = {
+      val base = ev.filter(col("event_type") === step)
+      val scoped = prev.fold(base)(p =>
+        base.join(p, Seq("user_id")).filter(col("ts") > col(prevCol)))
+      scoped.groupBy("user_id").agg(min("ts").as(name))
+    }
+    val s1 = firstAfter("view", None, "", "t1")
+    val s2 = firstAfter("click", Some(s1), "t1", "t2")
+    val s3 = firstAfter("purchase", Some(s2), "t2", "t3")
+    Seq("1_view" -> s1, "2_view_click" -> s2, "3_view_click_purchase" -> s3)
+      .map { case (label, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(label).as("step"), col("n_users"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("step")
+  }
+
   /** JSON property extraction + aggregate: pull integer `$.k` out of the
     * props JSON string, sum per event type.
     */
