@@ -645,6 +645,49 @@ object Dedup {
   def simhash64NearDups(spark: SparkSession, dir: String): DataFrame =
     simhash64NearPairs(simhash64Bits(spark, dir))
 
+  /** Cross-corpus near-dup: LSH candidates BETWEEN an incoming (doc_id,
+    * text) batch and an existing corpus — dump-N+1 deduped against dump-N,
+    * the batch form of what nearDupIngest does per micro-batch (and with
+    * exact Jaccard verification, which the streaming path trades away).
+    * Candidates come from a band equi-join across the two sides (never
+    * all-pairs, never incoming×incoming); output is one row per verified
+    * (incoming_id, corpus_id) pair — anti-join incoming on incoming_id to
+    * keep only novel docs. Both sides' shingle relations feed verification,
+    * so the same-id-space restriction of the self-join ladder does not
+    * apply: id ranges may overlap freely across the two inputs.
+    */
+  def crossCorpusNearDups(incoming: DataFrame, corpus: DataFrame): DataFrame = {
+    val inSh = shinglesOf(incoming)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val coSh = shinglesOf(corpus)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inBands = bandsOfSignatures(signaturesOfShingles(inSh))
+    val coBands = bandsOfSignatures(signaturesOfShingles(coSh))
+    val cands = inBands.as("i")
+      .join(coBands.as("c"),
+        col("i.band") === col("c.band") && col("i.bucket") === col("c.bucket"))
+      .select(col("i.doc_id").as("incoming_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val inSizes = inSh.groupBy("doc_id").agg(count(lit(1)).as("sz_i"))
+    val coSizes = coSh.groupBy("doc_id").agg(count(lit(1)).as("sz_c"))
+    val verified = cands
+      .join(inSh.as("si"), col("incoming_id") === col("si.doc_id"))
+      .join(coSh.as("sc"),
+        col("corpus_id") === col("sc.doc_id") && col("si.shingle") === col("sc.shingle"))
+      .groupBy("incoming_id", "corpus_id").agg(count(lit(1)).as("inter"))
+      .join(inSizes.withColumnRenamed("doc_id", "incoming_id"), Seq("incoming_id"))
+      .join(coSizes.withColumnRenamed("doc_id", "corpus_id"), Seq("corpus_id"))
+      .withColumn("uni", col("sz_i") + col("sz_c") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("incoming_id", "corpus_id", "inter", "uni")
+    // the two persists stay live: bands, verification, and the size
+    // aggregates each reference them, and evicting before the caller's
+    // action would force three rebuilds per side. MEMORY_AND_DISK blocks
+    // are LRU-evictable; sessions chaining many cross-corpus passes
+    // should clearCache() between passes.
+    verified.orderBy("incoming_id", "corpus_id")
+  }
+
   /** Embedding near-dup: `bits`-wide sign-LSH bucket → in-bucket cosine
     * ≥ 0.25 (this corpus has no planted vector dups — max cosine ≈ 0.51 —
     * so the threshold is set where the op provably produces verifiable

@@ -262,6 +262,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got === brute, "pigeonhole banding + exact verify = exact hamming ball")
   }
 
+  test("crossCorpusNearDups pairs incoming docs with corpus near-dups only") {
+    val base = "spark table scan filter join group order sort merge hash key value row column batch stream"
+    val other = "customer orders line part region nation supplier query window vector data big small slow"
+    val corpus = Seq(1L -> base, 2L -> other).toDF("doc_id", "text")
+    // incoming: a near-dup of base, a verbatim copy of other, a novel doc —
+    // ids deliberately OVERLAP the corpus id space (1L), which the
+    // self-join ladder cannot allow but the cross form must
+    val incoming = Seq(
+      1L -> base.replace("batch", "fast"),
+      2L -> other,
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      .toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNearDups(incoming, corpus)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) === Set((1L, 1L), (2L, 2L)),
+      "near-dup and verbatim match; novel doc emits nothing")
+    // verbatim pair must verify at Jaccard 1 (inter == uni)
+    assert(got.exists(p => p._1 == 2L && p._3 == p._4))
+  }
+
   test("empty corpus: dedup ladder returns empty, no NPE in the cost probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
     Seq.empty[(Long, String)].toDF("doc_id", "text")
