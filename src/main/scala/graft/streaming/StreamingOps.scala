@@ -48,12 +48,20 @@ object StreamingOps {
     * ALL in-window purchases; take the max ts downstream for as-of
     * semantics once the window closes.
     */
+  /** `joinType` "inner" emits only matched pairs; "left_outer" also emits
+    * each error with null purchase columns — but only once the watermark
+    * proves no in-window purchase can still arrive (the engine holds the
+    * unmatched row until then; with no further watermark movement it
+    * never emits, which is correct, not a bug).
+    */
   def errorsWithRecentPurchases(errors: DataFrame, purchases: DataFrame,
-      windowUs: Long, delay: String = "2 hours"): DataFrame = {
+      windowUs: Long, delay: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val win = s"INTERVAL ${windowUs / 1000000L} SECOND"
     errors.withWatermark("ts", delay).alias("e")
       .join(purchases.withWatermark("ts", delay).alias("p"),
-        expr(s"e.user_id = p.user_id AND p.ts >= e.ts - $win AND p.ts <= e.ts"))
+        expr(s"e.user_id = p.user_id AND p.ts >= e.ts - $win AND p.ts <= e.ts"),
+        joinType)
       .select(col("e.user_id").as("user_id"),
         col("e.event_id").as("error_event_id"),
         col("e.ts").as("error_ts"),

@@ -306,6 +306,37 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched errors after the watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val errors = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val joined = graft.streaming.StreamingOps.errorsWithRecentPurchases(
+      errors.toDS().toDF("event_id", "ts", "user_id", "value"),
+      purchases.toDS().toDF("event_id", "ts", "user_id", "value"),
+      windowUs = 60L * 60 * 1000 * 1000, delay = "1 hour",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("inc_ssj_outer")
+      .outputMode("append").start()
+    try {
+      errors.addData((200L, t("10:00:00"), 1L, 0.0)) // no purchase will match
+      q.processAllAvailable()
+      assert(spark.table("inc_ssj_outer").count() === 0,
+        "unmatched row must be HELD until the watermark closes its window")
+      // both watermarks must advance past error_ts + delay for the engine
+      // to prove no in-window purchase can still arrive
+      errors.addData((201L, t("14:00:00"), 9L, 0.0))
+      purchases.addData((300L, t("14:00:00"), 9L, 1.0))
+      q.processAllAvailable()
+      val nullRows = spark.table("inc_ssj_outer")
+        .filter($"error_event_id" === 200L).collect()
+      assert(nullRows.length === 1 && nullRows.head.isNullAt(
+        nullRows.head.fieldIndex("purchase_value")),
+        "watermark-passed unmatched error emits exactly once, null-padded")
+    } finally q.stop()
+  }
+
   test("windowed aggregation accumulates counts across micro-batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
