@@ -390,20 +390,23 @@ object Dedup {
     var rounds = 0
     val maxRounds = 50 // component diameter bound; near-dup clusters are tiny
     while (!converged && rounds < maxRounds) {
-      val neighborMin = sym
-        .join(labels, sym("doc_b") === labels("doc_id"))
-        .groupBy(col("doc_a").as("doc_id2"))
-        .agg(min("component_id").as("nbr_min"))
-      // Convergence detection rides the SAME propagation join as a `chg`
-      // flag — no second join + count per round; the follow-up agg is a
-      // narrow scan of the just-checkpointed rows.
+      // one round = ONE join (labels onto edge targets) + ONE aggregate:
+      // each vertex's own label rides the union as a nbr=false row, so
+      // the grouped min yields the new label, the min over nbr=false rows
+      // recovers the old one, and the convergence flag falls out of their
+      // comparison — no second per-round join. (Every vertex has exactly
+      // one nbr=false row, so `oldc` is never null.)
       val next = labels
-        .join(neighborMin, labels("doc_id") === col("doc_id2"), "left")
-        .select(col("doc_id"),
-          least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
-            .as("component_id"),
-          (coalesce(col("nbr_min"), col("component_id")) < col("component_id"))
-            .as("chg"))
+        .select(col("doc_id"), col("component_id"), lit(false).as("nbr"))
+        .union(sym
+          .join(labels, sym("doc_b") === labels("doc_id"))
+          .select(col("doc_a").as("doc_id"), col("component_id"),
+            lit(true).as("nbr")))
+        .groupBy("doc_id")
+        .agg(min("component_id").as("newc"),
+          min(when(!col("nbr"), col("component_id"))).as("oldc"))
+        .select(col("doc_id"), col("newc").as("component_id"),
+          (col("newc") < col("oldc")).as("chg"))
         .localCheckpoint()
       converged = !next.agg(coalesce(max(col("chg")), lit(false)))
         .head().getBoolean(0)
