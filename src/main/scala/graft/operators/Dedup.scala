@@ -659,11 +659,28 @@ object Dedup {
     * so the same-id-space restriction of the self-join ladder does not
     * apply: id ranges may overlap freely across the two inputs.
     */
+  private val crossCorpusPersists =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** Unpersist every shingle relation past crossCorpusNearDups calls
+    * pinned — the targeted release for sessions chaining many passes
+    * (a blanket clearCache() would also evict the session-keyed dedup
+    * caches that other operators still hand out).
+    */
+  def releaseCrossCorpusCaches(): Unit = crossCorpusPersists.synchronized {
+    crossCorpusPersists.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    crossCorpusPersists.clear()
+  }
+
   def crossCorpusNearDups(incoming: DataFrame, corpus: DataFrame): DataFrame = {
     val inSh = shinglesOf(incoming)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val coSh = shinglesOf(corpus)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    crossCorpusPersists.synchronized {
+      crossCorpusPersists += inSh; crossCorpusPersists += coSh
+    }
     val inBands = bandsOfSignatures(signaturesOfShingles(inSh))
     val coBands = bandsOfSignatures(signaturesOfShingles(coSh))
     val cands = inBands.as("i")
@@ -686,8 +703,8 @@ object Dedup {
     // the two persists stay live: bands, verification, and the size
     // aggregates each reference them, and evicting before the caller's
     // action would force three rebuilds per side. MEMORY_AND_DISK blocks
-    // are LRU-evictable; sessions chaining many cross-corpus passes
-    // should clearCache() between passes.
+    // are LRU-evictable; sessions chaining many cross-corpus passes call
+    // releaseCrossCorpusCaches() between passes.
     verified.orderBy("incoming_id", "corpus_id")
   }
 

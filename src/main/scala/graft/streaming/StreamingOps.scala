@@ -47,8 +47,8 @@ object StreamingOps {
     * the batch as-of (latest single purchase), the interval join emits
     * ALL in-window purchases; take the max ts downstream for as-of
     * semantics once the window closes.
-    */
-  /** `joinType` "inner" emits only matched pairs; "left_outer" also emits
+    *
+    * `joinType` "inner" emits only matched pairs; "left_outer" also emits
     * each error with null purchase columns — but only once the watermark
     * proves no in-window purchase can still arrive (the engine holds the
     * unmatched row until then; with no further watermark movement it
@@ -57,7 +57,8 @@ object StreamingOps {
   def errorsWithRecentPurchases(errors: DataFrame, purchases: DataFrame,
       windowUs: Long, delay: String = "2 hours",
       joinType: String = "inner"): DataFrame = {
-    val win = s"INTERVAL ${windowUs / 1000000L} SECOND"
+    require(windowUs > 0, "windowUs must be a positive microsecond span")
+    val win = s"INTERVAL $windowUs MICROSECOND" // µs-exact, no silent truncation
     errors.withWatermark("ts", delay).alias("e")
       .join(purchases.withWatermark("ts", delay).alias("p"),
         expr(s"e.user_id = p.user_id AND p.ts >= e.ts - $win AND p.ts <= e.ts"),

@@ -280,6 +280,9 @@ class DedupSpec extends AnyFunSuite {
       "near-dup and verbatim match; novel doc emits nothing")
     // verbatim pair must verify at Jaccard 1 (inter == uni)
     assert(got.exists(p => p._1 == 2L && p._3 == p._4))
+    // targeted release of the pinned shingle relations is clean + idempotent
+    Dedup.releaseCrossCorpusCaches()
+    Dedup.releaseCrossCorpusCaches()
   }
 
   test("empty corpus: dedup ladder returns empty, no NPE in the cost probe") {
