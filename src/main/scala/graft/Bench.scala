@@ -56,8 +56,12 @@ object Bench {
     // cold pass is kept in "queries_cold" so the warm-vs-cold gap stays
     // observable.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    // Locale-pinned so the decimal separator is always '.'
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+        .mkString("{", ",", "}")
     val all = (1 to passes).map { i =>
       // later passes re-do real per-query work (cluster labels are a
       // memoized RESULT, not an index) but keep index-like caches warm
@@ -69,7 +73,15 @@ object Bench {
     val failures = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"failures":$failures,"warmup_sec":$warmup,"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":$coldTotal,"queries_cold":${fmt(cold)},"sf":"$sfDir"}""")
+    // The driver captures only the LAST ~4 KB of output and parses the final
+    // {"metric":...} line from it. Round-4's single line carried both passes
+    // at full double precision (~5 KB), overflowed that window, and the
+    // driver recorded parsed:null. So: the cold pass goes on its own
+    // diagnostic line FIRST (no "metric" key, so no parser can mistake it),
+    // and the headline line stays compact (3-decimal seconds, warm pass
+    // only) and LAST.
+    println(s"""{"bench_cold_pass":${fmt(cold)},"cold_total":${s3(coldTotal)}}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${fmt(results)},"failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
