@@ -791,7 +791,87 @@ object OracleSql {
          |cnt AS (SELECT doc_id, COUNT(*) AS c FROM pairs GROUP BY doc_id)
          |SELECT ev.doc_id, ev.split, CAST(COALESCE(c, 0) AS BIGINT) AS n_train_overlap
          |FROM ev LEFT JOIN cnt ON ev.doc_id = cnt.doc_id
-         |ORDER BY ev.doc_id""".stripMargin)
+         |ORDER BY ev.doc_id""".stripMargin) +
+    ("q62_cross_corpus" ->
+      s"""WITH $ShinglesCte, $SigsCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS incoming_id, b.doc_id AS corpus_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+         |inter AS (
+         |  SELECT incoming_id, corpus_id, COUNT(*) AS inter
+         |  FROM cands c
+         |  JOIN shingles sa ON sa.doc_id = c.incoming_id
+         |  JOIN shingles sb ON sb.doc_id = c.corpus_id AND sb.shingle = sa.shingle
+         |  GROUP BY incoming_id, corpus_id)
+         |SELECT incoming_id, corpus_id, inter, (za.sz + zb.sz - inter) AS uni
+         |FROM inter
+         |JOIN sizes za ON za.doc_id = incoming_id
+         |JOIN sizes zb ON zb.doc_id = corpus_id
+         |WHERE 2 * inter >= (za.sz + zb.sz - inter)
+         |ORDER BY incoming_id, corpus_id""".stripMargin) +
+    ("q63_source_overlap" ->
+      s"""WITH $KeptCte,
+         |st AS (SELECT DISTINCT d.source AS source, token
+         |       FROM kept JOIN documents d USING (doc_id)),
+         |sizes AS (SELECT source, COUNT(*) AS sz FROM st GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+         |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, inter,
+         |       (za.sz + zb.sz - inter) AS uni,
+         |       ROUND(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes za ON za.source = src_a
+         |JOIN sizes zb ON zb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin) +
+    ("q64_label_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |pv AS (SELECT vec_id, label, unnest(emb) AS v,
+         |              unnest(range(1, len(emb) + 1)) AS pos FROM e),
+         |cpos AS (
+         |  SELECT label, pos,
+         |         list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS cv
+         |  FROM pv GROUP BY label, pos),
+         |cent AS (SELECT label, list(cv ORDER BY pos) AS cent FROM cpos GROUP BY label),
+         |d AS (
+         |  SELECT vec_id, e.label AS label,
+         |         sqrt(${dotExpr("emb", "emb")} - 2 * ${dotExpr("emb", "cent")}
+         |              + ${dotExpr("cent", "cent")}) AS d
+         |  FROM e JOIN cent ON e.label = cent.label),
+         |r AS (
+         |  SELECT label, vec_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY d DESC, vec_id) AS BIGINT) AS rnk,
+         |         ROUND(d, 6) AS dist
+         |  FROM d)
+         |SELECT label, vec_id, rnk, dist FROM r WHERE rnk <= 10
+         |ORDER BY label, rnk""".stripMargin) +
+    ("q65_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, md5('sample|' || text) AS smp FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY smp, doc_id) AS BIGINT) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n_src
+        |  FROM s)
+        |SELECT doc_id, source, rn AS sample_rank FROM r
+        |WHERE rn * 100 <= n_src * 20
+        |ORDER BY doc_id""".stripMargin) +
+    ("q66_vocab_growth" ->
+      s"""WITH $ShinglesCte,
+         |sb AS (SELECT DISTINCT doc_id // 50 AS batch, shingle FROM shingles),
+         |seen AS (SELECT batch, COUNT(*) AS n_seen FROM sb GROUP BY batch),
+         |firstb AS (SELECT shingle, MIN(batch) AS batch FROM sb GROUP BY shingle),
+         |nw AS (SELECT batch, COUNT(*) AS n_new FROM firstb GROUP BY batch)
+         |SELECT s.batch AS batch, n_seen, COALESCE(n_new, 0) AS n_new,
+         |       CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY s.batch
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size,
+         |       ROUND(COALESCE(n_new, 0) / CAST(n_seen AS DOUBLE), 6) AS novelty
+         |FROM seen s LEFT JOIN nw USING (batch)
+         |ORDER BY batch""".stripMargin)
 
   // lazy: referenced from `all` above (forward reference in init order)
   private lazy val HashSplitSql: String =

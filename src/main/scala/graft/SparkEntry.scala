@@ -120,7 +120,17 @@ object SparkEntry {
     // Day-cohort retention over the event stream
     "q60_retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)),
     // Strict-order conversion funnel (view -> click -> purchase)
-    "q61_funnel" -> ((s, d) => Events.funnel(s, d)))
+    "q61_funnel" -> ((s, d) => Events.funnel(s, d)),
+    // Cross-corpus (dump-over-dump) near-dup join, parity-split query form
+    "q62_cross_corpus" -> ((s, d) => Dedup.crossCorpusParityDups(s, d)),
+    // Pairwise source-vocabulary Jaccard overlap
+    "q63_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
+    // Per-label embedding outliers (distance to label centroid, top-k)
+    "q64_label_outliers" -> ((s, d) => Similarity.labelOutliers(s, d)),
+    // Deterministic per-source stratified sample (exact 20% quota)
+    "q65_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    // Shingle-vocabulary growth / novelty per ingestion batch
+    "q66_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -681,6 +681,29 @@ object Dedup {
     crossCorpusPersists.synchronized {
       crossCorpusPersists += inSh; crossCorpusPersists += coSh
     }
+    crossCorpusFromShingles(inSh, coSh)
+  }
+
+  /** q62 form: the dump-over-dump query phrased on ONE corpus dir so the
+    * harness can oracle-check it — odd doc_ids play the incoming dump,
+    * even ids the accumulated corpus. Both sides are parity filters over
+    * the session-cached shingle relation (one corpus-text pass, no extra
+    * persists), then the exact cross-corpus body runs unchanged. At scale
+    * the two filters are two real dump directories and the plan is
+    * identical.
+    */
+  def crossCorpusParityDups(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    crossCorpusFromShingles(
+      sh.filter(col("doc_id") % 2 === 1),
+      sh.filter(col("doc_id") % 2 === 0))
+  }
+
+  /** The cross-corpus candidate+verify body over two prepared (doc_id,
+    * shingle) relations — single definition shared by the free-standing
+    * two-DataFrame entry point and the parity query form.
+    */
+  private def crossCorpusFromShingles(inSh: DataFrame, coSh: DataFrame): DataFrame = {
     val inBands = bandsOfSignatures(signaturesOfShingles(inSh))
     val coBands = bandsOfSignatures(signaturesOfShingles(coSh))
     val cands = inBands.as("i")

@@ -154,4 +154,48 @@ object Similarity {
         round((sum(col("nrm").cast("decimal(18,6)")).cast("double") / count(lit(1))), 6)
           .as("avg_norm"))
       .orderBy("label")
+
+  /** Per-label outlier scoring (q64): element-wise label centroid, then
+    * each vector's Euclidean distance to its own label's centroid, top-k
+    * most-distant per label — the mislabeled/noisy-embedding filter a
+    * training pipeline runs before fitting on labeled vectors.
+    *
+    * The per-(label, position) mean is a SEQUENTIAL sorted fold
+    * (collect_list ordered by vec_id) so DuckDB's list_reduce reproduces
+    * the double bit-for-bit — decimal snapping (the labelStats device)
+    * is tie-prone on raw float-widened doubles, whose decimal expansions
+    * can terminate exactly at the rounding digit. The fold buffers one
+    * label's vectors per position (bounded by the largest label, not the
+    * corpus); at extreme per-label cardinality switch to the snapped
+    * order-independent mean and accept the documented ~1e-12 tie risk.
+    * Distance uses |a|² − 2a·c + |c|² over the shared codegen dot product,
+    * the same expression shape the oracle states, so both engines execute
+    * identical double ops in identical order.
+    */
+  def labelOutliers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"),
+      VectorFns.asDouble(col("embedding")).as("emb"))
+    val pos = e.select(col("label"), col("vec_id"),
+      posexplode(col("emb")).as(Seq("pos", "v")))
+    val cpos = pos.groupBy("label", "pos")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+      .select(col("label"), col("pos"),
+        (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x.getField("v")) /
+          size(col("vs"))).as("cv"))
+    val cent = cpos
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("cs"))
+      .select(col("label"), expr("transform(cs, x -> x.cv)").as("cent"))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        sqrt(VectorFns.dot(col("emb"), col("emb"))
+          - lit(2.0) * VectorFns.dot(col("emb"), col("cent"))
+          + VectorFns.dot(col("cent"), col("cent"))).as("d"))
+    val w = Window.partitionBy("label").orderBy(col("d").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("vec_id"), col("rnk"), round(col("d"), 6).as("dist"))
+      .orderBy("label", "rnk")
+  }
 }

@@ -183,6 +183,88 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Corpus-overlap matrix (q63): pairwise Jaccard between the distinct
+    * kept-token vocabularies of each pair of sources — the dump-vs-dump /
+    * crawl-vs-crawl overlap report a pipeline runs before deciding whether
+    * a new source is worth ingesting. The unit of work is the DISTINCT
+    * (source, token) relation — |sources| × |vocab|, tiny relative to the
+    * corpus — so the pairwise token equi-join is over an aggregate, never
+    * over documents. Pairs sharing zero tokens are omitted (inner join).
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = TokenPipeline.docTokenCounts(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "token").distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = st.as("a")
+      .join(st.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("sz", "sz_a"),
+        Seq("src_a"))
+      .join(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("sz", "sz_b"),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("sz_a") + col("sz_b") - col("inter")).as("uni"),
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Deterministic stratified sample (q65): within each source stratum,
+    * rank docs by (md5 of salted content, doc_id) and keep the first
+    * `pct`% — exact per-stratum quota, RNG-free, reproducible across
+    * engines and cluster sizes, and content-keyed so re-runs over a
+    * re-sharded corpus pick the same documents. The rank/count windows
+    * partition by source, so strata process independently (the 100 TB
+    * form shuffles once on the stratum key).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, pct: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("sample|"), col("text"))).as("smp"))
+      .withColumn("rn",
+        row_number().over(bySrc.orderBy(col("smp"), col("doc_id"))).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(bySrc))
+      // rn*100 <= n*pct  ⇔  rn <= floor(n*pct/100): integer-exact quota
+      .filter(col("rn") * 100 <= col("n_src") * pct)
+      .select(col("doc_id"), col("source"), col("rn").as("sample_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram vocabulary growth (q66): per ingestion batch (`batchSize`
+    * consecutive doc_ids ≈ one dump), how many distinct 5-gram shingles
+    * appear, how many are NEW (first occurrence anywhere in the corpus),
+    * the running shingle-vocabulary size, and the novelty ratio — the
+    * curve a pretraining pipeline watches to decide when a source is
+    * mined out. All heavy work is distributed hash-aggregation over the
+    * cached shingle relation; the running-sum window orders BATCHES
+    * (corpus_size / batchSize rows), not documents, so the single-
+    * partition prefix sum is over a vanishing row count at any scale.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String, batchSize: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sb = Dedup.shingles(spark, dir)
+      .select(expr(s"doc_id div $batchSize").as("batch"), col("shingle"))
+      .distinct()
+    val seen = sb.groupBy("batch").agg(count(lit(1)).as("n_seen"))
+    val firstB = sb.groupBy("shingle").agg(min(col("batch")).as("batch"))
+      .groupBy("batch").agg(count(lit(1)).as("n_new"))
+    seen.join(firstB, Seq("batch"), "left")
+      .select(col("batch"), col("n_seen"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("vocab_size",
+        sum("n_new").over(Window.orderBy("batch")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("novelty",
+        round(col("n_new").cast("double") / col("n_seen"), 6))
+      .orderBy("batch")
+  }
+
   /** Character-bigram language signal: occurrences of the five most common
     * English bigrams (n-gram heuristic flavor of language ID; integer-exact
     * for the oracle).

@@ -295,6 +295,35 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.dupClusters(spark, dir).count() === 0)
   }
 
+  test("crossCorpusParityDups matches the two-DataFrame form on the corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+    val direct = Dedup.crossCorpusNearDups(
+      docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val parity = Dedup.crossCorpusParityDups(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(parity === direct, "shared body: parity form == free-standing form")
+    assert(parity.forall(p => p._1 % 2 == 1 && p._2 % 2 == 0))
+    Dedup.releaseCrossCorpusCaches()
+  }
+
+  test("crossCorpusParityDups finds a planted odd-incoming/even-corpus pair") {
+    val base = "batch window spark order data column join small line customer query value"
+    val dir = java.nio.file.Files.createTempDirectory("graft_parity").toString
+    Seq(
+      1L -> base.replace("value", "merge"),  // odd: near-dup of doc 2
+      2L -> base,                            // even: corpus twin
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa", // odd novel
+      4L -> "one two three four five six seven eight nine ten")        // even novel
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.crossCorpusParityDups(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    val (_, _, inter, uni) = got.head
+    assert(2 * inter >= uni, "survived the Jaccard >= 0.5 verification")
+  }
+
   test("simhash: near-identical docs collide, disjoint docs don't (fixture)") {
     val planted = Dedup.minhashNearDups(spark, sf)
       .filter($"inter" * 100 >= $"uni" * 97).select("doc_a", "doc_b")

@@ -47,6 +47,59 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Seq((2L, "test", 1L)))
   }
 
+  test("sourceOverlap: hand-computed Jaccard; token-free pairs omitted") {
+    // kept vocab per source (after dictionary semi-join + stop-word anti-join):
+    // srcA {table,value,key}, srcB {value,key,scan,row}, srcC {merge,sort}
+    val docs = Seq(
+      (1L, "table value key the", "srcA"),
+      (2L, "value key scan row a", "srcB"),
+      (3L, "merge sort", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_overlap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.sourceOverlap(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // only (srcA, srcB) share tokens: inter {value,key}=2, uni=5, j=0.4
+    assert(got === Seq(("srcA", "srcB", 2L, 5L, 0.4)))
+  }
+
+  test("stratifiedSample: exact floor quota per stratum, content-keyed") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val xTexts = (0 until 6).map(i => s"x text number $i")
+    val yTexts = (0 until 4).map(i => s"y text number $i")
+    val docs = (xTexts.map((_, "srcX")) ++ yTexts.map((_, "srcY")))
+      .zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_strat").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.stratifiedSample(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    // floor(6*0.2)=1 from srcX, floor(4*0.2)=0 from srcY
+    assert(got.map(_._2) === Seq("srcX"))
+    // the sampled doc is the md5-minimal srcX text — content decides, not id
+    val expectText = xTexts.minBy(t => md5hex(s"sample|$t"))
+    val expectId = docs.find(_._2 == expectText).get._1
+    assert(got === Seq((expectId, "srcX", 1L)))
+  }
+
+  test("vocabGrowth: hand-computed novelty curve at batchSize=2") {
+    val docs = Seq(
+      0L -> "c1 c2 c3 c4 c5 c6",
+      1L -> "c1 c2 c3 c4 c5 c6",      // verbatim: nothing new
+      2L -> "c1 c2 c3 c4 c5 c7",      // one old shingle, one new
+      3L -> "x1 x2 x3 x4 x5")         // entirely new
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vocab").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.vocabGrowth(spark, dir, batchSize = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 2L, 2L, 1.0),          // batch 0: both shingles new
+      (1L, 3L, 2L, 4L, 0.666667)))    // batch 1: 3 seen, 2 new
+  }
+
   test("splitContamination: covers every eval doc; df cap only shrinks counts") {
     val full = TextAnalysis.splitContamination(spark, sf)
       .as[(Long, String, Long)].collect()
