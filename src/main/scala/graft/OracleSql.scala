@@ -871,7 +871,37 @@ object OracleSql {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size,
          |       ROUND(COALESCE(n_new, 0) / CAST(n_seen AS DOUBLE), 6) AS novelty
          |FROM seen s LEFT JOIN nw USING (batch)
-         |ORDER BY batch""".stripMargin)
+         |ORDER BY batch""".stripMargin) +
+    ("q67_trailing_window" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |  FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |       COUNT(*) OVER w AS n_1h,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin) +
+    ("q68_salted_revenue" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) +
+    ("q69_value_median" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |mid AS (
+        |  SELECT event_type, value, n FROM r
+        |  WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS median_value
+        |FROM mid GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 
   // lazy: referenced from `all` above (forward reference in init order)
   private lazy val HashSplitSql: String =

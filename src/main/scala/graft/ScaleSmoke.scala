@@ -65,7 +65,11 @@ object ScaleSmoke {
       "q26_ngram_jaccard", "q25_simhash_groups", "q36_sessions",
       "q23_minhash_neardups", "q27_embedding_neardups", "q53_simhash_hamming",
       "q57_simhash64_hamming", "q54_dedup_survivors",
-      "q58_doc_repetition", "q59_split_contamination")
+      "q58_doc_repetition", "q59_split_contamination",
+      // round 5: cross-corpus near-dup (verbatim copies preserve parity, so
+      // every cluster crosses the split 10×10 ways), centroid outliers
+      // (50k-vector sorted folds per (label,pos)), vocab growth
+      "q62_cross_corpus", "q64_label_outliers", "q66_vocab_growth")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()

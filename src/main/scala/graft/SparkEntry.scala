@@ -130,7 +130,13 @@ object SparkEntry {
     // Deterministic per-source stratified sample (exact 20% quota)
     "q65_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     // Shingle-vocabulary growth / novelty per ingestion batch
-    "q66_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)))
+    "q66_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
+    // Trailing-hour RANGE-frame window per user
+    "q67_trailing_window" -> ((s, d) => Events.trailingWindow(s, d)),
+    // Salted skew join, oracle-checked against the plain join
+    "q68_salted_revenue" -> ((s, d) => Relational.saltedRevenue(s, d)),
+    // Exact constructed per-group median
+    "q69_value_median" -> ((s, d) => Events.valueMedian(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -686,26 +686,32 @@ object Dedup {
 
   /** q62 form: the dump-over-dump query phrased on ONE corpus dir so the
     * harness can oracle-check it — odd doc_ids play the incoming dump,
-    * even ids the accumulated corpus. Both sides are parity filters over
-    * the session-cached shingle relation (one corpus-text pass, no extra
-    * persists), then the exact cross-corpus body runs unchanged. At scale
-    * the two filters are two real dump directories and the plan is
-    * identical.
+    * even ids the accumulated corpus. A doc's signature depends only on
+    * its own shingles, so both sides are parity FILTERS over the
+    * session-cached shingle and signature relations (one corpus-text
+    * pass, zero signature recomputation, no extra persists), then the
+    * exact cross-corpus body runs unchanged. At scale the two filters are
+    * two real dump directories and the plan is identical.
     */
   def crossCorpusParityDups(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-    crossCorpusFromShingles(
-      sh.filter(col("doc_id") % 2 === 1),
-      sh.filter(col("doc_id") % 2 === 0))
+    val bands = minhashBands(spark, dir)
+    val odd = (c: Column) => c % 2 === 1
+    crossCorpusFromParts(
+      sh.filter(odd(col("doc_id"))), bands.filter(odd(col("doc_id"))),
+      sh.filter(!odd(col("doc_id"))), bands.filter(!odd(col("doc_id"))))
   }
 
   /** The cross-corpus candidate+verify body over two prepared (doc_id,
     * shingle) relations — single definition shared by the free-standing
     * two-DataFrame entry point and the parity query form.
     */
-  private def crossCorpusFromShingles(inSh: DataFrame, coSh: DataFrame): DataFrame = {
-    val inBands = bandsOfSignatures(signaturesOfShingles(inSh))
-    val coBands = bandsOfSignatures(signaturesOfShingles(coSh))
+  private def crossCorpusFromShingles(inSh: DataFrame, coSh: DataFrame): DataFrame =
+    crossCorpusFromParts(inSh, bandsOfSignatures(signaturesOfShingles(inSh)),
+      coSh, bandsOfSignatures(signaturesOfShingles(coSh)))
+
+  private def crossCorpusFromParts(inSh: DataFrame, inBands: DataFrame,
+      coSh: DataFrame, coBands: DataFrame): DataFrame = {
     val cands = inBands.as("i")
       .join(coBands.as("c"),
         col("i.band") === col("c.band") && col("i.bucket") === col("c.bucket"))

@@ -164,6 +164,50 @@ object Events {
       .orderBy("step")
   }
 
+  /** Trailing-hour RANGE-frame window (q67): for every event, the same
+    * user's event count and exact value sum over [ts − 1h, ts] — the
+    * feature-engineering "activity in the last hour" column. A RANGE frame
+    * on integer epoch-micros (not ROWS: peers at the same timestamp must
+    * all be in-frame, which both engines define identically); the sum is
+    * decimal-snapped so partial aggregation order can't wobble low bits.
+    * Partitioned by user — each user's frame scan is independent, the
+    * 100 TB shuffle key is user_id.
+    */
+  def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-hourUs, 0)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("value").cast("decimal(18,2)")).over(w)
+        .cast("double"))
+      .select("user_id", "event_id", "ts_us", "n_1h", "sum_1h")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Exact per-group median (q69) without an engine median() — engines
+    * disagree on interpolation, so both sides CONSTRUCT it: rank by
+    * (value, event_id), pick the middle row (odd n) or the two middle
+    * rows (even n), average them through DECIMAL. One ranking window +
+    * one aggregate, partitioned by event_type.
+    */
+  def valueMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(byType.orderBy("value", "event_id")))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") * 2 === col("n") || col("rn") * 2 === col("n") + 1 ||
+        col("rn") * 2 === col("n") + 2)
+      .groupBy("event_type")
+      .agg(max("n").cast("long").as("n_events"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("median_value"))
+      .orderBy("event_type")
+  }
+
   /** JSON property extraction + aggregate: pull integer `$.k` out of the
     * props JSON string, sum per event type.
     */

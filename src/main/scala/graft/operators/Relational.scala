@@ -180,6 +180,23 @@ object Relational {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** Salted-join revenue (q68): orders ⋈ customer through Skew.saltedJoin —
+    * the pathological-hot-key escape hatch run as a real query, oracle-
+    * checked against the PLAIN join's SQL (salting must be result-
+    * invariant; SkewSpec proves it against Spark's own unsalted join, this
+    * proves it against an independent engine). The big side's key spreads
+    * over 8 salt buckets; the small side replicates 8×.
+    */
+  def saltedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    Skew.saltedJoin(orders, cust, "o_custkey", buckets = 8)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total_revenue"))
+      .orderBy("c_nationkey")
+  }
+
   /** Set operations: INTERSECT then EXCEPT over customer-key sets. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val bigSpenders = Tables.orders(spark, dir)

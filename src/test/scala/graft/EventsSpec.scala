@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Events, Relational}
+
+class EventsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.Sf
+
+  private def nsOfSec(s: Long): Long = s * 1000000000L
+
+  test("trailingWindow: RANGE frame is inclusive at exactly one hour") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_trail").toString
+    Seq(
+      (1L, nsOfSec(0), 10L, 1.50),
+      (2L, nsOfSec(1800), 10L, 2.25),
+      (3L, nsOfSec(3600), 10L, 3.00),  // exactly 1h after e1: e1 in-frame
+      (4L, nsOfSec(7201), 10L, 4.00))  // 3601s after e2: nothing else in-frame
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.trailingWindow(spark, dir)
+      .select("event_id", "n_1h", "sum_1h")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1.50), (2L, 2L, 3.75), (3L, 3L, 6.75), (4L, 1L, 4.00)))
+  }
+
+  test("valueMedian: exact middle for odd n, averaged middles for even n") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_median").toString
+    Seq(
+      (1L, nsOfSec(1), 1L, "A", 1.00), (2L, nsOfSec(2), 1L, "A", 3.00),
+      (3L, nsOfSec(3), 1L, "A", 2.00),
+      (4L, nsOfSec(4), 2L, "B", 10.00), (5L, nsOfSec(5), 2L, "B", 1.00),
+      (6L, nsOfSec(6), 2L, "B", 3.00), (7L, nsOfSec(7), 2L, "B", 2.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.valueMedian(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("A", 3L, 2.0), ("B", 4L, 2.5)))
+  }
+
+  test("saltedRevenue equals the plain unsalted join-aggregate") {
+    val plain = Tables.orders(spark, sf).select("o_custkey", "o_totalprice")
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), Seq("o_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        Relational.dsum2(col("o_totalprice")).as("total_revenue"))
+      .orderBy("c_nationkey")
+      .as[(Long, Long, Double)].collect().toSeq
+    val salted = Relational.saltedRevenue(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(salted === plain)
+  }
+}
