@@ -13,7 +13,8 @@ object Caches {
     operators.TokenPipeline.cache, operators.TokenPipeline.dictCache,
     operators.Dedup.cache, operators.Dedup.sigCache,
     operators.Dedup.clusterCache, operators.Dedup.repsCache,
-    operators.Dedup.fpCache, operators.Dedup.cappedCache)
+    operators.Dedup.fpCache, operators.Dedup.cappedCache,
+    operators.TextAnalysis.srcTokCache)
 
   /** Unpersist and drop every cached relation belonging to `spark`
     * (other sessions' entries are untouched).

@@ -839,8 +839,8 @@ object OracleSql {
          |cent AS (SELECT label, list(cv ORDER BY pos) AS cent FROM cpos GROUP BY label),
          |d AS (
          |  SELECT vec_id, e.label AS label,
-         |         sqrt(${dotExpr("emb", "emb")} - 2 * ${dotExpr("emb", "cent")}
-         |              + ${dotExpr("cent", "cent")}) AS d
+         |         sqrt(GREATEST(${dotExpr("emb", "emb")} - 2 * ${dotExpr("emb", "cent")}
+         |              + ${dotExpr("cent", "cent")}, 0.0)) AS d
          |  FROM e JOIN cent ON e.label = cent.label),
          |r AS (
          |  SELECT label, vec_id,

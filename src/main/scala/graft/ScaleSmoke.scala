@@ -66,9 +66,10 @@ object ScaleSmoke {
       "q23_minhash_neardups", "q27_embedding_neardups", "q53_simhash_hamming",
       "q57_simhash64_hamming", "q54_dedup_survivors",
       "q58_doc_repetition", "q59_split_contamination",
-      // round 5: cross-corpus near-dup (verbatim copies preserve parity, so
-      // every cluster crosses the split 10×10 ways), centroid outliers
-      // (50k-vector sorted folds per (label,pos)), vocab growth
+      // round 5: cross-corpus near-dup (the 1e6 id offset preserves parity,
+      // so each mixed-parity near-dup pair collides 10×10 ways across the
+      // split; same-parity verbatim clusters stay on one side), centroid
+      // outliers (~5k-value sorted folds per (label,pos)), vocab growth
       "q62_cross_corpus", "q64_label_outliers", "q66_vocab_growth")
     val qs = SparkEntry.queries
     heavy.foreach { name =>

@@ -187,11 +187,15 @@ object Similarity {
       .groupBy("label")
       .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("cs"))
       .select(col("label"), expr("transform(cs, x -> x.cv)").as("cent"))
+    // greatest(…, 0) clamps the cancellation case (vector ≈ centroid can
+    // push the expanded form a few ulps negative): without it Spark yields
+    // NaN while DuckDB ERRORS on sqrt of a negative — the clamp keeps both
+    // engines bit-identical and total
     val scored = e.join(broadcast(cent), Seq("label"))
       .select(col("label"), col("vec_id"),
-        sqrt(VectorFns.dot(col("emb"), col("emb"))
+        sqrt(greatest(VectorFns.dot(col("emb"), col("emb"))
           - lit(2.0) * VectorFns.dot(col("emb"), col("cent"))
-          + VectorFns.dot(col("cent"), col("cent"))).as("d"))
+          + VectorFns.dot(col("cent"), col("cent")), lit(0.0))).as("d"))
     val w = Window.partitionBy("label").orderBy(col("d").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

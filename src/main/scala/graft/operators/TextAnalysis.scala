@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.functions.TextFns
@@ -192,9 +194,7 @@ object TextAnalysis {
     * over documents. Pairs sharing zero tokens are omitted (inner join).
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val st = TokenPipeline.docTokenCounts(spark, dir)
-      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
-      .select("source", "token").distinct()
+    val st = sourceTokens(spark, dir)
     val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
     val inter = st.as("a")
       .join(st.as("b"),
@@ -213,6 +213,24 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  private[graft] val srcTokCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Cached DISTINCT (source, token) relation — sourceOverlap references
+    * it on both sides of its self-join plus the sizes aggregate, and
+    * re-aliased exprIds defeat exchange reuse, so without the persist the
+    * hub-join + distinct would execute once per reference.
+    */
+  private def sourceTokens(spark: SparkSession, dir: String): DataFrame =
+    srcTokCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        TokenPipeline.docTokenCounts(spark, dir)
+          .join(Tables.documents(spark, dir).select("doc_id", "source"),
+            Seq("doc_id"))
+          .select("source", "token").distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
   /** Deterministic stratified sample (q65): within each source stratum,
     * rank docs by (md5 of salted content, doc_id) and keep the first
     * `pct`% — exact per-stratum quota, RNG-free, reproducible across
@@ -222,7 +240,6 @@ object TextAnalysis {
     * form shuffles once on the stratum key).
     */
   def stratifiedSample(spark: SparkSession, dir: String, pct: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bySrc = Window.partitionBy("source")
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
@@ -247,7 +264,6 @@ object TextAnalysis {
     * partition prefix sum is over a vanishing row count at any scale.
     */
   def vocabGrowth(spark: SparkSession, dir: String, batchSize: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sb = Dedup.shingles(spark, dir)
       .select(expr(s"doc_id div $batchSize").as("batch"), col("shingle"))
       .distinct()
