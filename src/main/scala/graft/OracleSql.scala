@@ -901,7 +901,26 @@ object OracleSql {
         |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS median_value
         |FROM mid GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin) +
+    ("q70_collocations" ->
+      s"""WITH $ArrCte,
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, greatest(len(arr), 1)),
+         |                i -> array_to_string(arr[i:i+1], ' '))) AS bg
+         |  FROM base),
+         |pairs AS (
+         |  SELECT string_split(bg, ' ')[1] AS tok_a, string_split(bg, ' ')[2] AS tok_b
+         |  FROM bg),
+         |bgc AS (
+         |  SELECT tok_a, tok_b, COUNT(*) AS n_ab
+         |  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+         |uni AS (SELECT unnest(arr) AS tok FROM base),
+         |uc AS (SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok),
+         |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM uc)
+         |SELECT tok_a, tok_b, n_ab,
+         |       ROUND(ln(CAST(n_ab AS DOUBLE) * n_tot / (a.n * b.n)), 6) AS pmi
+         |FROM bgc JOIN uc a ON a.tok = tok_a JOIN uc b ON b.tok = tok_b, nt
+         |ORDER BY pmi DESC, tok_a, tok_b""".stripMargin)
 
   // lazy: referenced from `all` above (forward reference in init order)
   private lazy val HashSplitSql: String =

@@ -136,7 +136,9 @@ object SparkEntry {
     // Salted skew join, oracle-checked against the plain join
     "q68_salted_revenue" -> ((s, d) => Relational.saltedRevenue(s, d)),
     // Exact constructed per-group median
-    "q69_value_median" -> ((s, d) => Events.valueMedian(s, d)))
+    "q69_value_median" -> ((s, d) => Events.valueMedian(s, d)),
+    // PMI-scored collocations (phrase mining / tokenizer merge candidates)
+    "q70_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -281,6 +281,36 @@ object TextAnalysis {
       .orderBy("batch")
   }
 
+  /** Collocation extraction (q70): adjacent raw-token pairs scored by
+    * pointwise mutual information — PMI = ln(n_ab·N / (n_a·n_b)) over
+    * corpus-wide bigram/unigram occurrence counts — the classic
+    * phrase-mining / tokenizer-merge-candidate query. Everything is an
+    * integer count until the final ln (rounded to 6), so the oracle
+    * compare is exact; counts are distributed hash-aggregates and the
+    * unigram join is a broadcast (vocabulary-sized). `minCount` drops the
+    * long noise tail before ranking.
+    */
+  def collocations(spark: SparkSession, dir: String, minCount: Long = 10): DataFrame = {
+    val bg = withTokens(spark, dir)
+      .select(explode(TextFns.shingleArray(col("toks"), 2)).as("bg"))
+      .select(split(col("bg"), " ").as("p"))
+      .select(element_at(col("p"), 1).as("tok_a"), element_at(col("p"), 2).as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val uni = withTokens(spark, dir)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val nTot = uni.agg(sum("n").as("n_tot"))
+    bg
+      .join(broadcast(uni.select(col("tok").as("tok_a"), col("n").as("n_a"))), Seq("tok_a"))
+      .join(broadcast(uni.select(col("tok").as("tok_b"), col("n").as("n_b"))), Seq("tok_b"))
+      .crossJoin(broadcast(nTot))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("n_tot") / (col("n_a") * col("n_b"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+  }
+
   /** Character-bigram language signal: occurrences of the five most common
     * English bigrams (n-gram heuristic flavor of language ID; integer-exact
     * for the oracle).

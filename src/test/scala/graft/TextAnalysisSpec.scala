@@ -100,6 +100,45 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, 3L, 2L, 4L, 0.666667)))    // batch 1: 3 seen, 2 new
   }
 
+  test("vocabGrowth: final vocab_size equals the corpus distinct-shingle count") {
+    val got = TextAnalysis.vocabGrowth(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val distinctShingles = graft.operators.Dedup.shingles(spark, sf)
+      .select("shingle").distinct().count()
+    assert(got.last._4 === distinctShingles, "running sum closes on the true vocab")
+    assert(got.map(_._4) === got.map(_._4).sorted, "vocab_size is monotone")
+    assert(got.map(_._3).sum === distinctShingles, "every shingle is new exactly once")
+  }
+
+  test("valueMedian matches a driver-side exact median on the corpus") {
+    val got = graft.operators.Events.valueMedian(spark, sf)
+      .as[(String, Long, Double)].collect()
+      .map { case (t, n, m) => t -> (n, m) }.toMap
+    val raw = graft.Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, vs) =>
+        val s = vs.map(_._2).sorted
+        val n = s.length
+        val m: Double = if (n % 2 == 1) s(n / 2)
+          else (BigDecimal.valueOf(s(n / 2 - 1)) / 2 +
+                BigDecimal.valueOf(s(n / 2)) / 2).toDouble
+        t -> (n.toLong, m)
+      }
+    assert(got === raw)
+  }
+
+  test("collocations: hand-computed PMI on a tiny corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pmi").toString
+    Seq(1L -> "x y x y x y").toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.collocations(spark, dir, minCount = 1)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // n(x y)=3, n(y x)=2, unigrams x=3 y=3, N=6:
+    // pmi(x,y)=ln(3*6/9)=ln 2, pmi(y,x)=ln(2*6/9)=ln(4/3)
+    assert(got === Seq(
+      ("x", "y", 3L, 0.693147), ("y", "x", 2L, 0.287682)))
+  }
+
   test("splitContamination: covers every eval doc; df cap only shrinks counts") {
     val full = TextAnalysis.splitContamination(spark, sf)
       .as[(Long, String, Long)].collect()
