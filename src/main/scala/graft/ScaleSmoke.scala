@@ -70,7 +70,8 @@ object ScaleSmoke {
       // so each mixed-parity near-dup pair collides 10×10 ways across the
       // split; same-parity verbatim clusters stay on one side), centroid
       // outliers (~5k-value sorted folds per (label,pos)), vocab growth
-      "q62_cross_corpus", "q64_label_outliers", "q66_vocab_growth")
+      "q62_cross_corpus", "q64_label_outliers", "q66_vocab_growth",
+      "q70_collocations")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()
