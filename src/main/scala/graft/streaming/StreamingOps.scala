@@ -193,6 +193,88 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  case class EvFull(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+  /** (ts_us, event_id, value, emitted) — unemitted events plus emitted
+    * events still inside some future frame's reach.
+    */
+  case class TrailState(buf: List[(Long, Long, Double, Boolean)])
+  case class TrailOut(user_id: Long, event_id: Long, ts_us: Long,
+      n_1h: Long, sum_1h: Double)
+
+  /** True incremental trailing-window features — the streaming twin of
+    * Events.trailingWindow (q67): for every event, the same user's event
+    * count and exact value sum over [ts − windowUs, ts].
+    *
+    * Emission is WATERMARK-SEALED: an event emits only once the watermark
+    * passes its timestamp, at which point every event that can fall in its
+    * frame (all have ts ≤ this event's ts) has provably arrived — so the
+    * emitted numbers are EXACTLY the batch RANGE-frame result under any
+    * arrival order within the lateness tolerance, including equal-timestamp
+    * peers and cross-batch stragglers. Emitting eagerly instead would
+    * silently undercount both. The cost is flush latency bounded by
+    * `delay` + one micro-batch, the same trade sessionizeStreaming makes.
+    *
+    * State per user is the frame buffer: unemitted events plus emitted
+    * events newer than watermark − windowUs (still reachable by a future
+    * frame) — bounded by the user's event rate × (window + delay). Idle
+    * users' state drains via EventTimeTimeout once nothing pending or
+    * reachable remains. Sums fold through BigDecimal, matching the batch
+    * operator's DECIMAL device exactly.
+    *
+    * The seal boundary (`ts <= watermark` seals) is exactly the complement
+    * of Spark's delivery boundary: FlatMapGroupsWithStateExec filters rows
+    * with event time at or below the late-events watermark before they
+    * reach this function (verified against Spark 4.1 — it DOES auto-drop,
+    * matching aggregation semantics), so once an event seals, no row that
+    * could join its frame can ever be delivered. Stragglers beyond the
+    * tolerance are therefore dropped by the engine, never half-counted.
+    */
+  def trailingWindowStreaming(events: Dataset[EvFull], windowUs: Long,
+      delay: String = "0 seconds"): Dataset[TrailOut] = {
+    require(events.isStreaming,
+      "trailingWindowStreaming is streaming-only (emission is sealed by " +
+        "watermark passage, which never happens in batch); use " +
+        "Events.trailingWindow for batch input")
+    require(windowUs > 0, "windowUs must be a positive microsecond span")
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[EvFull],
+        state: GroupState[TrailState]): Iterator[TrailOut] = {
+      var buf = state.getOption.map(_.buf).getOrElse(Nil)
+      evs.foreach(e => buf = (e.ts.getTime * 1000L, e.event_id, e.value, false) :: buf)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val sorted = buf.sortBy(t => (t._1, t._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[TrailOut]
+      val next = sorted.map { case ev @ (us, id, _, emitted) =>
+        if (emitted || us > wmUs) ev
+        else {
+          val frame = sorted.filter(t => t._1 >= us - windowUs && t._1 <= us)
+          out += TrailOut(userId, id, us, frame.size.toLong,
+            frame.foldLeft(BigDecimal(0))((a, t) => a + BigDecimal.valueOf(t._3))
+              .toDouble)
+          ev.copy(_4 = true)
+        }
+      }.filter(t => !t._4 || t._1 >= wmUs - windowUs)
+      if (next.isEmpty) state.remove()
+      else {
+        state.update(TrailState(next))
+        // wake when the watermark can next seal something: the oldest
+        // unemitted event, else once the last support row ages out of
+        // every possible frame. Clamp above the current watermark —
+        // setTimeoutTimestamp at or below it throws and kills the query.
+        val wakeUs = next.find(!_._4).map(_._1)
+          .getOrElse(next.map(_._1).max + windowUs)
+        state.setTimeoutTimestamp(math.max(wakeUs / 1000L,
+          state.getCurrentWatermarkMs() + 1L))
+      }
+      out.iterator
+    }
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   case class DocFp(doc_id: Long, text: String, fp: String)
 
   /** Restart-safety guard shared by the ingest sinks: restarting WITHOUT a

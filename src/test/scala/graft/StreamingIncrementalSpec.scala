@@ -359,4 +359,55 @@ class StreamingIncrementalSpec extends AnyFunSuite {
       assert(rows === Set(("10:00", "x", 3L), ("11:00", "y", 1L)))
     } finally q.stop()
   }
+
+  test("trailingWindowStreaming matches batch under out-of-order and ts-tie arrivals") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.EvFull
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val hourUs = 3600L * 1000000
+    // user 1: in-order events plus e5 arriving two batches late (in-tolerance);
+    // user 3: equal-timestamp peers split across batches — the case eager
+    // emission undercounts; user 2: watermark-advancing sentinels
+    val u1 = Seq(
+      EvFull(1L, 1L, t("10:00:00"), 1.50), EvFull(1L, 2L, t("10:30:00"), 2.25),
+      EvFull(1L, 3L, t("11:00:00"), 3.00), EvFull(1L, 4L, t("12:01:00"), 4.00),
+      EvFull(1L, 5L, t("10:45:00"), 0.25))
+    val u3 = Seq(
+      EvFull(3L, 10L, t("10:00:00"), 1.00), EvFull(3L, 11L, t("10:00:00"), 2.00))
+    val input = MemoryStream[EvFull]
+    val q = StreamingOps.trailingWindowStreaming(input.toDS(), hourUs, "1 hour")
+      .writeStream.format("memory").queryName("inc_trail")
+      .outputMode("append").start()
+    try {
+      input.addData(u1(0), u1(1), u3(0)); q.processAllAvailable()
+      // ts-tie peer e11 arrives one batch later than e10, while the
+      // watermark (9:30 after this batch) is still strictly below their
+      // shared 10:00 timestamp — an eager implementation would already
+      // have emitted e10 with n=1
+      input.addData(u1(2), u3(1)); q.processAllAvailable()
+      // e5 (10:45) arrives AFTER e3 (11:00), still ahead of the watermark
+      input.addData(u1(4)); q.processAllAvailable()
+      input.addData(u1(3)); q.processAllAvailable()
+      // sentinels push the watermark past every real event
+      input.addData(EvFull(2L, 100L, t("13:30:00"), 0.0)); q.processAllAvailable()
+      input.addData(EvFull(2L, 101L, t("14:30:00"), 0.0)); q.processAllAvailable()
+      val got = spark.table("inc_trail")
+        .filter($"user_id" =!= 2L)
+        .select("user_id", "event_id", "ts_us", "n_1h", "sum_1h")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      // batch oracle over the identical events
+      val dir = java.nio.file.Files.createTempDirectory("graft_trail_tw").toString
+      (u1 ++ u3).map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id, e.value))
+        .toDF("event_id", "ts", "user_id", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val want = graft.operators.Events.trailingWindow(spark, dir)
+        .select("user_id", "event_id", "ts_us", "n_1h", "sum_1h")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got === want)
+      // the tie case really exercised cross-batch sealing: both peers count both
+      assert(got.filter(_._1 == 3L).map(r => (r._4, r._5)) === Set((2L, 3.00)))
+    } finally q.stop()
+  }
 }
