@@ -14,7 +14,7 @@ object Caches {
     operators.Dedup.cache, operators.Dedup.sigCache,
     operators.Dedup.clusterCache, operators.Dedup.repsCache,
     operators.Dedup.fpCache, operators.Dedup.cappedCache,
-    operators.TextAnalysis.srcTokCache)
+    operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache)
 
   /** Unpersist and drop every cached relation belonging to `spark`
     * (other sessions' entries are untouched).

@@ -281,6 +281,23 @@ object TextAnalysis {
       .orderBy("batch")
   }
 
+  private[graft] val rawTokCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Cached ordered-token relation (doc_id, toks). The token HUB
+    * (TokenPipeline.docTokenCounts) can't serve order-sensitive
+    * consumers — it collapses to per-doc counts — so adjacency queries
+    * share this relation instead: the corpus is scanned and tokenized
+    * once per (session, dir), not once per branch that needs token
+    * order.
+    */
+  private def rawTokens(spark: SparkSession, dir: String): DataFrame =
+    rawTokCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        withTokens(spark, dir).select("doc_id", "toks")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
   /** Collocation extraction (q70): adjacent raw-token pairs scored by
     * pointwise mutual information — PMI = ln(n_ab·N / (n_a·n_b)) over
     * corpus-wide bigram/unigram occurrence counts — the classic
@@ -288,16 +305,17 @@ object TextAnalysis {
     * integer count until the final ln (rounded to 6), so the oracle
     * compare is exact; counts are distributed hash-aggregates and the
     * unigram join is a broadcast (vocabulary-sized). `minCount` drops the
-    * long noise tail before ranking.
+    * long noise tail before ranking. Both count branches read the cached
+    * rawTokens relation — one tokenize pass over the corpus, not two.
     */
   def collocations(spark: SparkSession, dir: String, minCount: Long = 10): DataFrame = {
-    val bg = withTokens(spark, dir)
+    val bg = rawTokens(spark, dir)
       .select(explode(TextFns.shingleArray(col("toks"), 2)).as("bg"))
       .select(split(col("bg"), " ").as("p"))
       .select(element_at(col("p"), 1).as("tok_a"), element_at(col("p"), 2).as("tok_b"))
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
-    val uni = withTokens(spark, dir)
+    val uni = rawTokens(spark, dir)
       .select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
     val nTot = uni.agg(sum("n").as("n_tot"))
