@@ -920,7 +920,32 @@ object OracleSql {
          |SELECT tok_a, tok_b, n_ab,
          |       ROUND(ln(CAST(n_ab AS DOUBLE) * n_tot / (a.n * b.n)), 6) AS pmi
          |FROM bgc JOIN uc a ON a.tok = tok_a JOIN uc b ON b.tok = tok_b, nt
-         |ORDER BY pmi DESC, tok_a, tok_b""".stripMargin)
+         |ORDER BY pmi DESC, tok_a, tok_b""".stripMargin) +
+    ("q71_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
+        |                              x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS first_tok
+        |  FROM t)
+        |SELECT source, CAST(first_tok // 5000 AS BIGINT) AS shard_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY source, shard_id
+        |ORDER BY source, shard_id""".stripMargin) +
+    ("q72_epoch_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+        |m AS (SELECT MAX(n_src) AS n_max FROM c),
+        |r AS (SELECT source, LEAST(4, GREATEST(1, n_max // n_src)) AS repeats FROM c, m)
+        |SELECT doc_id, d.source AS source,
+        |       CAST(unnest(range(1, repeats + 1)) AS BIGINT) AS epoch
+        |FROM documents d JOIN r ON d.source = r.source
+        |ORDER BY doc_id, epoch""".stripMargin)
 
   // lazy: referenced from `all` above (forward reference in init order)
   private lazy val HashSplitSql: String =

@@ -138,7 +138,11 @@ object SparkEntry {
     // Exact constructed per-group median
     "q69_value_median" -> ((s, d) => Events.valueMedian(s, d)),
     // PMI-scored collocations (phrase mining / tokenizer merge candidates)
-    "q70_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)))
+    "q70_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
+    // Sequence packing: per-source token-budget training shards
+    "q71_pack_shards" -> ((s, d) => TextAnalysis.packShards(s, d)),
+    // Source-balancing epoch mix (deterministic oversampling recipe)
+    "q72_epoch_mix" -> ((s, d) => TextAnalysis.epochMix(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -329,6 +329,61 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
   }
 
+  /** Sequence packing (q71): assign documents to fixed token-budget
+    * training shards, per source — the concat-and-chunk step a
+    * pretraining pipeline runs right before writing tokenized shards. A
+    * document lands in the shard its FIRST token falls into under an
+    * exclusive prefix sum of per-doc token counts, so shard membership
+    * is a pure function of (source, doc order, token counts) —
+    * deterministic across engines and cluster sizes. The prefix-sum
+    * window partitions by source, so strata pack independently: one
+    * shuffle on the stratum key, no single-partition window at any
+    * scale. Output is one row per shard with its doc span and token
+    * payload (a doc longer than `budget` overflows its shard rather
+    * than splitting — document-granularity packing).
+    */
+  def packShards(spark: SparkSession, dir: String, budget: Long = 5000): DataFrame = {
+    require(budget > 0, "budget must be a positive token count")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokenize(col("text"))).cast("long").as("n_tok"))
+      .withColumn("first_tok", sum("n_tok").over(w) - col("n_tok"))
+      .withColumn("shard_id", expr(s"first_tok div $budget"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("source", "shard_id")
+  }
+
+  /** Source-balancing epoch mix (q72): the oversampling step of a data
+    * mixture — each source repeats for `n_max div n_src` epochs (largest
+    * source = 1), capped at `maxRepeat`, so under-represented sources
+    * approach parity without unbounded duplication. Emits one row per
+    * (doc, epoch); the mixture is integer-exact and RNG-free, so the
+    * same recipe reproduces bit-identically on any cluster. The repeat
+    * table is vocabulary-of-sources sized — broadcast — and the explode
+    * is narrow: no shuffle beyond the count aggregate at any scale.
+    */
+  def epochMix(spark: SparkSession, dir: String, maxRepeat: Long = 4): DataFrame = {
+    require(maxRepeat >= 1, "maxRepeat must allow at least one epoch")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val reps = counts.crossJoin(broadcast(counts.agg(max("n_src").as("n_max"))))
+      .select(col("source"),
+        least(lit(maxRepeat), greatest(lit(1L), expr("n_max div n_src")))
+          .as("repeats"))
+    docs.join(broadcast(reps), Seq("source"))
+      // repeats >= 1 always, so sequence() is never empty (its empty form
+      // raises in Spark) and every doc keeps at least epoch 1
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("repeats"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Character-bigram language signal: occurrences of the five most common
     * English bigrams (n-gram heuristic flavor of language ID; integer-exact
     * for the oracle).

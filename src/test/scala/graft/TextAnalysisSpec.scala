@@ -162,4 +162,74 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(capped(doc) <= n, s"cap increased overlap for doc $doc")
     }
   }
+
+  test("stratifiedSample: exact floor quota and pct-nesting at every rate") {
+    val srcCounts = graft.Tables.documents(spark, sf)
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    var prev = Map.empty[String, Set[Long]]
+    // ascending rates: each stratum hits floor(n*pct/100) exactly, and the
+    // rank ordering is pct-independent, so samples NEST as pct grows —
+    // a pipeline can raise its sampling rate without churning picked docs
+    for (pct <- Seq(1, 7, 20, 33, 50, 99, 100)) {
+      val got = TextAnalysis.stratifiedSample(spark, sf, pct)
+        .as[(Long, String, Long)].collect()
+      val bySrc = got.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._1).toSet }
+      srcCounts.foreach { case (src, n) =>
+        assert(bySrc.getOrElse(src, Set.empty).size.toLong === n * pct / 100,
+          s"quota off for $src at pct=$pct")
+      }
+      prev.foreach { case (src, picked) =>
+        assert(picked.subsetOf(bySrc.getOrElse(src, Set.empty)),
+          s"sample at lower pct not nested for $src at pct=$pct")
+      }
+      prev = bySrc
+    }
+    assert(prev.values.map(_.size).sum.toLong === srcCounts.values.sum,
+      "pct=100 keeps every document")
+  }
+
+  test("packShards: hand-computed concat-and-chunk shard assignment") {
+    // srcA token counts in doc order: 3, 4, 2, 5 — budget 6:
+    //   first-token offsets 0, 3, 7, 9 → shards 0, 0, 1, 1
+    // srcB: 2, 1 → offsets 0, 2 → both shard 0 (packs independently of A)
+    val docs = Seq(
+      (1L, "a b c", "srcA"), (2L, "d e f g", "srcA"),
+      (3L, "h i", "srcA"), (4L, "j k l m n", "srcA"),
+      (5L, "x y", "srcB"), (6L, "z", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.packShards(spark, dir, budget = 6)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("srcA", 0L, 2L, 7L, 1L, 2L),
+      ("srcA", 1L, 2L, 7L, 3L, 4L),
+      ("srcB", 0L, 2L, 3L, 5L, 6L)))
+    // every document lands in exactly one shard; token payload is conserved
+    assert(got.map(_._4).sum === 17L)
+  }
+
+  test("epochMix: small sources repeat toward parity, capped; largest stays 1") {
+    // srcBig 8 docs, srcMid 3 docs (8 div 3 = 2 epochs), srcTiny 1 doc
+    // (8 div 1 = 8 → capped at 4)
+    val docs = ((1L to 8L).map(i => (i, s"t$i", "srcBig")) ++
+      (9L to 11L).map(i => (i, s"t$i", "srcMid")) ++
+      Seq((12L, "t12", "srcTiny")))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.epochMix(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    val epochsBySrc = got.groupBy(_._2).map { case (s, rs) =>
+      s -> rs.groupBy(_._1).values.map(_.map(_._3).sorted).toSet }
+    assert(epochsBySrc("srcBig") === Set(Seq(1L)))
+    assert(epochsBySrc("srcMid") === Set(Seq(1L, 2L)))
+    assert(epochsBySrc("srcTiny") === Set(Seq(1L, 2L, 3L, 4L)))
+    // mixture sizes: 8·1 + 3·2 + 1·4
+    assert(got.size === 18)
+    // raising the cap lifts only the capped source
+    val uncapped = TextAnalysis.epochMix(spark, dir, maxRepeat = 16)
+    assert(uncapped.count() === 8L + 6L + 8L)
+  }
 }
