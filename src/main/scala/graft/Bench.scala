@@ -4,14 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC") // parity with Verify/Plans
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.plans.GraftExtensions.register(spark)
+    val spark = Sessions.start(cpus)
     // Warmup, timed separately: materialize every shared persisted relation
     // and touch each table once, so the timed loop measures per-query work —
     // not session/scan warmup or first-touch cache fills that would
@@ -74,14 +67,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     // The driver captures only the LAST ~4 KB of output and parses the final
-    // {"metric":...} line from it. Round-4's single line carried both passes
-    // at full double precision (~5 KB), overflowed that window, and the
-    // driver recorded parsed:null. So: the cold pass goes on its own
-    // diagnostic line FIRST (no "metric" key, so no parser can mistake it),
-    // and the headline line stays compact (3-decimal seconds, warm pass
-    // only) and LAST.
+    // {"metric":...} line from it. Rounds 1-5 all recorded parsed:null: the
+    // per-query map for 72 queries is ~2.5 KB, and with the cold line ahead
+    // of it the HEAD of the metric line fell outside the tail window
+    // (BENCH_r05's capture starts mid-q03). Structural fix: the per-query
+    // maps go on their own earlier diagnostic lines (no "metric" key, so no
+    // parser can mistake them), and the final line carries ONLY scalar
+    // totals — ~170 bytes, guaranteed complete inside any tail window.
     println(s"""{"bench_cold_pass":${fmt(cold)},"cold_total":${s3(coldTotal)}}""")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${fmt(results)},"failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"sf":"$sfDir"}""")
+    println(s"""{"bench_warm_pass":${fmt(results)}}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,14 +18,7 @@ object ScaleSmoke {
     val copies = if (args.length > 1) args(1).toInt else 10
     val src = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.plans.GraftExtensions.register(spark)
+    val spark = Sessions.start(cpus)
 
     // completeness marker written LAST (and stamped with the copy count):
     // a crash mid-generation or a different `copies` must trigger a rebuild,

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the library's local-mode sessions (Bench / Verify /
+  * Smoke / ScaleSmoke / Plans / tests) so engine-level tuning lands
+  * everywhere at once.
+  */
+object Sessions {
+
+  /** ObjectHashAggregate falls back to SORT-based aggregation once a
+    * partition's in-memory hash map exceeds this many groups — and Spark's
+    * default is 128. Every typed-Aggregator query grouping by a
+    * high-cardinality key (q43 groups by doc_id: ~50k groups at sf0.1)
+    * blows past 128 immediately, so the "bounded top-k, no buried sort"
+    * plan was still sorting the full input per partition with
+    * kryo-serialized buffers. Measured on sf0.1/local[32], warm:
+    * 0.94–1.39 s at the default vs 0.79 s raised; cold 3.46 s vs 0.87 s —
+    * and the sort+spill path is what a contended host amplifies (BENCH_r05
+    * recorded q43 at 5.04 s driver-warm).
+    *
+    * 256k covers this suite's group-per-partition counts with ~16×
+    * headroom (10× smoke: ~16k groups/partition) while bounding worst-case
+    * hash-map memory: our top-k buffers are ≤k tuples (~150 B), so 256k
+    * groups ≈ 40 MB/partition. At true 100 TB scale, partitions sized to
+    * ~128 MB keep group counts in the low millions — raise this with the
+    * partition budget, or leave the sort fallback as the spill-safe path
+    * for aggregates with unbounded buffers (collect_list).
+    */
+  val ObjectHashFallbackGroups = 262144
+
+  /** Configured builder; callers add master-specific overrides then
+    * `getOrCreate()`.
+    */
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        ObjectHashFallbackGroups.toString)
+
+  /** Build, quiet the logs, and register the custom planner extensions. */
+  def start(cpus: String, logLevel: String = "WARN"): SparkSession = {
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    graft.plans.GraftExtensions.register(spark)
+    spark
+  }
+}
