@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers tail-capture stdout and parse the final
+// {"metric":...} JSON line. sbt's default forked-output strategy routes
+// the child's stdout through its logger, prefixing every line with
+// "[info] " — which made the metric line unparseable for 7 straight
+// rounds. StdoutOutput inherits the parent's raw stdout instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and keep sbt's own "[success] Total time" epilogue out of the tail
+// window so the JSON line stays the last meaningful stdout content.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
