@@ -20,6 +20,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ...and keep sbt's own "[success] Total time" epilogue out of the tail
 // window so the JSON line stays the last meaningful stdout content.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by commands, not tasks
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

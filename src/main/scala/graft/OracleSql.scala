@@ -945,7 +945,72 @@ object OracleSql {
         |SELECT doc_id, d.source AS source,
         |       CAST(unnest(range(1, repeats + 1)) AS BIGINT) AS epoch
         |FROM documents d JOIN r ON d.source = r.source
-        |ORDER BY doc_id, epoch""".stripMargin)
+        |ORDER BY doc_id, epoch""".stripMargin) +
+    ("q73_bpe_merges" -> BpeMergesSql) +
+    ("q74_semdedup_survivors" ->
+      s"""WITH RECURSIVE $EmbCte,
+         |vpairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${dotExpr("a.emb", "b.emb")} / (a.nrm * b.nrm) >= 0.25),
+         |vedges AS (
+         |  SELECT vec_a, vec_b FROM vpairs
+         |  UNION SELECT vec_b AS vec_a, vec_a AS vec_b FROM vpairs),
+         |vreach(a, b) AS (
+         |  SELECT vec_a, vec_a FROM vedges
+         |  UNION
+         |  SELECT r.a, e.vec_b FROM vreach r JOIN vedges e ON r.b = e.vec_a),
+         |vcomp AS (SELECT a AS vec_id, MIN(b) AS component_id FROM vreach GROUP BY a)
+         |SELECT emb0.vec_id AS vec_id,
+         |       COALESCE(vcomp.component_id, emb0.vec_id) AS component_id,
+         |       (COALESCE(vcomp.component_id, emb0.vec_id) = emb0.vec_id) AS kept
+         |FROM embeddings emb0 LEFT JOIN vcomp USING (vec_id)
+         |ORDER BY vec_id""".stripMargin)
+
+  /** One BPE round in SQL: count adjacent non-self pairs over t{r-1},
+    * pick the top one (count desc, then lexicographic), rewrite matches —
+    * a match-start row becomes the merged token, its successor is
+    * dropped; non-self pairs cannot overlap, so the rewrite is a pure
+    * window expression. Mirrors TextAnalysis.bpeMerges round-for-round.
+    */
+  private def bpeRoundCtes(r: Int): String = {
+    val prev = if (r == 1) "t0" else s"t${r - 1}"
+    s"""c$r AS (
+       |  SELECT a, b, COUNT(*) AS n FROM (
+       |    SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id ORDER BY idx) AS b
+       |    FROM $prev)
+       |  WHERE b IS NOT NULL AND a <> b GROUP BY a, b),
+       |p$r AS (SELECT a, b, n FROM c$r ORDER BY n DESC, a, b LIMIT 1),
+       |t$r AS (
+       |  SELECT doc_id, idx,
+       |         CASE WHEN is_start THEN a || '_' || b ELSE tok END AS tok
+       |  FROM (
+       |    SELECT doc_id, idx, tok, a, b, is_start,
+       |           COALESCE(lag(is_start) OVER (PARTITION BY doc_id ORDER BY idx),
+       |                    false) AS prev_start
+       |    FROM (
+       |      SELECT t.doc_id, t.idx, t.tok, p.a, p.b,
+       |             COALESCE(t.tok = p.a
+       |               AND lead(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.idx) = p.b,
+       |               false) AS is_start
+       |      FROM $prev t, p$r p))
+       |  WHERE NOT prev_start)""".stripMargin
+  }
+
+  private lazy val BpeMergesSql: String = {
+    val rounds = 3 // TextAnalysis.bpeMerges default
+    val sel = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS tok_a, b AS tok_b, " +
+        s"CAST(n AS BIGINT) AS n_ab, a || '_' || b AS merged FROM p$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $ArrCte,
+       |t0 AS (
+       |  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS idx, unnest(arr) AS tok
+       |  FROM base),
+       |${(1 to rounds).map(bpeRoundCtes).mkString(",\n")}
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
 
   // lazy: referenced from `all` above (forward reference in init order)
   private lazy val HashSplitSql: String =

@@ -64,7 +64,10 @@ object ScaleSmoke {
       // split; same-parity verbatim clusters stay on one side), centroid
       // outliers (~5k-value sorted folds per (label,pos)), vocab growth
       "q62_cross_corpus", "q64_label_outliers", "q66_vocab_growth",
-      "q70_collocations")
+      "q70_collocations",
+      // round 8: shard packing (per-source prefix-sum windows over 10×
+      // rows) and epoch mix (explode over the 10× doc set)
+      "q71_pack_shards", "q72_epoch_mix")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()

@@ -41,9 +41,13 @@ object Sessions {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         ObjectHashFallbackGroups.toString)
 
-  /** Build, quiet the logs, and register the custom planner extensions. */
-  def start(cpus: String, logLevel: String = "WARN"): SparkSession = {
-    val spark = builder(cpus).getOrCreate()
+  /** Build, quiet the logs, and register the custom planner extensions.
+    * `appName` is the one per-caller knob (tests want a distinct name);
+    * everything else is engine-level and must not fork per caller.
+    */
+  def start(cpus: String, logLevel: String = "WARN",
+      appName: String = "graft"): SparkSession = {
+    val spark = builder(cpus).appName(appName).getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     graft.plans.GraftExtensions.register(spark)
     spark

@@ -142,7 +142,11 @@ object SparkEntry {
     // Sequence packing: per-source token-budget training shards
     "q71_pack_shards" -> ((s, d) => TextAnalysis.packShards(s, d)),
     // Source-balancing epoch mix (deterministic oversampling recipe)
-    "q72_epoch_mix" -> ((s, d) => TextAnalysis.epochMix(s, d)))
+    "q72_epoch_mix" -> ((s, d) => TextAnalysis.epochMix(s, d)),
+    // BPE training loop: k greedy corpus-wide pair merges (merge table)
+    "q73_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    // SemDeDup: components over embedding near-dup edges, min-id survivor
+    "q74_semdedup_survivors" -> ((s, d) => Dedup.semDedupSurvivors(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -355,31 +355,17 @@ object Dedup {
     * most expensive in the suite — the final relation is already
     * localCheckpoint-materialized, so caching it is free.
     */
-  private def dupClusterLabels(spark: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
-    // Propagate on the REPRESENTATIVE graph and expand member labels at
-    // the end: identical texts are by construction in one component, and
-    // the component's min doc_id IS its min rep_id (every member ≥ its
-    // group's rep), so rep-level labels expanded through the membership
-    // map equal doc-level labels — at a fraction of the per-round join
-    // size when verbatim copies exist. Dup-free corpora skip the rep
-    // machinery (vertices = edge endpoints, no final expansion join).
-    val collapse = hasVerbatimDups(spark, dir)
-    val edges = repNearDupPairs(spark, dir, collapse).select("doc_a", "doc_b")
-    val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // vertex set: edge endpoints PLUS reps of multi-member groups that
-    // have shingles — their members form within-group pairs in the
-    // expanded relation even when the rep has no cross-rep edge
-    val endpoints = sym.select(col("doc_a").as("doc_id"))
-    val verts =
-      if (!collapse) endpoints
-      else endpoints.union(
-        verbatimReps(spark, dir)
-          .groupBy("rep_id").agg(count(lit(1)).as("nm"))
-          .filter(col("nm") > 1)
-          .select(col("rep_id").as("doc_id"))
-          .join(shingles(spark, dir).select("doc_id"), Seq("doc_id"), "left_semi"))
+  /** Distributed min-label propagation to a fixpoint: every vertex
+    * iteratively takes the min label among itself and its neighbors —
+    * connected components labeled by their minimum member id. `verts` is
+    * a one-column (`doc_id`) vertex relation (deduplicated here); `sym`
+    * is the symmetrized edge list (doc_a, doc_b), read once per round, so
+    * callers should persist it. Rounds needed = component diameter.
+    * Shared by the shingle near-dup clusters (q52) and the SemDeDup
+    * embedding clusters (q74). Returns (doc_id, component_id),
+    * localCheckpoint-materialized.
+    */
+  private[graft] def propagateMinLabels(verts: DataFrame, sym: DataFrame): DataFrame = {
     // localCheckpoint (eager) both materializes the round's labels AND
     // truncates lineage — without it each round's plan stacks on the last
     // and replanning cost compounds with the iteration count.
@@ -417,10 +403,39 @@ object Dedup {
       labels = next.select("doc_id", "component_id")
       rounds += 1
     }
-    sym.unpersist()
     // fail loudly rather than return non-minimal labels for a pathological
     // long-chain component
-    require(converged, s"dupClusters did not converge in $maxRounds rounds")
+    require(converged, s"label propagation did not converge in $maxRounds rounds")
+    labels
+  }
+
+  private def dupClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    clusterCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+    // Propagate on the REPRESENTATIVE graph and expand member labels at
+    // the end: identical texts are by construction in one component, and
+    // the component's min doc_id IS its min rep_id (every member ≥ its
+    // group's rep), so rep-level labels expanded through the membership
+    // map equal doc-level labels — at a fraction of the per-round join
+    // size when verbatim copies exist. Dup-free corpora skip the rep
+    // machinery (vertices = edge endpoints, no final expansion join).
+    val collapse = hasVerbatimDups(spark, dir)
+    val edges = repNearDupPairs(spark, dir, collapse).select("doc_a", "doc_b")
+    val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // vertex set: edge endpoints PLUS reps of multi-member groups that
+    // have shingles — their members form within-group pairs in the
+    // expanded relation even when the rep has no cross-rep edge
+    val endpoints = sym.select(col("doc_a").as("doc_id"))
+    val verts =
+      if (!collapse) endpoints
+      else endpoints.union(
+        verbatimReps(spark, dir)
+          .groupBy("rep_id").agg(count(lit(1)).as("nm"))
+          .filter(col("nm") > 1)
+          .select(col("rep_id").as("doc_id"))
+          .join(shingles(spark, dir).select("doc_id"), Seq("doc_id"), "left_semi"))
+    val labels = propagateMinLabels(verts, sym)
+    sym.unpersist()
     // expand rep-level labels to every member of each labeled group; once
     // the expansion is checkpointed, the loop-final rep-level checkpoint
     // can be freed (it would otherwise outlive Caches.clear, which only
@@ -768,5 +783,36 @@ object Dedup {
       .filter(col("c") >= 0.25)
       .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** SemDeDup-style embedding survivors (q74): connected components over
+    * the verified embedding near-dup edges (q27's sign-LSH buckets +
+    * in-bucket cosine ≥ 0.25), labeled by minimum vec_id through the same
+    * distributed min-label propagation as q52, then EVERY vector marked
+    * with its component and whether it is the canonical survivor — the
+    * embedding-space analogue of dedupSurvivors, i.e. the "cluster
+    * semantically, keep one per cluster" semantic-dedup recipe. Scale:
+    * candidate edges come from bucketed equi-joins (never all-pairs, and
+    * `bits` grows with log₂(n) — see embeddingNearDups), propagation is
+    * one join+agg per round with checkpointed labels, and the final
+    * survivor join is vector-grain.
+    */
+  def semDedupSurvivors(spark: SparkSession, dir: String,
+      bits: Int = 6): DataFrame = {
+    val pairs = embeddingNearDups(spark, dir, bits)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val sym = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val labels = propagateMinLabels(sym.select(col("doc_a").as("doc_id")), sym)
+    sym.unpersist() // labels are checkpoint-materialized; sym is done
+    Tables.embeddings(spark, dir).select("vec_id")
+      .join(labels.select(col("doc_id").as("vec_id"), col("component_id")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component_id"), col("vec_id")).as("component_id"),
+        (coalesce(col("component_id"), col("vec_id")) === col("vec_id"))
+          .as("kept"))
+      .orderBy("vec_id")
   }
 }

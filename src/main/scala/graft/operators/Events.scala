@@ -138,29 +138,38 @@ object Events {
 
   /** Strict-order conversion funnel view → click → purchase: step k
     * counts users whose FIRST step-k event falls strictly after their
-    * first qualifying step-(k−1) event. Each step is one filter + hash
-    * aggregate + user_id equi-join — a narrow sequential pipeline, no
-    * windows, no all-pairs. Comparisons are on microsecond timestamps
-    * (both engines truncate the ns source identically).
+    * first qualifying step-(k−1) event. Comparisons are on microsecond
+    * timestamps (both engines truncate the ns source identically).
+    *
+    * ONE shuffle on user_id: three chained whole-partition window minima
+    * (t2's predicate reads the t1 column, so "first click after first
+    * view" needs no join back), then a user-grain aggregate that reuses
+    * the window's hash partitioning — the plan has a single Exchange over
+    * event-sized data. Replaced the round-7 form's three sequential
+    * per-step join+aggregate pairs; same results bit-for-bit.
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id")
+    val perUser = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
-    def firstAfter(step: String, prev: Option[DataFrame], prevCol: String,
-        name: String): DataFrame = {
-      val base = ev.filter(col("event_type") === step)
-      val scoped = prev.fold(base)(p =>
-        base.join(p, Seq("user_id")).filter(col("ts") > col(prevCol)))
-      scoped.groupBy("user_id").agg(min("ts").as(name))
-    }
-    val s1 = firstAfter("view", None, "", "t1")
-    val s2 = firstAfter("click", Some(s1), "t1", "t2")
-    val s3 = firstAfter("purchase", Some(s2), "t2", "t3")
-    Seq("1_view" -> s1, "2_view_click" -> s2, "3_view_click_purchase" -> s3)
-      .map { case (label, df) =>
-        df.agg(count(lit(1)).as("n_users")).select(lit(label).as("step"), col("n_users"))
-      }
-      .reduce(_.unionByName(_))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+    perUser
+      .agg(count("t1").as("n1"), count("t2").as("n2"), count("t3").as("n3"))
+      .select(explode(array(
+        struct(lit("1_view").as("step"), col("n1").as("n_users")),
+        struct(lit("2_view_click").as("step"), col("n2").as("n_users")),
+        struct(lit("3_view_click_purchase").as("step"), col("n3").as("n_users"))))
+        .as("r"))
+      .select(col("r.step").as("step"), col("r.n_users").as("n_users"))
       .orderBy("step")
   }
 

@@ -384,6 +384,80 @@ object TextAnalysis {
       .orderBy("doc_id", "epoch")
   }
 
+  /** BPE-flavored merge iteration (q73): `rounds` greedy vocabulary-merge
+    * steps over the raw token stream — each round counts adjacent token
+    * pairs corpus-wide, picks the most frequent (ties broken
+    * lexicographically), and rewrites every occurrence into one merged
+    * token, the byte-pair-encoding training loop run at corpus scale.
+    * Output is the merge table: one row per round with the winning pair,
+    * its count at merge time, and the merged token.
+    *
+    * Self-pairs (tok_a = tok_b) are excluded so occurrences can never
+    * overlap (an overlap at positions i, i+1 forces tok_a = tok_b) and
+    * the left-to-right rewrite is position-order-free — both engines
+    * rewrite identically with no greedy-scan state. Each round is one
+    * per-doc window pass + one hash aggregate, shuffled on doc_id: a
+    * linear corpus pass, the textbook BPE cost, with k a small constant.
+    * The per-round top-1 probe is a one-row driver scalar (same class as
+    * q52's convergence flag); token positions keep gaps after a merge —
+    * windows order by position, so adjacency is row order, not density.
+    * Merged tokens contain '_', which the tokenizer strips from input, so
+    * they can never collide with a source token.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val byDoc = Window.partitionBy("doc_id").orderBy("idx")
+    var toks = rawTokens(spark, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("idx", "tok")))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long, String)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = toks
+        .withColumn("nxt", lead("tok", 1).over(byDoc))
+        .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+        .groupBy("tok", "nxt").agg(count(lit(1)).as("n_ab"))
+        .orderBy(col("n_ab").desc, col("tok"), col("nxt"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, n, s"${a}_$b"))
+        val next = mergeAdjacentPair(toks, a, b).localCheckpoint()
+        org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(toks)
+        toks = next
+      }
+      r += 1
+    }
+    org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(toks)
+    import spark.implicits._
+    merges.result().toDF("round", "tok_a", "tok_b", "n_ab", "merged")
+      .orderBy("round")
+  }
+
+  /** One BPE rewrite step over a position-indexed token stream (doc_id,
+    * idx, tok): every adjacent (a, b) occurrence becomes one merged
+    * `a_b` token — the match-start row is rewritten, its successor
+    * dropped. Requires a ≠ b (occurrences cannot overlap, so the window
+    * expression needs no greedy-scan state). Positions keep gaps;
+    * adjacency is row order under `idx`, not density.
+    */
+  private[graft] def mergeAdjacentPair(toks: DataFrame, a: String,
+      b: String): DataFrame = {
+    require(a != b, "self-pairs are excluded from BPE merges")
+    val byDoc = Window.partitionBy("doc_id").orderBy("idx")
+    toks
+      .withColumn("nxt", lead("tok", 1).over(byDoc))
+      .withColumn("is_start",
+        coalesce(col("tok") === a && col("nxt") === b, lit(false)))
+      .withColumn("prev_start",
+        coalesce(lag("is_start", 1).over(byDoc), lit(false)))
+      .filter(!col("prev_start"))
+      .select(col("doc_id"), col("idx"),
+        when(col("is_start"), lit(s"${a}_$b")).otherwise(col("tok")).as("tok"))
+  }
+
   /** Character-bigram language signal: occurrences of the five most common
     * English bigrams (n-gram heuristic flavor of language ID; integer-exact
     * for the oracle).

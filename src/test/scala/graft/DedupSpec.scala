@@ -335,4 +335,21 @@ class DedupSpec extends AnyFunSuite {
       assert(ham <= 2, s"pair ($a,$b) hamming $ham too far for near-identical docs")
     }
   }
+
+  test("semDedupSurvivors: component minima consistent with the q27 edge set") {
+    val labels = Dedup.semDedupSurvivors(spark, sf)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(labels.size.toLong === Tables.embeddings(spark, sf).count())
+    val comp = labels.map(r => r._1 -> r._2).toMap
+    labels.foreach { case (v, c, kept) =>
+      assert(c <= v, s"label $c above member $v: not a minimum")
+      assert(kept === (c == v))
+    }
+    // every verified near-dup edge lands inside one component
+    Dedup.embeddingNearDups(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) => assert(comp(a) === comp(b)) }
+    // each component's label is attained by a member (the survivor)
+    comp.values.toSet.foreach((c: Long) => assert(comp(c) === c))
+  }
 }

@@ -55,4 +55,37 @@ class EventsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(salted === plain)
   }
+
+  test("funnel: strict ordering — pre-view clicks and same-ts events don't qualify") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    Seq(
+      // user 10: click BEFORE view, then click+purchase after → full funnel
+      (1L, nsOfSec(1), 10L, "click", 1.0),
+      (2L, nsOfSec(2), 10L, "view", 1.0),
+      (3L, nsOfSec(3), 10L, "click", 1.0),
+      (4L, nsOfSec(4), 10L, "purchase", 1.0),
+      // user 20: view then purchase, no click → step 1 only
+      (5L, nsOfSec(5), 20L, "view", 1.0),
+      (6L, nsOfSec(6), 20L, "purchase", 1.0),
+      // user 30: click, purchase, view (nothing after the view) → step 1 only
+      (7L, nsOfSec(7), 30L, "click", 1.0),
+      (8L, nsOfSec(8), 30L, "purchase", 1.0),
+      (9L, nsOfSec(9), 30L, "view", 1.0),
+      // user 40: click at the SAME instant as the view → not strictly after
+      (10L, nsOfSec(10), 40L, "view", 1.0),
+      (11L, nsOfSec(10), 40L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.funnel(spark, dir).as[(String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("1_view", 4L), ("2_view_click", 1L), ("3_view_click_purchase", 1L)))
+  }
+
+  test("funnel plans ONE event-grain exchange and no joins") {
+    val plan = Events.funnel(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "funnel should not join")
+    val eventExchanges =
+      "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(eventExchanges === 1, s"expected one user_id exchange:\n$plan")
+  }
 }

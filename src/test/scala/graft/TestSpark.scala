@@ -4,11 +4,6 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for all suites (build.sbt forks one test JVM). */
 object TestSpark {
-  lazy val spark: SparkSession = {
-    val s = Sessions.builder("4").appName("graft-test").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    graft.plans.GraftExtensions.register(s)
-    s
-  }
+  lazy val spark: SparkSession = Sessions.start("4", appName = "graft-test")
   val Sf: String = "/root/testdata/sf0.001"
 }

@@ -232,4 +232,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     val uncapped = TextAnalysis.epochMix(spark, dir, maxRepeat = 16)
     assert(uncapped.count() === 8L + 6L + 8L)
   }
+
+  test("mergeAdjacentPair: rewrites every occurrence, drops successors, keeps non-matches") {
+    import org.apache.spark.sql.functions.col
+    val toks = Seq(
+      (1L, 0, "x"), (1L, 1, "a"), (1L, 2, "b"), (1L, 3, "a"), (1L, 4, "b"), (1L, 5, "c"),
+      (2L, 0, "a"), (2L, 1, "b"),
+      (3L, 0, "b"), (3L, 1, "a")) // reversed pair: untouched
+      .toDF("doc_id", "idx", "tok")
+    val got = TextAnalysis.mergeAdjacentPair(toks, "a", "b")
+      .orderBy("doc_id", "idx")
+      .select("doc_id", "tok").as[(Long, String)].collect().toSeq
+    assert(got === Seq(
+      1L -> "x", 1L -> "a_b", 1L -> "a_b", 1L -> "c",
+      2L -> "a_b",
+      3L -> "b", 3L -> "a"))
+  }
+
+  test("bpeMerges: merged pair vanishes and round 2 re-derives from the rewritten stream") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val m = TextAnalysis.bpeMerges(spark, sf, rounds = 2)
+      .as[(Long, String, String, Long, String)].collect().toSeq
+    assert(m.map(_._1) === Seq(1L, 2L))
+    val Seq((_, a1, b1, n1, mg1), (_, a2, b2, n2, _)) = m
+    assert(mg1 === s"${a1}_$b1")
+    // rebuild the round-1 rewrite independently and re-count pairs
+    val toks0 = Tables.documents(spark, sf).select(col("doc_id"),
+      posexplode(graft.functions.TextFns.tokenize(col("text"))).as(Seq("idx", "tok")))
+    val after1 = TextAnalysis.mergeAdjacentPair(toks0, a1, b1)
+    val byDoc = Window.partitionBy("doc_id").orderBy("idx")
+    val pairs1 = after1.withColumn("nxt", lead("tok", 1).over(byDoc))
+      .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+      .groupBy("tok", "nxt").agg(count(lit(1)).as("n"))
+    // the merged pair is gone from the rewritten stream...
+    assert(pairs1.filter(col("tok") === a1 && col("nxt") === b1).count() === 0)
+    // ...each merge removed exactly one token per occurrence...
+    assert(after1.count() === toks0.count() - n1)
+    // ...and round 2's winner is exactly the rewritten stream's top pair
+    val top2 = pairs1.orderBy(col("n").desc, col("tok"), col("nxt")).limit(1)
+      .as[(String, String, Long)].collect().head
+    assert(top2 === ((a2, b2, n2)))
+  }
 }
