@@ -66,8 +66,11 @@ object ScaleSmoke {
       "q62_cross_corpus", "q64_label_outliers", "q66_vocab_growth",
       "q70_collocations",
       // round 8: shard packing (per-source prefix-sum windows over 10×
-      // rows) and epoch mix (explode over the 10× doc set)
-      "q71_pack_shards", "q72_epoch_mix")
+      // rows), epoch mix (explode over the 10× doc set), BPE merge loop
+      // (3 full-corpus window passes), SemDeDup (components over 10×
+      // embedding edges — verbatim copies make every cluster 10× wider)
+      "q71_pack_shards", "q72_epoch_mix", "q73_bpe_merges",
+      "q74_semdedup_survivors")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()
