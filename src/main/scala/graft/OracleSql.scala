@@ -965,7 +965,94 @@ object OracleSql {
          |       COALESCE(vcomp.component_id, emb0.vec_id) AS component_id,
          |       (COALESCE(vcomp.component_id, emb0.vec_id) = emb0.vec_id) AS kept
          |FROM embeddings emb0 LEFT JOIN vcomp USING (vec_id)
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin) +
+    ("q75_gopher_rules" ->
+      s"""WITH $ArrCte,
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(arr) AS BIGINT) AS n_tokens,
+         |         CAST(CASE WHEN len(arr) = 0 THEN 0
+         |                   ELSE list_reduce(list_transform(arr, x -> length(x)), (a, b) -> a + b)
+         |              END AS BIGINT) AS sum_len,
+         |         CAST(len(list_filter(arr, x -> x IN $Stop)) AS BIGINT) AS n_stop,
+         |         CAST(len(list_filter(arr, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |         list_transform(range(1, greatest(len(arr), 1)),
+         |                        i -> array_to_string(arr[i:i+1], ' ')) AS bg
+         |  FROM base),
+         |f AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS wc_ok,
+         |         CAST(CASE WHEN 3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS mwl_ok,
+         |         CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
+         |         CAST(CASE WHEN 5 * n_alpha >= 4 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
+         |         CAST(CASE WHEN 10 * (len(bg) - len(list_distinct(bg))) <= len(bg) THEN 1 ELSE 0 END AS BIGINT) AS rep_ok
+         |  FROM m)
+         |SELECT doc_id, n_tokens, wc_ok, mwl_ok, stop_ok, alpha_ok, rep_ok,
+         |       wc_ok * mwl_ok * stop_ok * alpha_ok * rep_ok AS keep
+         |FROM f
+         |ORDER BY doc_id""".stripMargin) +
+    ("q76_dup_span_coverage" ->
+      s"""WITH $ShinglesCte,
+         |df AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |       ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+         |FROM shingles JOIN df USING (shingle)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) +
+    ("q77_knn_quantized" ->
+      s"""WITH $EmbCte,
+         |codes AS (
+         |  SELECT vec_id,
+         |         list_transform(emb, x -> CAST(floor(x * 127.0 / nrm + 0.5) AS BIGINT)) AS q8
+         |  FROM n),
+         |q AS (SELECT vec_id AS query_id, q8 AS qq FROM codes WHERE vec_id < 8),
+         |p AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |         CAST(list_reduce(list_transform(range(1, len(qq) + 1), i -> qq[i] * q8[i]),
+         |                          (x, y) -> x + y) AS BIGINT) AS qdot
+         |  FROM q, codes WHERE vec_id <> query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rnk,
+         |         qdot
+         |  FROM p)
+         |SELECT query_id, neighbor_id, rnk, qdot FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin) +
+    ("q78_minhash_calibration" -> MinhashCalibrationSql)
+
+  /** MinHash calibration (q78): band-collision candidates, signature
+    * agreement count vs exact Jaccard — mirrors Dedup.minhashCalibration.
+    */
+  private lazy val MinhashCalibrationSql: String = {
+    val agree = (0 until Dedup_Hashes)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $ShinglesCte, $SigsCte,
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |ag AS (
+       |  SELECT doc_a, doc_b, CAST($agree AS BIGINT) AS n_agree
+       |  FROM cands
+       |  JOIN sigs sa ON sa.doc_id = cands.doc_a
+       |  JOIN sigs sb ON sb.doc_id = cands.doc_b),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, n_agree, COUNT(*) AS inter
+       |  FROM ag
+       |  JOIN shingles ja ON ja.doc_id = ag.doc_a
+       |  JOIN shingles jb ON jb.doc_id = ag.doc_b AND jb.shingle = ja.shingle
+       |  GROUP BY doc_a, doc_b, n_agree)
+       |SELECT doc_a, doc_b, n_agree, inter, (za.sz + zb.sz - inter) AS uni,
+       |       ROUND(CAST(n_agree AS DOUBLE) / ${Dedup_Hashes}
+       |           - CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 6) AS est_err
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = doc_a
+       |JOIN sizes zb ON zb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** One BPE round in SQL: count adjacent non-self pairs over t{r-1},
     * pick the top one (count desc, then lexicographic), rewrite matches —

@@ -70,7 +70,13 @@ object ScaleSmoke {
       // (3 full-corpus window passes), SemDeDup (components over 10×
       // embedding edges — verbatim copies make every cluster 10× wider)
       "q71_pack_shards", "q72_epoch_mix", "q73_bpe_merges",
-      "q74_semdedup_survivors")
+      "q74_semdedup_survivors",
+      // round 8b: duplicated-span coverage (per-shingle df over the 10×
+      // inverted index — verbatim copies push every shingle's df to ≥10),
+      // minhash calibration (band-collision candidates × signature join
+      // at 10× bucket width), quantized ANN (8 queries × 10× corpus scan)
+      "q76_dup_span_coverage", "q78_minhash_calibration",
+      "q77_knn_quantized")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()

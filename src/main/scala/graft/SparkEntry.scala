@@ -146,7 +146,15 @@ object SparkEntry {
     // BPE training loop: k greedy corpus-wide pair merges (merge table)
     "q73_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     // SemDeDup: components over embedding near-dup edges, min-id survivor
-    "q74_semdedup_survivors" -> ((s, d) => Dedup.semDedupSurvivors(s, d)))
+    "q74_semdedup_survivors" -> ((s, d) => Dedup.semDedupSurvivors(s, d)),
+    // Gopher-style quality rules (integer-exact per-doc keep flags)
+    "q75_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    // Cross-doc duplicated-span coverage (substring-level dedup signal)
+    "q76_dup_span_coverage" -> ((s, d) => TextAnalysis.dupSpanCoverage(s, d)),
+    // Int8 scalar-quantized ANN (integer code dot products)
+    "q77_knn_quantized" -> ((s, d) => Similarity.knnQuantized(s, d)),
+    // MinHash estimate vs exact Jaccard on LSH candidates (calibration)
+    "q78_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -258,6 +258,56 @@ object Dedup {
       repNearDupPairs(spark, dir, collapse = false, maxShingleDf)
         .orderBy("doc_a", "doc_b")
 
+  /** MinHash estimator calibration — the diagnostic that justifies the
+    * LSH parameters (8 hashes, 4 bands): for every band-collision
+    * candidate pair, the signature-agreement estimate n_agree/8 of the
+    * Jaccard similarity next to the EXACT shingle Jaccard inter/uni, and
+    * their signed error. A pipeline re-runs this on a corpus sample
+    * whenever the banding scheme changes; systematic positive error
+    * means the band count is too permissive for the corpus's similarity
+    * profile.
+    *
+    * Candidates come from the same distinct band-bucket self-join as the
+    * dedup ladder (never all-pairs; a bucket match implies a shared
+    * min-shingle, so inter ≥ 1 by construction). Signatures are the
+    * cached q22 relation — both sides of the agreement join reuse it.
+    * All columns are integers except the error, rounded to 6 decimals
+    * (n_agree/8 is an exact eighth; inter/uni is one double divide —
+    * both engines compute them identically).
+    */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sigs = minhashSignatures(spark, dir)
+    val agree = (0 until MinhashHashes)
+      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val withAgree = cands
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = withAgree
+      .join(sh.as("ja"), col("doc_a") === col("ja.doc_id"))
+      .join(sh.as("jb"),
+        col("doc_b") === col("jb.doc_id") && col("ja.shingle") === col("jb.shingle"))
+      .groupBy("doc_a", "doc_b", "n_agree").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("inter"), col("uni"),
+        round(col("n_agree").cast("double") / MinhashHashes -
+          col("inter").cast("double") / col("uni"), 6).as("est_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Verified near-dup pairs from the LSH band-bucket candidate join +
     * exact Jaccard; with `collapse` the join is restricted to one doc per
     * identical-text group. `maxShingleDf` reroutes banding through the

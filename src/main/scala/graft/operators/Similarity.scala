@@ -99,6 +99,36 @@ object Similarity {
   def knnIvfMultiProbe(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(spark, dir, 0 +: (0 until IvfBits).map(1 << _))
 
+  /** Int8 scalar-quantized brute-force top-k — the memory/bandwidth side
+    * of ANN: each vector is unit-normalized then quantized to signed
+    * 8-bit codes (qᵢ = ⌊127·xᵢ/‖x‖ + ½⌋, the round-half-up both engines
+    * share via floor), and neighbors rank by the INTEGER code dot
+    * product, a monotone proxy for cosine. At 100 TB this is the
+    * standard first pass: codes are 4× smaller than float32 (32× smaller
+    * than the doubles they replace), scan bandwidth drops accordingly,
+    * and the exact-cosine rerank (q28's shape) runs only on the
+    * shortlist. Scores are integers, so the oracle compare is exact —
+    * no float-fold contract needed.
+    */
+  def knnQuantized(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val codes = vectors(spark, dir).select(
+      col("vec_id"),
+      transform(col("emb"), x => floor(x * 127.0d / col("nrm") + 0.5d).cast("long"))
+        .as("q8"))
+    val q = codes.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq"))
+    val pairs = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("qq"), col("q8"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("qdot"))
+    val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "qdot")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Materialize the IVF index as a BUCKETED table keyed by the coarse-
     * quantizer cell — the storage layout that makes the q29 "partition-
     * pruned probe" claim a code path: a probe on one cell reads only that

@@ -458,6 +458,71 @@ object TextAnalysis {
         when(col("is_start"), lit(s"${a}_$b")).otherwise(col("tok")).as("tok"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models", appendix A1.1 — the standard pre-training quality
+    * gate), restricted to the rules this corpus can express and recast so
+    * every comparison is INTEGER cross-multiplication (no float
+    * thresholds ⇒ the oracle compare is exact):
+    *
+    *  - `wc_ok`:    20 ≤ token count ≤ 100 000
+    *  - `mwl_ok`:   mean token length ∈ [3, 10]   (3·n ≤ Σlen ≤ 10·n)
+    *  - `stop_ok`:  ≥ 2 stop-word occurrences
+    *  - `alpha_ok`: ≥ 80 % of tokens contain a letter (5·alpha ≥ 4·n)
+    *  - `rep_ok`:   duplicate-bigram mass ≤ 10 %  (10·dups ≤ bigrams)
+    *
+    * `keep` = all five (flags are 1/0 BIGINTs — integer-exact end to
+    * end). Pure per-row map over the corpus: no shuffle beyond the edge
+    * sort, so it parallelizes embarrassingly at 100 TB and composes with
+    * the dedup-survivor filter (q54) as the pipeline's quality pass.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = TokenPipeline.StopWords
+    def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+    withTokens(spark, dir)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        size(filter(col("toks"), t => t.isin(stopList: _*))).cast("long").as("n_stop"),
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        TextFns.shingleArray(col("toks"), 2).as("bg"))
+      .select(col("doc_id"), col("n_tokens"),
+        flag(col("n_tokens") >= 20 && col("n_tokens") <= 100000).as("wc_ok"),
+        flag(lit(3) * col("n_tokens") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n_tokens")).as("mwl_ok"),
+        flag(col("n_stop") >= 2).as("stop_ok"),
+        flag(lit(5) * col("n_alpha") >= lit(4) * col("n_tokens")).as("alpha_ok"),
+        flag(lit(10) * (size(col("bg")) - size(array_distinct(col("bg")))) <=
+          size(col("bg"))).as("rep_ok"))
+      .withColumn("keep",
+        col("wc_ok") * col("mwl_ok") * col("stop_ok") * col("alpha_ok") * col("rep_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document duplicated-span coverage — the substring-level dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): for each document, what fraction of its 5-gram
+    * shingles also occur in at least one OTHER document. Documents with
+    * high coverage are near-copies or heavy boilerplate even when no
+    * single pair-level match fires.
+    *
+    * Cost is the inverted shingle index, not pairs: one aggregate for
+    * per-shingle document frequency, one join back, one per-doc aggregate
+    * — three shuffles total, all on shingle/doc keys, never an all-pairs
+    * product. Docs shorter than one shingle have no coverage to measure
+    * and are absent (same domain as the shingle relation itself).
+    */
+  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(spark, dir)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Character-bigram language signal: occurrences of the five most common
     * English bigrams (n-gram heuristic flavor of language ID; integer-exact
     * for the oracle).

@@ -336,6 +336,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashCalibration: agreement bounds hold and verified pairs are covered") {
+    val cal = Dedup.minhashCalibration(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(cal.nonEmpty)
+    cal.foreach { case (a, b, agree, inter, uni, err) =>
+      assert(a < b, s"pair order ($a,$b)")
+      // a band collision pins both hashes of that band → ≥2 agreements,
+      // and a shared min-hash implies a shared shingle → inter ≥ 1
+      assert(agree >= 2L && agree <= 8L, s"($a,$b) n_agree $agree")
+      assert(inter >= 1L && uni >= inter, s"($a,$b) inter/uni $inter/$uni")
+      val expected = BigDecimal(agree.toDouble / 8 - inter.toDouble / uni)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(err === expected, s"($a,$b) est_err")
+    }
+    // every q22-verified near-dup pair appears with the same exact Jaccard
+    val byPair = cal.map(r => (r._1, r._2) -> (r._4, r._5)).toMap
+    Dedup.minhashNearDups(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .foreach { case (a, b, inter, uni) =>
+        assert(byPair.get((a, b)).contains((inter, uni)), s"verified pair ($a,$b)")
+      }
+  }
+
   test("semDedupSurvivors: component minima consistent with the q27 edge set") {
     val labels = Dedup.semDedupSurvivors(spark, sf)
       .as[(Long, Long, Boolean)].collect().toSeq

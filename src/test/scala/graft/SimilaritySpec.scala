@@ -33,6 +33,47 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnQuantized: codes and integer dots match hand-quantized vectors") {
+    val vecs = Seq(
+      (0L, Seq(3f, 4f), 0L),   // nrm 5 → codes (76, 102)
+      (1L, Seq(1f, 0f), 0L),   // → (127, 0)
+      (2L, Seq(0f, 1f), 0L),   // → (0, 127)
+      (3L, Seq(-3f, -4f), 0L)) // → (-76, -102)
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.knnQuantized(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // query 0: dot(76,102)·(0,127)=12954 > (127,0)=9652 > (-76,-102)=-16180
+    assert(got.filter(_._1 == 0L) ===
+      Seq((0L, 2L, 1L, 12954L), (0L, 1L, 2L, 9652L), (0L, 3L, 3L, -16180L)))
+    // antipodal query 3: every dot negates, so the order reverses
+    assert(got.filter(_._1 == 3L).map(r => (r._2, r._4)) ===
+      Seq((1L, -9652L), (2L, -12954L), (0L, -16180L)))
+  }
+
+  test("knnQuantized: int8 codes preserve the exact top-1 on the corpus") {
+    val qz = Similarity.knnQuantized(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val bf = Similarity.knnBruteForce(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val queries = qz.map(_._1).distinct
+    assert(queries.size === 8)
+    queries.foreach { q =>
+      val qrows = qz.filter(_._1 == q)
+      assert(qrows.map(_._3) === (1L to 5L), s"query $q ranks 1..5")
+      assert(qrows.map(_._4) === qrows.map(_._4).sorted.reverse, s"query $q scores sorted")
+      // quantization keeps the winner
+      assert(qrows.head._2 === bf.filter(_._1 == q).head._2, s"query $q top-1")
+    }
+    // and ≥ 35/40 of the exact top-5 survive quantization (recall@5)
+    val overlap = queries.map { q =>
+      (qz.filter(_._1 == q).map(_._2).toSet
+        intersect bf.filter(_._1 == q).map(_._2).toSet).size
+    }.sum
+    assert(overlap >= 35, s"recall@5 overlap $overlap/40")
+  }
+
   test("labelOutliers: every corpus label emits exactly k ranked rows") {
     val got = Similarity.labelOutliers(spark, sf)
       .as[(Long, Long, Long, Double)].collect().toSeq

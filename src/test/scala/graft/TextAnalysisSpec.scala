@@ -249,6 +249,73 @@ class TextAnalysisSpec extends AnyFunSuite {
       3L -> "b", 3L -> "a"))
   }
 
+  test("gopherRules: each rule flags exactly its planted violation") {
+    val docs = Seq(
+      // 25 varied tokens, stop words present, mean length ≥ 3: all pass
+      1L -> ("the quick brown fox jumps over the lazy sleeping dog while " +
+        "the bright golden sun shines over the quiet green valley and " +
+        "the birds sing"),
+      2L -> "only ten little words sit in this short test line", // wc < 20
+      3L -> Seq.fill(30)("spam").mkString(" "),      // repetition (and stop)
+      4L -> (1 to 25).map(_.toString).mkString(" "), // digits: alpha + stop fail
+      5L -> Seq.fill(22)("extraordinarily").mkString(" ")) // mean len > 10
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.gopherRules(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // independent plain-Scala rederivation of every flag
+    val stop = graft.operators.TokenPipeline.StopWords.toSet
+    val exp = docs.as[(Long, String)].collect().toSeq.sortBy(_._1).map {
+      case (id, text) =>
+        val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+          .split(" ").filter(_.nonEmpty).toSeq
+        val n = toks.size
+        val bg = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        def f(b: Boolean) = if (b) 1L else 0L
+        val flags = Seq(
+          f(n >= 20 && n <= 100000),
+          f(3 * n <= toks.map(_.length).sum && toks.map(_.length).sum <= 10 * n),
+          f(toks.count(stop) >= 2),
+          f(5 * toks.count(_.exists(_.isLetter)) >= 4 * n),
+          f(10 * (bg.size - bg.distinct.size) <= bg.size))
+        (id, n.toLong, flags(0), flags(1), flags(2), flags(3), flags(4),
+          flags.product)
+    }
+    assert(got === exp)
+    // and the planted violations landed where intended
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._8 === 1L, "doc 1 keeps")
+    assert(byId(2L)._3 === 0L, "doc 2 fails wc")
+    assert(byId(3L)._7 === 0L, "doc 3 fails repetition")
+    assert(byId(4L)._6 === 0L, "doc 4 fails alpha")
+    assert(byId(5L)._4 === 0L, "doc 5 fails mean word length")
+  }
+
+  test("gopherRules: corpus keep is the product of its flags and wc discriminates") {
+    val got = TextAnalysis.gopherRules(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r._8 === r._3 * r._4 * r._5 * r._6 * r._7, s"doc ${r._1} keep")
+    }
+    // sf0.001 has docs on both sides of the 20-token floor
+    assert(got.exists(_._3 === 0L) && got.exists(_._3 === 1L))
+  }
+
+  test("dupSpanCoverage: shared 5-gram is counted on both docs, unique doc scores 0") {
+    val docs = Seq(
+      1L -> "a b c d e f",       // shingles: "a b c d e", "b c d e f"
+      2L -> "a b c d e x",       // shares "a b c d e" with doc 1
+      3L -> "p q r s t u v")     // 3 shingles, all unique
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.dupSpanCoverage(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 3L, 0L, 0.0)))
+  }
+
   test("bpeMerges: merged pair vanishes and round 2 re-derives from the rewritten stream") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
