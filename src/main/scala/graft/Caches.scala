@@ -38,6 +38,9 @@ object Caches {
     operators.Dedup.clusterCache.keys.filter(_.startsWith(prefix)).foreach { k =>
       operators.Dedup.clusterCache.remove(k).foreach(free)
     }
+    // learned BPE merge tables are results too (driver values, no blocks)
+    operators.TextAnalysis.mergeMemo.keys.filter(_.startsWith(prefix))
+      .foreach(operators.TextAnalysis.mergeMemo.remove)
   }
 
   /** Evict every cached relation for ONE (session, input dir) — for
@@ -53,6 +56,8 @@ object Caches {
         .foreach(k => m.remove(k).foreach(free))
     }
     operators.Dedup.repFlagCache.remove(key)
+    operators.TextAnalysis.mergeMemo.keys
+      .filter(_.startsWith(key + "#")).foreach(operators.TextAnalysis.mergeMemo.remove)
     ()
   }
 
@@ -65,6 +70,8 @@ object Caches {
     }
     operators.Dedup.repFlagCache.keys.filter(_.startsWith(prefix))
       .foreach(operators.Dedup.repFlagCache.remove)
+    operators.TextAnalysis.mergeMemo.keys.filter(_.startsWith(prefix))
+      .foreach(operators.TextAnalysis.mergeMemo.remove)
   }
 
   /** Drop every entry in every cache (test/teardown hammer). */
@@ -74,5 +81,6 @@ object Caches {
         try free(df) catch { case _: Throwable => () }))
     }
     operators.Dedup.repFlagCache.clear()
+    operators.TextAnalysis.mergeMemo.clear()
   }
 }

@@ -1019,7 +1019,22 @@ object OracleSql {
          |  FROM p)
          |SELECT query_id, neighbor_id, rnk, qdot FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin) +
-    ("q78_minhash_calibration" -> MinhashCalibrationSql)
+    ("q78_minhash_calibration" -> MinhashCalibrationSql) +
+    ("q79_bpe_compression" -> BpeCompressionSql) +
+    ("q80_head_coverage" ->
+      s"""WITH $ArrCte,
+         |tok AS (SELECT unnest(arr) AS token FROM base),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+         |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+         |r AS (
+         |  SELECT token, cnt,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk
+         |  FROM c)
+         |SELECT rnk, token, cnt,
+         |       CAST(SUM(cnt) OVER (ORDER BY rnk) AS BIGINT) AS cum_cnt,
+         |       ROUND(CAST(SUM(cnt) OVER (ORDER BY rnk) AS DOUBLE) / total, 6) AS cum_frac
+         |FROM r, t WHERE rnk <= 20
+         |ORDER BY rnk""".stripMargin)
 
   /** MinHash calibration (q78): band-collision candidates, signature
     * agreement count vs exact Jaccard — mirrors Dedup.minhashCalibration.
@@ -1052,6 +1067,26 @@ object OracleSql {
        |JOIN sizes za ON za.doc_id = doc_a
        |JOIN sizes zb ON zb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Tokenizer application (q79): per-doc stream length before/after the
+    * same 3 BPE rounds as q73 — reuses the round CTE chain and counts t3.
+    */
+  private lazy val BpeCompressionSql: String = {
+    val rounds = 3 // TextAnalysis.bpeCompression default
+    s"""WITH $ArrCte,
+       |t0 AS (
+       |  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS idx, unnest(arr) AS tok
+       |  FROM base),
+       |${(1 to rounds).map(bpeRoundCtes).mkString(",\n")},
+       |after AS (SELECT doc_id, COUNT(*) AS n_after FROM t$rounds GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(len(arr) AS BIGINT) AS n_before,
+       |       CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+       |       CASE WHEN len(arr) > 0
+       |            THEN ROUND(CAST(COALESCE(n_after, 0) AS DOUBLE) / len(arr), 6)
+       |            ELSE 1.0 END AS ratio
+       |FROM base b LEFT JOIN after USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** One BPE round in SQL: count adjacent non-self pairs over t{r-1},

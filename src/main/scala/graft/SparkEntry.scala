@@ -154,7 +154,11 @@ object SparkEntry {
     // Int8 scalar-quantized ANN (integer code dot products)
     "q77_knn_quantized" -> ((s, d) => Similarity.knnQuantized(s, d)),
     // MinHash estimate vs exact Jaccard on LSH candidates (calibration)
-    "q78_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)))
+    "q78_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
+    // Tokenizer application: per-doc stream length after the k BPE merges
+    "q79_bpe_compression" -> ((s, d) => TextAnalysis.bpeCompression(s, d)),
+    // Zipf head coverage of the top-20 tokens (vocabulary-sizing curve)
+    "q80_head_coverage" -> ((s, d) => TextAnalysis.headCoverage(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -405,6 +405,38 @@ object TextAnalysis {
     * they can never collide with a source token.
     */
   def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    learnMerges(spark, dir, rounds)
+      .toDF("round", "tok_a", "tok_b", "n_ab", "merged")
+      .orderBy("round")
+  }
+
+  private[graft] val mergeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, String, String, Long, String)]]
+
+  /** The learned merge table, memoized per (session, dir, rounds) — a
+    * RESULT memo in the Caches.clearResultMemos sense (the bench clears
+    * it between passes): q73 and q79 both need it, and the loop is
+    * deterministic, so within a pass the corpus is mined once. The
+    * loop's working stream is released before returning — merges are
+    * plain driver values, k rows.
+    */
+  private def learnMerges(spark: SparkSession, dir: String,
+      rounds: Int): Seq[(Long, String, String, Long, String)] =
+    mergeMemo.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir#$rounds", {
+        val (merges, toks) = bpeLoop(spark, dir, rounds)
+        org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(toks)
+        merges
+      })
+
+  /** The merge loop itself: returns the merges AND the final rewritten
+    * token stream, checkpointed — the CALLER owns releasing it via
+    * GraftBridge.unpersistCheckpointRdds once its derivative is
+    * materialized.
+    */
+  private def bpeLoop(spark: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Long, String, String, Long, String)], DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
     val byDoc = Window.partitionBy("doc_id").orderBy("idx")
     var toks = rawTokens(spark, dir)
@@ -430,10 +462,35 @@ object TextAnalysis {
       }
       r += 1
     }
-    org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(toks)
-    import spark.implicits._
-    merges.result().toDF("round", "tok_a", "tok_b", "n_ab", "merged")
-      .orderBy("round")
+    (merges.result(), toks)
+  }
+
+  /** Tokenizer APPLICATION: per-doc stream length before and after the k
+    * learned BPE merges — the compression-ratio report that decides
+    * whether a merge table is worth shipping. The merges come from the
+    * memoized q73 loop (same rounds, same tie-breaks); APPLYING them is
+    * k chained window rewrites over one doc_id exchange — no per-round
+    * aggregates, collects, or checkpoints, which is exactly how a 100 TB
+    * pipeline runs a shipped merge table over a corpus. Integer-exact
+    * except the rounded ratio.
+    */
+  def bpeCompression(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val merges = learnMerges(spark, dir, rounds)
+    val toks0 = rawTokens(spark, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("idx", "tok")))
+    val rewritten = merges.foldLeft(toks0) {
+      case (t, (_, a, b, _, _)) => mergeAdjacentPair(t, a, b)
+    }
+    val after = rewritten.groupBy("doc_id").agg(count(lit(1)).as("n_after"))
+    rawTokens(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_before"))
+      .join(after, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        when(col("n_before") > 0,
+          round(coalesce(col("n_after"), lit(0L)).cast("double") / col("n_before"), 6))
+          .otherwise(lit(1.0)).as("ratio"))
+      .orderBy("doc_id")
   }
 
   /** One BPE rewrite step over a position-indexed token stream (doc_id,
@@ -521,6 +578,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         round(col("n_shared").cast("double") / col("n_shingles"), 6).as("dup_frac"))
       .orderBy("doc_id")
+  }
+
+  /** Zipf head coverage: the k most frequent raw tokens with cumulative
+    * corpus coverage — the curve that sizes a tokenizer vocabulary (how
+    * much of the stream the head captures). Top-k comes from
+    * `orderBy.limit(k)`, which Spark plans as a distributed TakeOrdered
+    * (per-partition heaps + driver merge of k rows), NOT a global sort of
+    * the vocabulary; the ranking/cumulative windows then run over the
+    * k-row result, so the single-partition window warning is bounded by
+    * k, and the grand total rides in as a broadcast one-row cross join.
+    * Integer counts; only the final coverage fraction is rounded.
+    */
+  def headCoverage(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val counts = rawTokens(spark, dir)
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val cum = Window.orderBy("rnk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("cum_cnt", sum("cnt").over(cum))
+      .select(col("rnk"), col("token"), col("cnt"), col("cum_cnt"),
+        round(col("cum_cnt").cast("double") / col("total"), 6).as("cum_frac"))
+      .orderBy("rnk")
   }
 
   /** Character-bigram language signal: occurrences of the five most common

@@ -316,6 +316,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 3L, 0L, 0.0)))
   }
 
+  test("bpeCompression: tokens removed equals the sum of merge counts") {
+    val merges = TextAnalysis.bpeMerges(spark, sf)
+      .as[(Long, String, String, Long, String)].collect().toSeq
+    val comp = TextAnalysis.bpeCompression(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // every merge occurrence deletes exactly one token from the stream
+    assert(comp.map(_._2).sum - comp.map(_._3).sum === merges.map(_._4).sum)
+    comp.foreach { case (id, before, after, ratio) =>
+      assert(after >= 1L && after <= before, s"doc $id counts")
+      assert(ratio > 0.0 && ratio <= 1.0, s"doc $id ratio")
+    }
+  }
+
+  test("headCoverage: hand-counted Zipf curve on a planted corpus") {
+    val docs = Seq(1L -> "a a a b b c").toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_head").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.headCoverage(spark, dir)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 3L, 3L, 0.5),
+      (2L, "b", 2L, 5L, 0.833333),
+      (3L, "c", 1L, 6L, 1.0)))
+  }
+
   test("bpeMerges: merged pair vanishes and round 2 re-derives from the rewritten stream") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
