@@ -605,7 +605,13 @@ object OracleSql {
     */
   private val DupClustersCtes: String =
     s"""WITH RECURSIVE $ShinglesCte, $SigsCte,
-       |cands AS (
+       |$DupClustersBody""".stripMargin
+
+  /** CTE body (cands→reach) shared verbatim by the q52/q54 prefix above
+    * and the q81 composition, which needs its own WITH head.
+    */
+  private lazy val DupClustersBody: String =
+    s"""cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
@@ -968,25 +974,7 @@ object OracleSql {
          |ORDER BY vec_id""".stripMargin) +
     ("q75_gopher_rules" ->
       s"""WITH $ArrCte,
-         |m AS (
-         |  SELECT doc_id,
-         |         CAST(len(arr) AS BIGINT) AS n_tokens,
-         |         CAST(CASE WHEN len(arr) = 0 THEN 0
-         |                   ELSE list_reduce(list_transform(arr, x -> length(x)), (a, b) -> a + b)
-         |              END AS BIGINT) AS sum_len,
-         |         CAST(len(list_filter(arr, x -> x IN $Stop)) AS BIGINT) AS n_stop,
-         |         CAST(len(list_filter(arr, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
-         |         list_transform(range(1, greatest(len(arr), 1)),
-         |                        i -> array_to_string(arr[i:i+1], ' ')) AS bg
-         |  FROM base),
-         |f AS (
-         |  SELECT doc_id, n_tokens,
-         |         CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS wc_ok,
-         |         CAST(CASE WHEN 3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS mwl_ok,
-         |         CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
-         |         CAST(CASE WHEN 5 * n_alpha >= 4 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
-         |         CAST(CASE WHEN 10 * (len(bg) - len(list_distinct(bg))) <= len(bg) THEN 1 ELSE 0 END AS BIGINT) AS rep_ok
-         |  FROM m)
+         |$GopherFlagsCtes
          |SELECT doc_id, n_tokens, wc_ok, mwl_ok, stop_ok, alpha_ok, rep_ok,
          |       wc_ok * mwl_ok * stop_ok * alpha_ok * rep_ok AS keep
          |FROM f
@@ -1034,7 +1022,64 @@ object OracleSql {
          |       CAST(SUM(cnt) OVER (ORDER BY rnk) AS BIGINT) AS cum_cnt,
          |       ROUND(CAST(SUM(cnt) OVER (ORDER BY rnk) AS DOUBLE) / total, 6) AS cum_frac
          |FROM r, t WHERE rnk <= 20
-         |ORDER BY rnk""".stripMargin)
+         |ORDER BY rnk""".stripMargin) +
+    ("q81_train_corpus" ->
+      s"""WITH RECURSIVE $SplitCte, $ArrCte, $ShinglesCte, $SigsCte,
+         |$DupClustersBody,
+         |comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
+         |$GopherFlagsCtes,
+         |contam AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM shingles t
+         |  JOIN splits st ON t.doc_id = st.doc_id AND st.split = 'train'
+         |  JOIN shingles e2 ON t.shingle = e2.shingle
+         |  JOIN splits se ON e2.doc_id = se.doc_id AND se.split <> 'train')
+         |SELECT sp.doc_id AS doc_id, sp.split AS split,
+         |       (COALESCE(comp.component_id, sp.doc_id) = sp.doc_id) AS dedup_kept,
+         |       f.wc_ok * f.mwl_ok * f.stop_ok * f.alpha_ok * f.rep_ok AS quality_ok,
+         |       CAST(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
+         |       CAST(CASE WHEN sp.split = 'train'
+         |                  AND COALESCE(comp.component_id, sp.doc_id) = sp.doc_id
+         |                  AND f.wc_ok * f.mwl_ok * f.stop_ok * f.alpha_ok * f.rep_ok = 1
+         |                  AND ct.doc_id IS NULL
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS train_ok
+         |FROM splits sp
+         |LEFT JOIN comp ON sp.doc_id = comp.doc_id
+         |JOIN f ON sp.doc_id = f.doc_id
+         |LEFT JOIN contam ct ON sp.doc_id = ct.doc_id
+         |ORDER BY doc_id""".stripMargin) +
+    ("q82_dsir_weights" ->
+      s"""WITH $ArrCte,
+         |bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(arr), 1)),
+         |                i -> array_to_string(arr[i:i+1], ' '))) AS b
+         |  FROM base),
+         |db AS (
+         |  SELECT doc_id,
+         |         CAST((strpos('0123456789abcdef', substring(md5(b), 1, 1)) - 1) * 16
+         |            + (strpos('0123456789abcdef', substring(md5(b), 2, 1)) - 1) AS BIGINT) AS bucket,
+         |         COUNT(*) AS n
+         |  FROM bg GROUP BY 1, 2),
+         |raw AS (SELECT bucket, SUM(n) AS raw_n FROM db GROUP BY bucket),
+         |tgt AS (SELECT bucket, SUM(n) AS tgt_n FROM db
+         |        JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bucket),
+         |tr AS (SELECT SUM(raw_n) AS rt FROM raw),
+         |tt AS (SELECT SUM(tgt_n) AS tt FROM tgt),
+         |wt AS (
+         |  SELECT bucket,
+         |         ROUND(ln(CAST(COALESCE(tgt_n, 0) + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+         |             - ln(CAST(raw_n + 1 AS DOUBLE) / CAST(rt + 256 AS DOUBLE)), 6) AS w
+         |  FROM raw LEFT JOIN tgt USING (bucket), tr, tt),
+         |sc AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |         ROUND(list_reduce(list(n * w ORDER BY bucket), (a, b) -> a + b), 6) AS score
+         |  FROM db JOIN wt USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |       COALESCE(n_bigrams, 0) AS n_bigrams,
+         |       COALESCE(score, 0.0) AS score
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
 
   /** MinHash calibration (q78): band-collision candidates, signature
     * agreement count vs exact Jaccard — mirrors Dedup.minhashCalibration.
@@ -1168,5 +1213,29 @@ object OracleSql {
       |         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
       |                     x -> x <> '') AS arr
       |  FROM documents)""".stripMargin
+
+  /** Gopher-rule flag CTEs (m → f) over `base`, shared by q75 and the q81
+    * composition; mirrors TextAnalysis.gopherRaw.
+    */
+  private lazy val GopherFlagsCtes: String =
+    s"""m AS (
+       |  SELECT doc_id,
+       |         CAST(len(arr) AS BIGINT) AS n_tokens,
+       |         CAST(CASE WHEN len(arr) = 0 THEN 0
+       |                   ELSE list_reduce(list_transform(arr, x -> length(x)), (a, b) -> a + b)
+       |              END AS BIGINT) AS sum_len,
+       |         CAST(len(list_filter(arr, x -> x IN $Stop)) AS BIGINT) AS n_stop,
+       |         CAST(len(list_filter(arr, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |         list_transform(range(1, greatest(len(arr), 1)),
+       |                        i -> array_to_string(arr[i:i+1], ' ')) AS bg
+       |  FROM base),
+       |f AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS wc_ok,
+       |         CAST(CASE WHEN 3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS mwl_ok,
+       |         CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
+       |         CAST(CASE WHEN 5 * n_alpha >= 4 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
+       |         CAST(CASE WHEN 10 * (len(bg) - len(list_distinct(bg))) <= len(bg) THEN 1 ELSE 0 END AS BIGINT) AS rep_ok
+       |  FROM m)""".stripMargin
 
 }

@@ -158,7 +158,11 @@ object SparkEntry {
     // Tokenizer application: per-doc stream length after the k BPE merges
     "q79_bpe_compression" -> ((s, d) => TextAnalysis.bpeCompression(s, d)),
     // Zipf head coverage of the top-20 tokens (vocabulary-sizing curve)
-    "q80_head_coverage" -> ((s, d) => TextAnalysis.headCoverage(s, d)))
+    "q80_head_coverage" -> ((s, d) => TextAnalysis.headCoverage(s, d)),
+    // end-to-end pipeline verdict: split ∧ dedup ∧ quality ∧ ¬contaminated
+    "q81_train_corpus" -> ((s, d) => TextAnalysis.trainCorpus(s, d)),
+    // DSIR importance weights: hashed-bigram log-likelihood ratio vs lang='en'
+    "q82_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

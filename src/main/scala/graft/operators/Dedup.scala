@@ -512,13 +512,18 @@ object Dedup {
     * near-dup ladder on the collapsed corpus, then this.
     */
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    survivorsRaw(spark, dir).orderBy("doc_id")
+
+  /** UNSORTED survivor relation — building-block form for pipeline
+    * compositions (TextAnalysis.trainCorpus); q54 sorts at its edge.
+    */
+  private[operators] def survivorsRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select("doc_id")
       .join(dupClusterLabels(spark, dir), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component_id"), col("doc_id")).as("component_id"),
         (coalesce(col("component_id"), col("doc_id")) === col("doc_id"))
           .as("kept"))
-      .orderBy("doc_id")
 
   /** Per-distinct-token hash bits, packed: nibble j of md5(token) maps
     * LSB-first to signature bits 4j..4j+3, so `nibbles` consecutive md5

@@ -532,7 +532,13 @@ object TextAnalysis {
     * sort, so it parallelizes embarrassingly at 100 TB and composes with
     * the dedup-survivor filter (q54) as the pipeline's quality pass.
     */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRaw(spark, dir).orderBy("doc_id")
+
+  /** UNSORTED Gopher-flag relation — building-block form for pipeline
+    * compositions (trainCorpus); q75 sorts at its edge.
+    */
+  private def gopherRaw(spark: SparkSession, dir: String): DataFrame = {
     val stopList = TokenPipeline.StopWords
     def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
     withTokens(spark, dir)
@@ -552,6 +558,108 @@ object TextAnalysis {
           size(col("bg"))).as("rep_ok"))
       .withColumn("keep",
         col("wc_ok") * col("mwl_ok") * col("stop_ok") * col("alpha_ok") * col("rep_ok"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Modeling via Importance Resampling"): score every document
+    * by how much its hashed-bigram feature distribution resembles a
+    * target domain (here lang='en' — the corpus's own metadata) relative
+    * to the raw corpus. Features are word bigrams hashed into 256 md5
+    * buckets; per-bucket weight is the Laplace-smoothed log-likelihood
+    * ratio  w(b) = ln((tgt(b)+1)/(T+256)) − ln((raw(b)+1)/(R+256)),
+    * QUANTIZED to 6 decimals at the bucket table so both engines fold
+    * bit-identical doubles; a document's score is the strictly
+    * sequential (bucket-ordered) fold of n_doc(b)·w(b).
+    *
+    * Scale shape: the bucket table is 256 rows (broadcast); everything
+    * else is two hash aggregates over the bigram stream and one per-doc
+    * fold over ≤256 entries — no shuffle wider than (doc_id, bucket).
+    * At 100 TB the weights would be learned once on a sample and shipped
+    * as a literal map; the query keeps the learning pass in-plan so the
+    * oracle can check it end to end.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val nib = (j: Int) =>
+      expr(s"(instr('0123456789abcdef', substring(md5(b), $j, 1)) - 1)")
+    val docB = rawTokens(spark, dir)
+      .select(col("doc_id"), explode(TextFns.shingleArray(col("toks"), 2)).as("b"))
+      .select(col("doc_id"), (nib(1) * 16 + nib(2)).cast("long").as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+    val raw = docB.groupBy("bucket").agg(sum("n").as("raw_n"))
+    val tgt = docB
+      .join(Tables.documents(spark, dir).filter(col("lang") === "en")
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("bucket").agg(sum("n").as("tgt_n"))
+    val rTot = raw.agg(sum("raw_n").as("rt"))
+    val tTot = tgt.agg(sum("tgt_n").as("tt"))
+    val wtab = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+      .select(col("bucket"), round(
+        log((coalesce(col("tgt_n"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tt") + lit(256L)).cast("double")) -
+        log((col("raw_n") + lit(1L)).cast("double") /
+          (col("rt") + lit(256L)).cast("double")), 6).as("w"))
+    val scored = docB.join(broadcast(wtab), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        sort_array(collect_list(struct(col("bucket"),
+          (col("n") * col("w")).as("term")))).as("ts"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(aggregate(col("ts"), lit(0.0),
+          (acc, x) => acc + x.getField("term")), 6).as("score"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end training-corpus materialization — the pipeline verdict a
+    * pretraining run filters on, one row per document (composition of
+    * q56 + q54 + q75 + the reverse of q59):
+    *
+    *  1. `split`       — content-hash split assignment (train/val/test)
+    *  2. `dedup_kept`  — canonical survivor of its near-dup component
+    *  3. `quality_ok`  — all five Gopher rules pass
+    *  4. `contaminated`— train doc sharing ≥1 5-gram shingle with any
+    *                     val/test doc (the leakage decontamination removes;
+    *                     0 for eval docs — they never enter training)
+    *
+    * `train_ok` = train ∧ survivor ∧ quality ∧ ¬contaminated.
+    *
+    * Scale shape: every stage is reused from its own query (shared
+    * shingle/signature caches, no recomputation), contamination is a
+    * shingle equi-join (never all-pairs), and the final assembly is four
+    * joins on doc_id — co-partitioned after one exchange. At 100 TB this
+    * is the relation you'd write once and feed the tokenizer from.
+    */
+  def trainCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val splits = splitRaw(spark, dir).select("doc_id", "split")
+    val surv = Dedup.survivorsRaw(spark, dir)
+      .select(col("doc_id"), col("kept").as("dedup_kept"))
+    val quality = gopherRaw(spark, dir)
+      .select(col("doc_id"), col("keep").as("quality_ok"))
+    val sh = Dedup.shingles(spark, dir)
+    val trainSh = sh.join(
+      splits.filter(col("split") === "train").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val evalSh = sh.join(
+      splits.filter(col("split") =!= "train").select("doc_id"),
+      Seq("doc_id"), "left_semi").select("shingle").distinct()
+    val contam = trainSh.join(evalSh, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("contam", lit(1L))
+    splits
+      .join(surv, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("dedup_kept"), col("quality_ok"),
+        coalesce(col("contam"), lit(0L)).as("contaminated"))
+      .withColumn("train_ok",
+        when(col("split") === "train" && col("dedup_kept") &&
+          col("quality_ok") === 1L && col("contaminated") === 0L, 1L)
+          .otherwise(0L))
       .orderBy("doc_id")
   }
 

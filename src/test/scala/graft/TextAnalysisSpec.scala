@@ -366,4 +366,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().head
     assert(top2 === ((a2, b2, n2)))
   }
+
+  test("trainCorpus: verdict is consistent with its four component queries") {
+    import org.apache.spark.sql.functions.col
+    val tc = TextAnalysis.trainCorpus(spark, sf).persist()
+    // one row per document, and the verdict is exactly the conjunction
+    assert(tc.count() === Tables.documents(spark, sf).count())
+    assert(tc.filter(col("train_ok") === 1L &&
+      !(col("split") === "train" && col("dedup_kept") &&
+        col("quality_ok") === 1L && col("contaminated") === 0L)).count() === 0)
+    assert(tc.filter(col("train_ok") === 0L &&
+      col("split") === "train" && col("dedup_kept") &&
+      col("quality_ok") === 1L && col("contaminated") === 0L).count() === 0)
+    // eval docs are never marked contaminated (the flag is train-side only)
+    assert(tc.filter(col("split") =!= "train" && col("contaminated") =!= 0L)
+      .count() === 0)
+    // flags agree row-for-row with the standalone queries they compose
+    val surv = graft.operators.Dedup.dedupSurvivors(spark, sf)
+      .select(col("doc_id"), col("kept"))
+    assert(tc.join(surv, Seq("doc_id"))
+      .filter(col("dedup_kept") =!= col("kept")).count() === 0)
+    val gq = TextAnalysis.gopherRules(spark, sf).select(col("doc_id"), col("keep"))
+    assert(tc.join(gq, Seq("doc_id"))
+      .filter(col("quality_ok") =!= col("keep")).count() === 0)
+    val sp = TextAnalysis.hashSplit(spark, sf)
+      .select(col("doc_id"), col("split").as("split2"))
+    assert(tc.join(sp, Seq("doc_id"))
+      .filter(col("split") =!= col("split2")).count() === 0)
+    tc.unpersist()
+    ()
+  }
 }
