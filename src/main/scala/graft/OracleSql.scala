@@ -1079,7 +1079,59 @@ object OracleSql {
          |       COALESCE(n_bigrams, 0) AS n_bigrams,
          |       COALESCE(score, 0.0) AS score
          |FROM documents d LEFT JOIN sc USING (doc_id)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin) +
+    ("q83_kmeans_step" ->
+      s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, emb AS cent FROM emb0 WHERE vec_id < 8),
+         |sc AS (
+         |  SELECT e.vec_id, c0.cid, e.emb,
+         |         GREATEST(${dotExpr("emb", "emb")} - 2 * ${dotExpr("emb", "cent")}
+         |              + ${dotExpr("cent", "cent")}, 0.0) AS d2
+         |  FROM emb0 e CROSS JOIN c0),
+         |asg AS (
+         |  SELECT vec_id, cid, emb FROM (
+         |    SELECT vec_id, cid, emb,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+         |    FROM sc) WHERE r = 1),
+         |pv AS (SELECT cid, vec_id, unnest(emb) AS v,
+         |              unnest(range(0, len(emb))) AS pos FROM asg)
+         |SELECT cid AS cluster_id, CAST(pos AS BIGINT) AS pos,
+         |       CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       ROUND(list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) / COUNT(*), 6) AS c_val
+         |FROM pv GROUP BY cid, pos
+         |ORDER BY cluster_id, pos""".stripMargin) +
+    ("q84_token_pagerank" ->
+      s"""WITH $ArrCte,
+         |bgp AS (
+         |  SELECT string_split(unnest(list_transform(range(1, greatest(len(arr), 1)),
+         |                i -> array_to_string(arr[i:i+1], ' '))), ' ') AS p
+         |  FROM base),
+         |edges AS (
+         |  SELECT p[1] AS src, p[2] AS dst, COUNT(*) AS c FROM bgp GROUP BY 1, 2),
+         |outd AS (SELECT src, SUM(c) AS outc FROM edges GROUP BY src),
+         |verts AS (SELECT DISTINCT unnest(arr) AS token FROM base),
+         |nv AS (SELECT COUNT(*) AS nv FROM verts),
+         |p0 AS (SELECT token, 1000000000 // nv AS pr, nv FROM verts, nv),
+         |in1 AS (
+         |  SELECT e.dst AS token, SUM((e.c * p.pr) // o.outc) AS inflow
+         |  FROM edges e JOIN outd o ON e.src = o.src JOIN p0 p ON e.src = p.token
+         |  GROUP BY e.dst),
+         |p1 AS (
+         |  SELECT p0.token,
+         |         (15 * (1000000000 // p0.nv)) // 100 + (85 * COALESCE(in1.inflow, 0)) // 100 AS pr,
+         |         p0.nv AS nv
+         |  FROM p0 LEFT JOIN in1 ON p0.token = in1.token),
+         |in2 AS (
+         |  SELECT e.dst AS token, SUM((e.c * p.pr) // o.outc) AS inflow
+         |  FROM edges e JOIN outd o ON e.src = o.src JOIN p1 p ON e.src = p.token
+         |  GROUP BY e.dst),
+         |p2 AS (
+         |  SELECT p1.token,
+         |         (15 * (1000000000 // p1.nv)) // 100 + (85 * COALESCE(in2.inflow, 0)) // 100 AS pr
+         |  FROM p1 LEFT JOIN in2 ON p1.token = in2.token)
+         |SELECT p1.token AS token, CAST(p1.pr AS BIGINT) AS pr1, CAST(p2.pr AS BIGINT) AS pr2
+         |FROM p1 JOIN p2 ON p1.token = p2.token
+         |ORDER BY token""".stripMargin)
 
   /** MinHash calibration (q78): band-collision candidates, signature
     * agreement count vs exact Jaccard — mirrors Dedup.minhashCalibration.

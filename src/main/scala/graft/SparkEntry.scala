@@ -162,7 +162,11 @@ object SparkEntry {
     // end-to-end pipeline verdict: split ∧ dedup ∧ quality ∧ ¬contaminated
     "q81_train_corpus" -> ((s, d) => TextAnalysis.trainCorpus(s, d)),
     // DSIR importance weights: hashed-bigram log-likelihood ratio vs lang='en'
-    "q82_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)))
+    "q82_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    // one deterministic Lloyd iteration: seeded centroids, min_by assignment
+    "q83_kmeans_step" -> ((s, d) => Similarity.kmeansStep(s, d)),
+    // integer-exact 2-round PageRank on the token-adjacency graph
+    "q84_token_pagerank" -> ((s, d) => TextAnalysis.tokenPagerank(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

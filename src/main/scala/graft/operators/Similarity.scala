@@ -202,6 +202,55 @@ object Similarity {
     * the same expression shape the oracle states, so both engines execute
     * identical double ops in identical order.
     */
+  /** One deterministic k-means Lloyd iteration (q83) — the clustering
+    * primitive behind SemDeDup/cluster-balanced data curation: seed
+    * centroids are the vectors with vec_id < k (no RNG), every vector is
+    * assigned to its nearest centroid (squared L2 in the expanded
+    * |a|²−2a·c+|c|² form, ulp-clamped like q64; ties break on centroid
+    * id), and the new centroid is the per-(cluster, position) mean via
+    * the SEQUENTIAL vec_id-ordered fold so both engines produce the same
+    * double bit-for-bit. Output is the recomputed centroid table in
+    * relational (cluster, pos, value) form.
+    *
+    * Scale shape: the k seed centroids broadcast to every executor (the
+    * assignment is a map-side k-way score, not a join shuffle); the only
+    * exchange is the (cluster, pos) aggregate, k·d groups. Iterating to
+    * convergence is this query in a loop with the previous round's
+    * centroid table swapped in as the broadcast side — the per-round
+    * cost at 100 TB stays one corpus scan + one k·d-group aggregate.
+    */
+  def kmeansStep(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), VectorFns.asDouble(col("embedding")).as("emb"))
+    val cent0 = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("emb").as("cent"))
+    val scored = e.crossJoin(broadcast(cent0))
+      .select(col("vec_id"), col("cid"), col("emb"),
+        greatest(VectorFns.dot(col("emb"), col("emb"))
+          - lit(2.0) * VectorFns.dot(col("emb"), col("cent"))
+          + VectorFns.dot(col("cent"), col("cent")), lit(0.0)).as("d2"))
+    // arg-min via min_by, not a ranking window: the crossJoin(broadcast)
+    // emits all k candidate rows of a vector inside one task, so the
+    // partial aggregate collapses k→1 BEFORE the exchange — n rows cross
+    // the wire instead of n·k, and no per-partition sort. (cid < k keeps
+    // the (d2, cid) struct ordering exact; cid is unique, so no ties.)
+    val assign = scored
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("emb")), struct(col("d2"), col("cid")))
+        .as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.emb").as("emb"))
+    assign
+      .select(col("cid"), col("vec_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+      .select(col("cid").as("cluster_id"), col("pos").cast("long").as("pos"),
+        col("n_members"),
+        round(aggregate(col("vs"), lit(0.0),
+          (acc, x) => acc + x.getField("v")) / col("n_members"), 6).as("c_val"))
+      .orderBy("cluster_id", "pos")
+  }
+
   def labelOutliers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"),

@@ -329,6 +329,58 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
   }
 
+  /** Token-transition PageRank (q84), two power iterations, INTEGER-exact:
+    * nodes are distinct raw tokens, a directed edge s→t carries the
+    * corpus-wide adjacency count c(s,t), and rank flows as the standard
+    * damped update  pr' = (1−d)/N + d·Σ_in c·pr/out  — recast entirely in
+    * scaled 64-bit integer arithmetic (SCALE = 1e9, d = 85/100, every
+    * division a floor div) so the result is order-independent and the
+    * oracle compare is exact with no float anywhere. Dangling-node mass
+    * is dropped, not redistributed (documented semantics; both engines
+    * agree). Magnitude check: c·pr ≤ 1e6·1e9 = 1e15 ≪ 2⁶³.
+    *
+    * Scale shape: one shuffle per iteration (groupBy target), the edge
+    * relation is reused across iterations from the cached token stream,
+    * and the per-iteration join keys on the token — the same partitioning
+    * every round, so at 100 TB the iterations pipeline over a stable
+    * exchange. A graph engine would checkpoint per round exactly like
+    * Dedup.propagateMinLabels; two unrolled rounds keep q84 a pure
+    * oracle-able expression of the numeric scheme.
+    */
+  def tokenPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000000L
+    val edges = rawTokens(spark, dir)
+      .select(explode(TextFns.shingleArray(col("toks"), 2)).as("bg"))
+      .select(split(col("bg"), " ").as("p"))
+      .select(element_at(col("p"), 1).as("src"), element_at(col("p"), 2).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+    val out = edges.groupBy("src").agg(sum("c").as("outc"))
+    val verts = rawTokens(spark, dir)
+      .select(explode(col("toks")).as("token")).distinct()
+    val nV = verts.agg(count(lit(1)).as("nv"))
+    // pr0 = SCALE div N for every vertex; the damped base term reuses it
+    val pr0 = verts.crossJoin(broadcast(nV))
+      .select(col("token"), expr(s"$Scale div nv").as("pr"), col("nv"))
+    def step(pr: DataFrame): DataFrame = {
+      val contrib = edges
+        .join(out, Seq("src"))
+        .join(pr.select(col("token").as("src"), col("pr")), Seq("src"))
+        .groupBy(col("dst").as("token"))
+        .agg(sum(expr("(c * pr) div outc")).as("inflow"))
+      pr.select(col("token"), col("nv"))
+        .join(contrib, Seq("token"), "left")
+        .select(col("token"),
+          (expr(s"(15 * ($Scale div nv)) div 100") +
+            expr("(85 * coalesce(inflow, cast(0 as bigint))) div 100")).as("pr"),
+          col("nv"))
+    }
+    val p1 = step(pr0)
+    val p2 = step(p1)
+    p1.select(col("token"), col("pr").as("pr1"))
+      .join(p2.select(col("token"), col("pr").as("pr2")), Seq("token"))
+      .orderBy("token")
+  }
+
   /** Sequence packing (q71): assign documents to fixed token-budget
     * training shards, per source — the concat-and-chunk step a
     * pretraining pipeline runs right before writing tokenized shards. A

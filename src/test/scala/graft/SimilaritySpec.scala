@@ -84,4 +84,23 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rows.map(_._3) === (1L to 10L), s"label $l ranks 1..10")
     }
   }
+
+  test("kmeansStep: full k×d centroid table, members partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val step = Similarity.kmeansStep(spark, sf).persist()
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    // every (cluster, pos) cell is present: all 8 seeds claim at least
+    // themselves (their own d2 is exactly 0), dims are dense
+    assert(step.count() === 8L * 64L)
+    assert(step.select("cluster_id").distinct().count() === 8L)
+    // the assignment is a partition of the corpus: member counts at any
+    // fixed position sum to the vector count
+    val perPos = step.groupBy("pos").agg(sum("n_members").as("m"))
+      .select("m").distinct().as[Long].collect().toSeq
+    assert(perPos === Seq(nVecs))
+    // a centroid mean can never leave the member value envelope
+    assert(step.filter(col("c_val").isNull || abs(col("c_val")) > 1e6).count() === 0)
+    step.unpersist()
+    ()
+  }
 }

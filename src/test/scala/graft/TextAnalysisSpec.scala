@@ -367,6 +367,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top2 === ((a2, b2, n2)))
   }
 
+  test("tokenPagerank: hand-computed two-token graph, integer-exact") {
+    import org.apache.spark.sql.functions.col
+    // corpus "a b b": edges a→b (1), b→b (1); out(a)=out(b)=1; N=2
+    // base = 1e9 div 2 = 5e8
+    // round 1: inflow(b) = 5e8 + 5e8 = 1e9 → pr(b) = 15*5e8/100 + 85*1e9/100
+    //          = 75_000_000 + 850_000_000 = 925_000_000; pr(a) = 75_000_000
+    // round 2: inflow(b) = 75e6 + 925e6 = 1e9 → same values again
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr").toString
+    Seq((1L, "a b b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.tokenPagerank(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 75000000L, 75000000L),
+      ("b", 925000000L, 925000000L)))
+  }
+
+  test("dsirWeights: english docs outscore others on average, zero-bigram docs score 0") {
+    import org.apache.spark.sql.functions._
+    val w = TextAnalysis.dsirWeights(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "lang"), Seq("doc_id"))
+      .persist()
+    // every document appears exactly once
+    assert(w.count() === Tables.documents(spark, sf).count())
+    // the importance ratio is trained toward lang='en': the mean score of
+    // english docs must exceed the mean score of the rest (the defining
+    // property of an importance weight, not a statistical accident)
+    val Seq(enAvg, restAvg) = w
+      .withColumn("is_en", col("lang") === "en")
+      .groupBy("is_en").agg(avg("score").as("s"))
+      .orderBy(col("is_en").desc)
+      .collect().toSeq.map(_.getDouble(1))
+    assert(enAvg > restAvg)
+    // docs with no bigram have nothing to score
+    assert(w.filter(col("n_bigrams") === 0L && col("score") =!= 0.0).count() === 0)
+    w.unpersist()
+    ()
+  }
+
   test("trainCorpus: verdict is consistent with its four component queries") {
     import org.apache.spark.sql.functions.col
     val tc = TextAnalysis.trainCorpus(spark, sf).persist()
