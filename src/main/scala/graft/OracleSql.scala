@@ -1081,18 +1081,7 @@ object OracleSql {
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin) +
     ("q83_kmeans_step" ->
-      s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, emb AS cent FROM emb0 WHERE vec_id < 8),
-         |sc AS (
-         |  SELECT e.vec_id, c0.cid, e.emb,
-         |         GREATEST(${dotExpr("emb", "emb")} - 2 * ${dotExpr("emb", "cent")}
-         |              + ${dotExpr("cent", "cent")}, 0.0) AS d2
-         |  FROM emb0 e CROSS JOIN c0),
-         |asg AS (
-         |  SELECT vec_id, cid, emb FROM (
-         |    SELECT vec_id, cid, emb,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
-         |    FROM sc) WHERE r = 1),
+      s"""WITH $KmeansAsgCtes,
          |pv AS (SELECT cid, vec_id, unnest(emb) AS v,
          |              unnest(range(0, len(emb))) AS pos FROM asg)
          |SELECT cid AS cluster_id, CAST(pos AS BIGINT) AS pos,
@@ -1100,6 +1089,11 @@ object OracleSql {
          |       ROUND(list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) / COUNT(*), 6) AS c_val
          |FROM pv GROUP BY cid, pos
          |ORDER BY cluster_id, pos""".stripMargin) +
+    ("q85_kmeans_assign" ->
+      s"""WITH $KmeansAsgCtes
+         |SELECT vec_id, cid AS cluster_id, ROUND(sqrt(d2), 6) AS dist
+         |FROM asg
+         |ORDER BY vec_id""".stripMargin) +
     ("q84_token_pagerank" ->
       s"""WITH $ArrCte,
          |bgp AS (
@@ -1265,6 +1259,24 @@ object OracleSql {
       |         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
       |                     x -> x <> '') AS arr
       |  FROM documents)""".stripMargin
+
+  /** Nearest-seed-centroid assignment CTEs (emb0 → asg) shared by q83 and
+    * q85; mirrors Similarity.kmeansAssignRaw (seeds vec_id < 8, expanded
+    * clamped squared L2, ties on cid).
+    */
+  private lazy val KmeansAsgCtes: String =
+    s"""emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, emb AS cent FROM emb0 WHERE vec_id < 8),
+       |sc AS (
+       |  SELECT e.vec_id, c0.cid, e.emb,
+       |         GREATEST(${dotExpr("emb", "emb")} - 2 * ${dotExpr("emb", "cent")}
+       |              + ${dotExpr("cent", "cent")}, 0.0) AS d2
+       |  FROM emb0 e CROSS JOIN c0),
+       |asg AS (
+       |  SELECT vec_id, cid, emb, d2 FROM (
+       |    SELECT vec_id, cid, emb, d2,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+       |    FROM sc) WHERE r = 1)""".stripMargin
 
   /** Gopher-rule flag CTEs (m → f) over `base`, shared by q75 and the q81
     * composition; mirrors TextAnalysis.gopherRaw.

@@ -58,7 +58,15 @@ object Plans {
       "q79_bpe_compression" ->
         "tokenizer application: k chained window rewrites sharing ONE hashpartitioning(doc_id) exchange — no per-round aggregates or checkpoints in the apply path",
       "q80_head_coverage" ->
-        "Zipf head coverage: TakeOrderedAndProject for the top-k (per-partition heaps, no global sort), windows only over the k-row result, scalar total broadcast")
+        "Zipf head coverage: TakeOrderedAndProject for the top-k (per-partition heaps, no global sort), windows only over the k-row result, scalar total broadcast",
+      "q81_train_corpus" ->
+        "end-to-end corpus verdict: the four stage relations (split, survivors, gopher flags, contamination) assembled by doc_id-keyed joins; contamination candidates from the shingle equi-join between split-filtered semi-joins — no stage recomputed, no all-pairs",
+      "q82_dsir_weights" ->
+        "DSIR weights: two hash-aggregates over the hashed-bigram stream, the 256-row weight table broadcast back, per-doc score a bucket-ordered fold inside one ObjectHashAggregate",
+      "q83_kmeans_step" ->
+        "k-means step: broadcast seed centroids cross-joined map-side, partial min_by collapses k candidates to 1 BEFORE the exchange (n rows shuffle, not n·k; sort-based agg locally — struct ordering isn't hash-aggregable), then the (cluster,pos) fold aggregate",
+      "q84_token_pagerank" ->
+        "token PageRank: per-iteration contribution join keyed on the token and a target-keyed aggregate — the same hashpartitioning both rounds, edges/out-degrees reused from the cached token stream")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")

@@ -76,7 +76,14 @@ object ScaleSmoke {
       // minhash calibration (band-collision candidates × signature join
       // at 10× bucket width), quantized ANN (8 queries × 10× corpus scan)
       "q76_dup_span_coverage", "q78_minhash_calibration",
-      "q77_knn_quantized")
+      "q77_knn_quantized",
+      // round 8c: the end-to-end corpus verdict (survivors + gopher +
+      // train→eval contamination, all over the 10× duplication skew),
+      // DSIR weights (bigram-bucket aggregates over the 10× stream),
+      // one Lloyd step (10× assignment through the min_by partial agg),
+      // token PageRank (two join+agg rounds over the 10× edge counts)
+      "q81_train_corpus", "q82_dsir_weights", "q83_kmeans_step",
+      "q84_token_pagerank")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()

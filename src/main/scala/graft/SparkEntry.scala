@@ -166,7 +166,9 @@ object SparkEntry {
     // one deterministic Lloyd iteration: seeded centroids, min_by assignment
     "q83_kmeans_step" -> ((s, d) => Similarity.kmeansStep(s, d)),
     // integer-exact 2-round PageRank on the token-adjacency graph
-    "q84_token_pagerank" -> ((s, d) => TextAnalysis.tokenPagerank(s, d)))
+    "q84_token_pagerank" -> ((s, d) => TextAnalysis.tokenPagerank(s, d)),
+    // the Lloyd E-step per vector: assigned cluster + distance
+    "q85_kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

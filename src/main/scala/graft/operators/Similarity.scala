@@ -219,27 +219,8 @@ object Similarity {
     * centroid table swapped in as the broadcast side — the per-round
     * cost at 100 TB stays one corpus scan + one k·d-group aggregate.
     */
-  def kmeansStep(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"), VectorFns.asDouble(col("embedding")).as("emb"))
-    val cent0 = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("emb").as("cent"))
-    val scored = e.crossJoin(broadcast(cent0))
-      .select(col("vec_id"), col("cid"), col("emb"),
-        greatest(VectorFns.dot(col("emb"), col("emb"))
-          - lit(2.0) * VectorFns.dot(col("emb"), col("cent"))
-          + VectorFns.dot(col("cent"), col("cent")), lit(0.0)).as("d2"))
-    // arg-min via min_by, not a ranking window: the crossJoin(broadcast)
-    // emits all k candidate rows of a vector inside one task, so the
-    // partial aggregate collapses k→1 BEFORE the exchange — n rows cross
-    // the wire instead of n·k, and no per-partition sort. (cid < k keeps
-    // the (d2, cid) struct ordering exact; cid is unique, so no ties.)
-    val assign = scored
-      .groupBy("vec_id")
-      .agg(min_by(struct(col("cid"), col("emb")), struct(col("d2"), col("cid")))
-        .as("best"))
-      .select(col("vec_id"), col("best.cid").as("cid"), col("best.emb").as("emb"))
-    assign
+  def kmeansStep(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    kmeansAssignRaw(spark, dir, k)
       .select(col("cid"), col("vec_id"), posexplode(col("emb")).as(Seq("pos", "v")))
       .groupBy("cid", "pos")
       .agg(count(lit(1)).as("n_members"),
@@ -249,6 +230,43 @@ object Similarity {
         round(aggregate(col("vs"), lit(0.0),
           (acc, x) => acc + x.getField("v")) / col("n_members"), 6).as("c_val"))
       .orderBy("cluster_id", "pos")
+
+  /** The Lloyd E-step materialized per vector (q85): every embedding's
+    * assigned cluster and its distance to that centroid — the per-point
+    * relation cluster-balanced sampling and SemDeDup-style curation
+    * filter on (q83 exposes the M-step over the same assignment).
+    */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    kmeansAssignRaw(spark, dir, k)
+      .select(col("vec_id"), col("cid").as("cluster_id"),
+        round(sqrt(col("d2")), 6).as("dist"))
+      .orderBy("vec_id")
+
+  /** UNSORTED nearest-seed-centroid assignment shared by q83 and q85:
+    * broadcast the k seed vectors (vec_id < k, RNG-free), score each
+    * embedding against all k map-side (squared L2 in the expanded
+    * |a|²−2a·c+|c|² form, ulp-clamped like q64), and take the arg-min
+    * via min_by, not a ranking window: the crossJoin(broadcast) emits
+    * all k candidate rows of a vector inside one task, so the partial
+    * aggregate collapses k→1 BEFORE the exchange — n rows cross the
+    * wire instead of n·k. (The (d2, cid) struct ordering is exact;
+    * cid is unique, so no ties.)
+    */
+  private def kmeansAssignRaw(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), VectorFns.asDouble(col("embedding")).as("emb"))
+    val cent0 = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("emb").as("cent"))
+    e.crossJoin(broadcast(cent0))
+      .select(col("vec_id"), col("cid"), col("emb"),
+        greatest(VectorFns.dot(col("emb"), col("emb"))
+          - lit(2.0) * VectorFns.dot(col("emb"), col("cent"))
+          + VectorFns.dot(col("cent"), col("cent")), lit(0.0)).as("d2"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("emb"), col("d2")),
+        struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.emb").as("emb"), col("best.d2").as("d2"))
   }
 
   def labelOutliers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {

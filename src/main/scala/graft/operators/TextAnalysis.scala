@@ -631,27 +631,8 @@ object TextAnalysis {
     * oracle can check it end to end.
     */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val nib = (j: Int) =>
-      expr(s"(instr('0123456789abcdef', substring(md5(b), $j, 1)) - 1)")
-    val docB = rawTokens(spark, dir)
-      .select(col("doc_id"), explode(TextFns.shingleArray(col("toks"), 2)).as("b"))
-      .select(col("doc_id"), (nib(1) * 16 + nib(2)).cast("long").as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
-    val raw = docB.groupBy("bucket").agg(sum("n").as("raw_n"))
-    val tgt = docB
-      .join(Tables.documents(spark, dir).filter(col("lang") === "en")
-        .select("doc_id"), Seq("doc_id"), "left_semi")
-      .groupBy("bucket").agg(sum("n").as("tgt_n"))
-    val rTot = raw.agg(sum("raw_n").as("rt"))
-    val tTot = tgt.agg(sum("tgt_n").as("tt"))
-    val wtab = raw.join(tgt, Seq("bucket"), "left")
-      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
-      .select(col("bucket"), round(
-        log((coalesce(col("tgt_n"), lit(0L)) + lit(1L)).cast("double") /
-          (col("tt") + lit(256L)).cast("double")) -
-        log((col("raw_n") + lit(1L)).cast("double") /
-          (col("rt") + lit(256L)).cast("double")), 6).as("w"))
-    val scored = docB.join(broadcast(wtab), Seq("bucket"))
+    val docB = dsirDocBuckets(spark, dir)
+    val scored = docB.join(broadcast(dsirWeightTable(spark, dir)), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_bigrams"),
         sort_array(collect_list(struct(col("bucket"),
@@ -665,6 +646,39 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("score"), lit(0.0)).as("score"))
       .orderBy("doc_id")
+  }
+
+  /** Per-(doc, bucket) hashed-bigram counts — the feature relation the
+    * DSIR learner aggregates. Bucket = first two md5 nibbles (0..255).
+    */
+  private def dsirDocBuckets(spark: SparkSession, dir: String): DataFrame =
+    rawTokens(spark, dir)
+      .select(col("doc_id"), explode(TextFns.shingleArray(col("toks"), 2)).as("b"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(b), 1, 2), 16, 10) as bigint)").as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+
+  /** The learned 256-row DSIR weight table (bucket → quantized
+    * log-likelihood ratio) — the artifact a 100 TB deployment would
+    * learn once on a sample and ship as a broadcast/literal map; the
+    * streaming scorer (StreamingOps.dsirScore) consumes it collected.
+    */
+  def dsirWeightTable(spark: SparkSession, dir: String): DataFrame = {
+    val docB = dsirDocBuckets(spark, dir)
+    val raw = docB.groupBy("bucket").agg(sum("n").as("raw_n"))
+    val tgt = docB
+      .join(Tables.documents(spark, dir).filter(col("lang") === "en")
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("bucket").agg(sum("n").as("tgt_n"))
+    val rTot = raw.agg(sum("raw_n").as("rt"))
+    val tTot = tgt.agg(sum("tgt_n").as("tt"))
+    raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+      .select(col("bucket"), round(
+        log((coalesce(col("tgt_n"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tt") + lit(256L)).cast("double")) -
+        log((col("raw_n") + lit(1L)).cast("double") /
+          (col("rt") + lit(256L)).cast("double")), 6).as("w"))
   }
 
   /** End-to-end training-corpus materialization — the pipeline verdict a

@@ -25,6 +25,35 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Stream-side DSIR scoring — the streaming twin of q82's scorer with
+    * the learning pass factored OUT: the 256-bucket weight table is
+    * learned in batch (TextAnalysis.dsirWeightTable), collected, and
+    * shipped as a literal map, exactly the deployment shape the q82
+    * scaladoc prescribes for 100 TB. Scoring is then a pure per-row
+    * projection — tokenize, bigram, md5-bucket, and a bucket-ascending
+    * fold of n_b·w(b) — stateless, shuffle-free, append-mode safe, and
+    * BIT-IDENTICAL to the batch score for any doc (same quantized
+    * weights, same fold order, same double ops; StreamingSpec asserts
+    * exact equality). Buckets unseen at learn time score `defaultW`
+    * (new-data drift happens; batch can't produce them by construction).
+    */
+  def dsirScore(docs: DataFrame, weights: Map[Long, Double],
+      defaultW: Double = 0.0): DataFrame = {
+    val wmap = typedlit(weights)
+    val bks = expr(
+      "transform(graft_bigrams, b -> cast(conv(substring(md5(b), 1, 2), 16, 10) as bigint))")
+    docs
+      .withColumn("graft_bigrams",
+        graft.functions.TextFns.shingleArray(
+          graft.functions.TextFns.tokenize(col("text")), 2))
+      .withColumn("graft_buckets", bks)
+      .select(col("doc_id"),
+        size(col("graft_bigrams")).cast("long").as("n_bigrams"),
+        round(aggregate(array_sort(array_distinct(col("graft_buckets"))), lit(0.0),
+          (acc, b) => acc + size(filter(col("graft_buckets"), x => x === b)) *
+            coalesce(element_at(wmap, b), lit(defaultW))), 6).as("score"))
+  }
+
   /** Watermarked hourly tumbling counts per event type — the streaming twin
     * of operators.Events.hourlyByType.
     */

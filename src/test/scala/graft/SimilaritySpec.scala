@@ -103,4 +103,21 @@ class SimilaritySpec extends AnyFunSuite {
     step.unpersist()
     ()
   }
+
+  test("kmeansAssign: seeds claim themselves at distance 0, counts match the step") {
+    import org.apache.spark.sql.functions._
+    val asg = Similarity.kmeansAssign(spark, sf).persist()
+    // each seed vector's nearest centroid is itself, exactly
+    assert(asg.filter(col("vec_id") < 8 &&
+      (col("cluster_id") =!= col("vec_id") || col("dist") =!= 0.0)).count() === 0)
+    // the assignment sizes agree with the step's n_members
+    val sizes = asg.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+    val stepSizes = Similarity.kmeansStep(spark, sf)
+      .filter(col("pos") === 0L)
+      .select(col("cluster_id"), col("n_members").as("m"))
+    assert(sizes.join(stepSizes, Seq("cluster_id"))
+      .filter(col("n") =!= col("m")).count() === 0)
+    asg.unpersist()
+    ()
+  }
 }

@@ -38,6 +38,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("streaming DSIR scorer is bit-identical to batch q82 on the same corpus") {
+    import org.apache.spark.sql.types._
+    // learn the weight table in batch, ship it as a literal map — the
+    // deployment shape the operator documents
+    val weights = graft.operators.TextAnalysis.dsirWeightTable(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir.toString)
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.dsirScore(stream, weights), "dsir_test", mode = "append")
+    val want = graft.operators.TextAnalysis.dsirWeights(spark, sf)
+    // EXACT equality, not tolerance: same quantized weights, same
+    // bucket-ascending fold, same double ops on both paths
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("streaming exact-dedup (dropDuplicates on fp) keeps one row per fingerprint") {
     val dir = java.nio.file.Files.createTempDirectory("dedup_stream")
     // duplicate the corpus so the stream really contains dups
