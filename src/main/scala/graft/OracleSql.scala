@@ -1024,30 +1024,41 @@ object OracleSql {
          |FROM r, t WHERE rnk <= 20
          |ORDER BY rnk""".stripMargin) +
     ("q81_train_corpus" ->
-      s"""WITH RECURSIVE $SplitCte, $ArrCte, $ShinglesCte, $SigsCte,
-         |$DupClustersBody,
-         |comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
-         |$GopherFlagsCtes,
-         |contam AS (
-         |  SELECT DISTINCT t.doc_id
-         |  FROM shingles t
-         |  JOIN splits st ON t.doc_id = st.doc_id AND st.split = 'train'
-         |  JOIN shingles e2 ON t.shingle = e2.shingle
-         |  JOIN splits se ON e2.doc_id = se.doc_id AND se.split <> 'train')
-         |SELECT sp.doc_id AS doc_id, sp.split AS split,
-         |       (COALESCE(comp.component_id, sp.doc_id) = sp.doc_id) AS dedup_kept,
-         |       f.wc_ok * f.mwl_ok * f.stop_ok * f.alpha_ok * f.rep_ok AS quality_ok,
-         |       CAST(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
-         |       CAST(CASE WHEN sp.split = 'train'
-         |                  AND COALESCE(comp.component_id, sp.doc_id) = sp.doc_id
-         |                  AND f.wc_ok * f.mwl_ok * f.stop_ok * f.alpha_ok * f.rep_ok = 1
-         |                  AND ct.doc_id IS NULL
-         |                 THEN 1 ELSE 0 END AS BIGINT) AS train_ok
-         |FROM splits sp
-         |LEFT JOIN comp ON sp.doc_id = comp.doc_id
-         |JOIN f ON sp.doc_id = f.doc_id
-         |LEFT JOIN contam ct ON sp.doc_id = ct.doc_id
+      s"""$TrainVerdictCtes
+         |SELECT doc_id, split, dedup_kept, quality_ok, contaminated, train_ok
+         |FROM verdict
          |ORDER BY doc_id""".stripMargin) +
+    ("q86_corpus_report" ->
+      s"""$TrainVerdictCtes
+         |SELECT d.source AS source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN v.dedup_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup_kept,
+         |       CAST(SUM(v.quality_ok) AS BIGINT) AS n_quality,
+         |       CAST(SUM(v.contaminated) AS BIGINT) AS n_contaminated,
+         |       CAST(SUM(v.train_ok) AS BIGINT) AS n_train_ok
+         |FROM verdict v JOIN documents d ON v.doc_id = d.doc_id
+         |GROUP BY d.source
+         |ORDER BY source""".stripMargin) +
+    ("q87_boilerplate_prefixes" ->
+      s"""WITH $ArrCte,
+         |pref AS (
+         |  SELECT d.source AS source, array_to_string(b.arr[1:5], ' ') AS prefix
+         |  FROM base b JOIN documents d ON b.doc_id = d.doc_id
+         |  WHERE len(b.arr) > 0),
+         |counts AS (SELECT source, prefix, COUNT(*) AS n_docs
+         |           FROM pref GROUP BY source, prefix),
+         |totals AS (SELECT source, COUNT(*) AS n_total FROM pref GROUP BY source),
+         |r AS (
+         |  SELECT source, prefix, n_docs,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |                ORDER BY n_docs DESC, prefix) AS BIGINT) AS rnk
+         |  FROM counts)
+         |SELECT r.source AS source, r.rnk AS rnk, r.prefix AS prefix,
+         |       CAST(r.n_docs AS BIGINT) AS n_docs,
+         |       ROUND(CAST(r.n_docs AS DOUBLE) / t.n_total, 6) AS share
+         |FROM r JOIN totals t ON r.source = t.source
+         |WHERE r.rnk <= 3
+         |ORDER BY source, rnk""".stripMargin) +
     ("q82_dsir_weights" ->
       s"""WITH $ArrCte,
          |bg AS (
@@ -1259,6 +1270,36 @@ object OracleSql {
       |         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
       |                     x -> x <> '') AS arr
       |  FROM documents)""".stripMargin
+
+  /** Full WITH head + per-document verdict CTE shared by q81 (sorted
+    * edge) and q86 (per-source aggregate); mirrors
+    * TextAnalysis.trainVerdictRaw.
+    */
+  private lazy val TrainVerdictCtes: String =
+    s"""WITH RECURSIVE $SplitCte, $ArrCte, $ShinglesCte, $SigsCte,
+       |$DupClustersBody,
+       |comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
+       |$GopherFlagsCtes,
+       |contam AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM shingles t
+       |  JOIN splits st ON t.doc_id = st.doc_id AND st.split = 'train'
+       |  JOIN shingles e2 ON t.shingle = e2.shingle
+       |  JOIN splits se ON e2.doc_id = se.doc_id AND se.split <> 'train'),
+       |verdict AS (
+       |  SELECT sp.doc_id AS doc_id, sp.split AS split,
+       |         (COALESCE(comp.component_id, sp.doc_id) = sp.doc_id) AS dedup_kept,
+       |         f.wc_ok * f.mwl_ok * f.stop_ok * f.alpha_ok * f.rep_ok AS quality_ok,
+       |         CAST(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
+       |         CAST(CASE WHEN sp.split = 'train'
+       |                    AND COALESCE(comp.component_id, sp.doc_id) = sp.doc_id
+       |                    AND f.wc_ok * f.mwl_ok * f.stop_ok * f.alpha_ok * f.rep_ok = 1
+       |                    AND ct.doc_id IS NULL
+       |                   THEN 1 ELSE 0 END AS BIGINT) AS train_ok
+       |  FROM splits sp
+       |  LEFT JOIN comp ON sp.doc_id = comp.doc_id
+       |  JOIN f ON sp.doc_id = f.doc_id
+       |  LEFT JOIN contam ct ON sp.doc_id = ct.doc_id)""".stripMargin
 
   /** Nearest-seed-centroid assignment CTEs (emb0 → asg) shared by q83 and
     * q85; mirrors Similarity.kmeansAssignRaw (seeds vec_id < 8, expanded

@@ -168,7 +168,11 @@ object SparkEntry {
     // integer-exact 2-round PageRank on the token-adjacency graph
     "q84_token_pagerank" -> ((s, d) => TextAnalysis.tokenPagerank(s, d)),
     // the Lloyd E-step per vector: assigned cluster + distance
-    "q85_kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(s, d)))
+    "q85_kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(s, d)),
+    // per-source attrition report over the q81 verdict
+    "q86_corpus_report" -> ((s, d) => TextAnalysis.corpusReport(s, d)),
+    // per-source top-3 document-opening prefixes (boilerplate detector)
+    "q87_boilerplate_prefixes" -> ((s, d) => TextAnalysis.boilerplatePrefixes(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -700,7 +700,31 @@ object TextAnalysis {
     * joins on doc_id — co-partitioned after one exchange. At 100 TB this
     * is the relation you'd write once and feed the tokenizer from.
     */
-  def trainCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def trainCorpus(spark: SparkSession, dir: String): DataFrame =
+    trainVerdictRaw(spark, dir).orderBy("doc_id")
+
+  /** Per-source pipeline attrition report (q86) — the one-page summary a
+    * data lead reads before a run: how many documents each source
+    * contributes and how many survive each gate of the q81 verdict.
+    * Pure aggregate over the verdict relation joined with the source
+    * column — the report costs one extra shuffle on `source` after the
+    * verdict is built.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    trainVerdictRaw(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dedup_kept"), 1L).otherwise(0L)).as("n_dedup_kept"),
+        sum(col("quality_ok")).as("n_quality"),
+        sum(col("contaminated")).as("n_contaminated"),
+        sum(col("train_ok")).as("n_train_ok"))
+      .orderBy("source")
+
+  /** UNSORTED per-document verdict — building-block form shared by q81
+    * (sorted edge) and q86 (per-source aggregate).
+    */
+  private def trainVerdictRaw(spark: SparkSession, dir: String): DataFrame = {
     val splits = splitRaw(spark, dir).select("doc_id", "split")
     val surv = Dedup.survivorsRaw(spark, dir)
       .select(col("doc_id"), col("kept").as("dedup_kept"))
@@ -726,7 +750,31 @@ object TextAnalysis {
         when(col("split") === "train" && col("dedup_kept") &&
           col("quality_ok") === 1L && col("contaminated") === 0L, 1L)
           .otherwise(0L))
-      .orderBy("doc_id")
+  }
+
+  /** Per-source boilerplate prefixes (q87): the top-3 most common 5-token
+    * document openings per source with their share of the source's docs —
+    * the template/header detector a web-corpus cleaning pass runs (CCNet-
+    * style boilerplate shows up as one prefix owning a large share).
+    * Counts are integers; only the share divides (rounded 6). Docs with
+    * <5 tokens contribute their full (shorter) opening; empty docs are
+    * out of domain. One shuffle on (source, prefix), a per-source window
+    * over the grouped (vocabulary-sized) relation, never over documents.
+    */
+  def boilerplatePrefixes(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val pref = rawTokens(spark, dir)
+      .filter(size(col("toks")) > 0)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), concat_ws(" ", slice(col("toks"), 1, 5)).as("prefix"))
+    val counts = pref.groupBy("source", "prefix").agg(count(lit(1)).as("n_docs"))
+    val totals = pref.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy("source").orderBy(col("n_docs").desc, col("prefix"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .join(totals, Seq("source"))
+      .select(col("source"), col("rnk"), col("prefix"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy("source", "rnk")
   }
 
   /** Cross-document duplicated-span coverage — the substring-level dedup

@@ -367,6 +367,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top2 === ((a2, b2, n2)))
   }
 
+  test("corpusReport: per-source counts sum to the per-doc verdict totals") {
+    import org.apache.spark.sql.functions._
+    val rep = TextAnalysis.corpusReport(spark, sf).persist()
+    val tc = TextAnalysis.trainCorpus(spark, sf).persist()
+    assert(rep.agg(sum("n_docs")).head().getLong(0) === tc.count())
+    assert(rep.agg(sum("n_train_ok")).head().getLong(0) ===
+      tc.filter(col("train_ok") === 1L).count())
+    assert(rep.agg(sum("n_dedup_kept")).head().getLong(0) ===
+      tc.filter(col("dedup_kept")).count())
+    rep.unpersist(); tc.unpersist()
+    ()
+  }
+
+  test("boilerplatePrefixes: planted template prefix dominates its source") {
+    import org.apache.spark.sql.functions.col
+    // src_a: 3 of 4 docs open with the same 5-token template; src_b varied
+    val docs = Seq(
+      (1L, "terms of service apply here foo", "src_a"),
+      (2L, "terms of service apply here bar baz", "src_a"),
+      (3L, "terms of service apply here qux", "src_a"),
+      (4L, "something else entirely happens now", "src_a"),
+      (5L, "one two three four five six", "src_b"),
+      (6L, "alpha beta", "src_b"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.boilerplatePrefixes(spark, dir)
+      .as[(String, Long, String, Long, Double)].collect().toSeq
+    val aTop = got.filter(r => r._1 == "src_a" && r._2 == 1L).head
+    assert(aTop._3 === "terms of service apply here")
+    assert(aTop._4 === 3L)
+    assert(aTop._5 === 0.75)
+    // src_b: short doc contributes its full 2-token opening
+    assert(got.exists(r => r._1 == "src_b" && r._3 == "alpha beta"))
+  }
+
   test("tokenPagerank: hand-computed two-token graph, integer-exact") {
     import org.apache.spark.sql.functions.col
     // corpus "a b b": edges a→b (1), b→b (1); out(a)=out(b)=1; N=2
