@@ -1105,6 +1105,36 @@ object OracleSql {
          |SELECT vec_id, cid AS cluster_id, ROUND(sqrt(d2), 6) AS dist
          |FROM asg
          |ORDER BY vec_id""".stripMargin) +
+    ("q88_dim_stats" ->
+      s"""WITH pv AS (
+         |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         |         unnest(range(0, len(embedding))) AS pos
+         |  FROM embeddings),
+         |g AS (
+         |  SELECT pos, COUNT(*) AS n_vecs,
+         |         list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS m,
+         |         list_reduce(list(v * v ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS m2
+         |  FROM pv GROUP BY pos)
+         |SELECT CAST(pos AS BIGINT) AS pos, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |       ROUND(m, 6) AS mean, ROUND(m2 - m * m, 6) AS variance
+         |FROM g ORDER BY pos""".stripMargin) +
+    ("q89_length_quantiles" ->
+      s"""WITH $ArrCte,
+         |counts AS (
+         |  SELECT d.source AS source, b.doc_id AS doc_id,
+         |         CAST(len(b.arr) AS BIGINT) AS t
+         |  FROM base b JOIN documents d ON b.doc_id = d.doc_id),
+         |r AS (
+         |  SELECT source, t,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY t, doc_id) AS BIGINT) AS r,
+         |         COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM counts)
+         |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+         |       MAX(CASE WHEN r = ((n - 1) * 10) // 100 + 1 THEN t END) AS p10,
+         |       MAX(CASE WHEN r = ((n - 1) * 50) // 100 + 1 THEN t END) AS p50,
+         |       MAX(CASE WHEN r = ((n - 1) * 90) // 100 + 1 THEN t END) AS p90
+         |FROM r GROUP BY source
+         |ORDER BY source""".stripMargin) +
     ("q84_token_pagerank" ->
       s"""WITH $ArrCte,
          |bgp AS (

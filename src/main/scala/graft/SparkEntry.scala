@@ -172,7 +172,11 @@ object SparkEntry {
     // per-source attrition report over the q81 verdict
     "q86_corpus_report" -> ((s, d) => TextAnalysis.corpusReport(s, d)),
     // per-source top-3 document-opening prefixes (boilerplate detector)
-    "q87_boilerplate_prefixes" -> ((s, d) => TextAnalysis.boilerplatePrefixes(s, d)))
+    "q87_boilerplate_prefixes" -> ((s, d) => TextAnalysis.boilerplatePrefixes(s, d)),
+    // per-dimension embedding mean/variance (feature QA)
+    "q88_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
+    // per-source exact p10/p50/p90 token-count thresholds
+    "q89_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -269,6 +269,30 @@ object Similarity {
         col("best.emb").as("emb"), col("best.d2").as("d2"))
   }
 
+  /** Per-dimension embedding health stats (q88): count, mean, and
+    * population variance of every embedding position — the feature-QA
+    * pass that catches dead or exploding dimensions before anything
+    * trains on the vectors. Mean and E[x²] are both vec_id-ordered
+    * sequential folds (the q64 device) so the doubles match the oracle
+    * bit-for-bit; variance = E[x²] − mean² on those two, rounded at the
+    * edge. One exchange on `pos` — d groups, corpus-wide.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(VectorFns.asDouble(col("embedding")))
+        .as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n_vecs"),
+        sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+      .select(col("pos").cast("long").as("pos"), col("n_vecs"),
+        (aggregate(col("vs"), lit(0.0),
+          (acc, x) => acc + x.getField("v")) / col("n_vecs")).as("m"),
+        (aggregate(col("vs"), lit(0.0),
+          (acc, x) => acc + x.getField("v") * x.getField("v")) / col("n_vecs")).as("m2"))
+      .select(col("pos"), col("n_vecs"), round(col("m"), 6).as("mean"),
+        round(col("m2") - col("m") * col("m"), 6).as("variance"))
+      .orderBy("pos")
+
   def labelOutliers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"),

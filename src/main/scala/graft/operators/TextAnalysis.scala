@@ -777,6 +777,32 @@ object TextAnalysis {
       .orderBy("source", "rnk")
   }
 
+  /** Per-source exact token-length quantiles (q89): p10/p50/p90 of the
+    * per-doc raw token count, computed by INDEX (rank r = (n−1)·p/100 + 1
+    * under (count, doc_id) order, all integer arithmetic) — no engine
+    * `percentile` involved, so both engines pick the identical document.
+    * This is the table a pipeline reads to set per-source length cutoffs
+    * (the Gopher wc rule, calibrated per source instead of globally).
+    * One shuffle on source; the ranking window runs over doc-count rows
+    * per source — the same bound q65's stratified sampler already
+    * carries.
+    */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val counts = rawTokens(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), col("doc_id"), size(col("toks")).cast("long").as("t"))
+    val w = Window.partitionBy("source").orderBy(col("t"), col("doc_id"))
+    val ranked = counts
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    def pick(p: Int) =
+      max(when(col("r") === expr(s"((n - 1) * $p) div 100 + 1"), col("t")))
+    ranked.groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+        pick(10).as("p10"), pick(50).as("p50"), pick(90).as("p90"))
+      .orderBy("source")
+  }
+
   /** Cross-document duplicated-span coverage — the substring-level dedup
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"): for each document, what fraction of its 5-gram

@@ -104,6 +104,19 @@ class SimilaritySpec extends AnyFunSuite {
     ()
   }
 
+  test("dimStats: hand-computed mean/variance on a planted two-vector table") {
+    import org.apache.spark.sql.functions.col
+    // dim 0: values 1, 3 → mean 2, var ((1+9)/2 − 4) = 1
+    // dim 1: values 2, 2 → mean 2, var 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_dims").toString
+    Seq((0L, Array(1.0f, 2.0f), 0), (1L, Array(3.0f, 2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.dimStats(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq((0L, 2L, 2.0, 1.0), (1L, 2L, 2.0, 0.0)))
+  }
+
   test("kmeansAssign: seeds claim themselves at distance 0, counts match the step") {
     import org.apache.spark.sql.functions._
     val asg = Similarity.kmeansAssign(spark, sf).persist()

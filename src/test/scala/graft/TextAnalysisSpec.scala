@@ -367,6 +367,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top2 === ((a2, b2, n2)))
   }
 
+  test("lengthQuantiles: picks the exact indexed doc on a planted source") {
+    import org.apache.spark.sql.functions.col
+    // 5 docs with token counts 1,2,3,4,5 → n=5; idx(p) = (4p)//100 + 1
+    // p10 → rank 1 → 1; p50 → rank 3 → 3; p90 → rank 4 → 4
+    val docs = (1L to 5L).map(i =>
+      (i, (1L to i).map(j => s"w$j").mkString(" "), "s1")).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.lengthQuantiles(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("s1", 5L, 1L, 3L, 4L)))
+  }
+
   test("corpusReport: per-source counts sum to the per-doc verdict totals") {
     import org.apache.spark.sql.functions._
     val rep = TextAnalysis.corpusReport(spark, sf).persist()
