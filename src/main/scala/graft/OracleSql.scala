@@ -1118,6 +1118,31 @@ object OracleSql {
          |SELECT CAST(pos AS BIGINT) AS pos, CAST(n_vecs AS BIGINT) AS n_vecs,
          |       ROUND(m, 6) AS mean, ROUND(m2 - m * m, 6) AS variance
          |FROM g ORDER BY pos""".stripMargin) +
+    ("q90_shared_spans" -> {
+      val k = graft.operators.Dedup.ShingleSize
+      s"""WITH RECURSIVE $ArrCte, $ShinglesCte, $SigsCte,
+         |$DupClustersBody,
+         |pos5 AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(arr[i:i+${k - 1}], ' ') AS shingle
+         |  FROM (SELECT doc_id, arr,
+         |               unnest(range(1, greatest(len(arr) - ${k - 2}, 1))) AS i
+         |        FROM base)),
+         |m AS (
+         |  SELECT p.doc_a, p.doc_b, a.pos AS pa, a.pos - b.pos AS diag
+         |  FROM pairs p
+         |  JOIN pos5 a ON a.doc_id = p.doc_a
+         |  JOIN pos5 b ON b.doc_id = p.doc_b AND b.shingle = a.shingle),
+         |isl AS (
+         |  SELECT doc_a, doc_b, diag, pa,
+         |         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+         |  FROM m),
+         |runs AS (SELECT doc_a, doc_b, COUNT(*) AS run
+         |         FROM isl GROUP BY doc_a, doc_b, diag, grp)
+         |SELECT doc_a, doc_b, CAST(MAX(run) AS BIGINT) AS max_run,
+         |       CAST(MAX(run) + ${k - 1} AS BIGINT) AS span_tokens
+         |FROM runs GROUP BY doc_a, doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) +
     ("q89_length_quantiles" ->
       s"""WITH $ArrCte,
          |counts AS (

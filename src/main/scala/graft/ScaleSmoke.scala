@@ -83,7 +83,17 @@ object ScaleSmoke {
       // one Lloyd step (10× assignment through the min_by partial agg),
       // token PageRank (two join+agg rounds over the 10× edge counts)
       "q81_train_corpus", "q82_dsir_weights", "q83_kmeans_step",
-      "q84_token_pagerank")
+      "q84_token_pagerank",
+      // round 8d: the per-source report (aggregate over the 10× verdict),
+      // boilerplate prefixes (10× corpus pass + grouped window — verbatim
+      // copies drive every prefix's count to ≥10), dim stats (64 sorted
+      // folds over 10× vectors), length quantiles (per-source ranking
+      // window over 10× docs)
+      "q86_corpus_report", "q87_boilerplate_prefixes", "q88_dim_stats",
+      "q89_length_quantiles",
+      // round 8e: positional span runs over the 10× verified-pair set —
+      // the worst-case quadratic the verbatim duplication can build
+      "q90_shared_spans")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()

@@ -176,7 +176,9 @@ object SparkEntry {
     // per-dimension embedding mean/variance (feature QA)
     "q88_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
     // per-source exact p10/p50/p90 token-count thresholds
-    "q89_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d)))
+    "q89_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d)),
+    // longest shared contiguous shingle run per verified near-dup pair
+    "q90_shared_spans" -> ((s, d) => Dedup.sharedSpans(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

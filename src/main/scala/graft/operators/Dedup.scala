@@ -275,6 +275,45 @@ object Dedup {
     * (n_agree/8 is an exact eighth; inter/uni is one double divide —
     * both engines compute them identically).
     */
+  /** Longest shared contiguous shingle run per verified near-dup pair
+    * (q90) — the positional span signal of ExactSubstr-style dedup (Lee
+    * et al. 2022): set-level Jaccard (q23) says HOW MUCH two docs share;
+    * this says whether it's one long verbatim block or scattered
+    * phrases, which decides cut-the-span vs drop-the-doc. Position
+    * matches on a shared shingle lie on diagonals (pa − pb); a run is a
+    * gaps-and-islands group (pa − row_number within the diagonal), and
+    * the answer is the max run, reported in shingles and tokens.
+    *
+    * Cost: positional joins run ONLY over verified near-dup pairs — the
+    * quadratic is bounded by the dedup ladder's output, never the
+    * corpus. The windows partition by (pair, diagonal), so no partition
+    * exceeds one document's shingle count.
+    */
+  def sharedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDups(spark, dir).select("doc_a", "doc_b")
+    val pos5 = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokenize(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextFns.shingleArray(col("toks"), ShingleSize))
+          .as(Seq("pos", "shingle")))
+    val m = pairs
+      .join(pos5.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+        col("shingle")), Seq("doc_a"))
+      .join(pos5.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+        col("shingle")), Seq("doc_b", "shingle"))
+      .select(col("doc_a"), col("doc_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max("run").as("max_run"))
+      .select(col("doc_a"), col("doc_b"), col("max_run"),
+        (col("max_run") + lit(ShingleSize - 1)).cast("long").as("span_tokens"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(spark, dir)
     val cands = bands.as("x")

@@ -375,4 +375,20 @@ class DedupSpec extends AnyFunSuite {
     // each component's label is attained by a member (the survivor)
     comp.values.toSet.foreach((c: Long) => assert(comp(c) === c))
   }
+
+  test("sharedSpans: planted 7-token shared prefix yields a 3-shingle run") {
+    import org.apache.spark.sql.functions.col
+    // doc 1 = 7-token prefix of doc 2; shingle sets 3 vs 4, Jaccard 0.75
+    // → verified near-dup; positional matches sit on diagonal 0 at
+    // pa 0,1,2 → one island of 3 shingles = 7 shared tokens
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.sharedSpans(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 3L, 7L)))
+  }
 }
