@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** One-call training-corpus materialization — the write side of the q81
+  * verdict, shaped the way a 100 TB run lands data:
+  *
+  *  - `train` partition: only pipeline survivors (train_ok = 1 — deduped,
+  *    quality-passed, decontaminated);
+  *  - `val`/`test` partitions: their full hash-split membership (eval
+  *    sets are sacred — no quality filter touches them);
+  *  - layout partitioned by (split, source), so downstream readers prune
+  *    at the directory level (split = partition filter, source = the
+  *    mixture knob);
+  *  - a JSON manifest with per-split counts next to the data — the
+  *    hand-off contract a tokenizer job reads instead of re-counting.
+  *
+  * The verdict relation is computed once; the writes are three
+  * partition-pruned filters over the same join, so the corpus text is
+  * scanned once per split at most.
+  */
+object Pipeline {
+
+  def materialize(spark: SparkSession, dir: String, outPath: String): Map[String, Long] = {
+    val verdict = TextAnalysis.trainCorpus(spark, dir)
+      .select("doc_id", "split", "train_ok")
+    val keep = verdict.filter(
+      (col("split") === "train" && col("train_ok") === 1L) ||
+        col("split") =!= "train")
+    val out = Tables.documents(spark, dir)
+      .join(keep, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("split"), col("source"))
+    sources.Sources.writeParquet(out, s"$outPath/corpus",
+      partitionCols = Seq("split", "source"))
+    // counts from what was actually WRITTEN, not from the plan
+    val counts = spark.read.parquet(s"$outPath/corpus")
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val manifest = counts.toSeq.sortBy(_._1)
+      .map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
+    Files.write(Paths.get(s"$outPath/manifest.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    counts
+  }
+
+  /** Read one split back with partition pruning (the consumer-side call). */
+  def readSplit(spark: SparkSession, outPath: String, split: String): DataFrame =
+    spark.read.parquet(s"$outPath/corpus").filter(col("split") === split)
+}

@@ -66,7 +66,9 @@ object Plans {
       "q83_kmeans_step" ->
         "k-means step: broadcast seed centroids cross-joined map-side, partial min_by collapses k candidates to 1 BEFORE the exchange (n rows shuffle, not n·k; sort-based agg locally — struct ordering isn't hash-aggregable), then the (cluster,pos) fold aggregate",
       "q84_token_pagerank" ->
-        "token PageRank: per-iteration contribution join keyed on the token and a target-keyed aggregate — the same hashpartitioning both rounds, edges/out-degrees reused from the cached token stream")
+        "token PageRank: per-iteration contribution join keyed on the token and a target-keyed aggregate — the same hashpartitioning both rounds, edges/out-degrees reused from the cached token stream",
+      "q90_shared_spans" ->
+        "shared spans: positional shingle joins gated by the verified near-dup pair set (the quadratic is bounded by the dedup ladder's output, not the corpus); islands window partitions by (pair, diagonal) — never wider than one document's shingles")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")

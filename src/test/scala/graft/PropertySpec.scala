@@ -113,4 +113,35 @@ class PropertySpec extends AnyFunSuite {
       else assert(pp.split("/").last === (id / 10).toString)
     }
   }
+
+  test("corpus invariants: pagerank mass bound, variance >= 0, span <= shingle count") {
+    val sf = TestSpark.Sf
+    // damped PageRank can only LOSE mass to dangling tokens: every
+    // per-token rank stays within [base*15/100, SCALE], and the total
+    // never exceeds SCALE (integer floors only shrink)
+    val pr = graft.operators.TextAnalysis.tokenPagerank(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(pr.forall(r => r._2 >= 0 && r._2 <= 1000000000L &&
+      r._3 >= 0 && r._3 <= 1000000000L))
+    assert(pr.map(_._2).sum <= 1000000000L)
+    assert(pr.map(_._3).sum <= 1000000000L)
+    // population variance is non-negative for every dimension
+    val ds = graft.operators.Similarity.dimStats(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(ds.forall(_._4 >= 0.0))
+    // a shared run can never exceed either member's POSITIONAL shingle
+    // count (n_tokens − k + 1; distinct counts undercount repeated
+    // shingles, which verbatim pairs hit)
+    val k = graft.operators.Dedup.ShingleSize
+    val counts = graft.Tables.documents(spark, sf)
+      .select($"doc_id", greatest(
+        size(TextFns.tokenize($"text")) - (k - 1), lit(0)).cast("long").as("c"))
+      .as[(Long, Long)].collect().toMap
+    graft.operators.Dedup.sharedSpans(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .foreach { case (a, b, run, span) =>
+        assert(run <= math.min(counts(a), counts(b)))
+        assert(span === run + k - 1)
+      }
+  }
 }

@@ -77,6 +77,28 @@ class SourcesSpec extends AnyFunSuite {
       === docs.filter($"lang" === "en").count())
   }
 
+  test("Pipeline.materialize writes a pruned-readable corpus matching the q81 verdict") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+    val counts = graft.Pipeline.materialize(spark, TestSpark.Sf, out)
+    val verdict = graft.operators.TextAnalysis.trainCorpus(spark, TestSpark.Sf).persist()
+    // train partition carries exactly the survivors; eval splits are full
+    assert(counts("train") ===
+      verdict.filter(col("train_ok") === 1L).count())
+    assert(counts("val") === verdict.filter(col("split") === "val").count())
+    assert(counts("test") === verdict.filter(col("split") === "test").count())
+    verdict.unpersist()
+    // the manifest agrees with the data
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/manifest.json")), "UTF-8")
+    counts.foreach { case (s, n) => assert(manifest.contains(s""""$s":$n""")) }
+    // split reads are partition-pruned, not filtered post-scan
+    val plan = graft.Pipeline.readSplit(spark, out, "train")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"))
+    assert(graft.Pipeline.readSplit(spark, out, "train").count() === counts("train"))
+  }
+
   test("word-list text source lowercases like the reference dictionary load") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_words")
     java.nio.file.Files.writeString(tmp.resolve("en.txt"), "Alpha\nBETA\ngamma\n")
