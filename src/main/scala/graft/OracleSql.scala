@@ -1118,6 +1118,48 @@ object OracleSql {
          |SELECT CAST(pos AS BIGINT) AS pos, CAST(n_vecs AS BIGINT) AS n_vecs,
          |       ROUND(m, 6) AS mean, ROUND(m2 - m * m, 6) AS variance
          |FROM g ORDER BY pos""".stripMargin) +
+    ("q91_doc_novelty" ->
+      s"""WITH $ArrCte,
+         |bg AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(arr), 1)),
+         |                i -> array_to_string(arr[i:i+1], ' '))) AS b
+         |  FROM base),
+         |fs AS (SELECT b, MIN(doc_id) AS first_doc FROM bg GROUP BY b)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / COUNT(*), 6) AS novelty
+         |FROM bg JOIN fs USING (b)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) +
+    ("q92_token_entropy" ->
+      s"""WITH $ArrCte,
+         |tc AS (
+         |  SELECT doc_id, token, COUNT(*) AS n
+         |  FROM (SELECT doc_id, unnest(arr) AS token FROM base)
+         |  GROUP BY doc_id, token),
+         |g AS (
+         |  SELECT doc_id, SUM(n) AS n_tokens,
+         |         list_reduce(list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) ORDER BY token),
+         |                     (a, b) -> a + b) AS s
+         |  FROM tc GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       ROUND(ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens, 6) AS entropy
+         |FROM g
+         |ORDER BY doc_id""".stripMargin) +
+    ("q93_source_dup_matrix" ->
+      s"""WITH RECURSIVE $ShinglesCte, $SigsCte,
+         |$DupClustersBody,
+         |lab AS (
+         |  SELECT LEAST(da.source, db.source) AS source_a,
+         |         GREATEST(da.source, db.source) AS source_b
+         |  FROM pairs p
+         |  JOIN documents da ON p.doc_a = da.doc_id
+         |  JOIN documents db ON p.doc_b = db.doc_id)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM lab GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin) +
     ("q90_shared_spans" -> {
       val k = graft.operators.Dedup.ShingleSize
       s"""WITH RECURSIVE $ArrCte, $ShinglesCte, $SigsCte,

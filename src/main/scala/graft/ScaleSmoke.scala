@@ -93,7 +93,11 @@ object ScaleSmoke {
       "q89_length_quantiles",
       // round 8e: positional span runs over the 10× verified-pair set —
       // the worst-case quadratic the verbatim duplication can build
-      "q90_shared_spans")
+      "q90_shared_spans",
+      // round 8f: first-seen attribution (vocab-sized min-aggregate under
+      // 10× duplication), per-doc entropy folds, and the source matrix
+      // over the 10× pair population
+      "q91_doc_novelty", "q92_token_entropy", "q93_source_dup_matrix")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()

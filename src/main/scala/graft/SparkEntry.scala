@@ -178,7 +178,13 @@ object SparkEntry {
     // per-source exact p10/p50/p90 token-count thresholds
     "q89_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d)),
     // longest shared contiguous shingle run per verified near-dup pair
-    "q90_shared_spans" -> ((s, d) => Dedup.sharedSpans(s, d)))
+    "q90_shared_spans" -> ((s, d) => Dedup.sharedSpans(s, d)),
+    // doc-grain first-occurrence novelty over distinct bigrams
+    "q91_doc_novelty" -> ((s, d) => TextAnalysis.docNovelty(s, d)),
+    // per-doc unigram entropy (repetitiveness in nats)
+    "q92_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
+    // cross-source near-dup syndication matrix
+    "q93_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

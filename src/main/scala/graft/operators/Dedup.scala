@@ -314,6 +314,26 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-source duplication matrix (q93): verified near-dup pairs
+    * attributed to the (source, source) cell of their two documents —
+    * the syndication map that tells a curation team WHICH feeds copy
+    * which (sources ordered within the pair so each undirected edge
+    * lands in one cell). Cost is two broadcast-sized joins on doc_id
+    * over the already-verified pair set plus one tiny aggregate.
+    */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    minhashNearDups(spark, dir)
+      .select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(spark, dir)
     val cands = bands.as("x")

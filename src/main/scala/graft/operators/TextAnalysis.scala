@@ -777,6 +777,52 @@ object TextAnalysis {
       .orderBy("source", "rnk")
   }
 
+  /** Document novelty (q91): the fraction of a document's distinct
+    * bigrams whose FIRST corpus occurrence (minimum doc_id over the
+    * ingestion order) is this document — the doc-grain "how much new
+    * content does each crawl item add" attribution (q66 answers it at
+    * batch grain). Zero-bigram docs are out of domain. Integer counts;
+    * one ratio at the edge. Two hash aggregates over the bigram stream
+    * plus a join back — the first-seen relation is vocabulary-sized.
+    */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val bg = rawTokens(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shingleArray(col("toks"), 2))).as("b"))
+    val firstSeen = bg.groupBy("b").agg(min("doc_id").as("first_doc"))
+    bg.join(firstSeen, Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_bigrams"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc unigram entropy (q92): H = ln(N) − Σ n_t·ln(n_t) / N over
+    * the document's own token counts — the repetitiveness signal scored
+    * in nats (uniform tokens → ln(N), one repeated token → 0). The
+    * Σ n_t·ln(n_t) fold is token-ordered and sequential so both engines
+    * sum identical doubles in identical order; ln is engine-libm but the
+    * edge round(6) absorbs the ulp, exactly as q34/q70. Empty docs are
+    * out of domain. One (doc, token) aggregate + one per-doc fold.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    rawTokens(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"),
+        sort_array(collect_list(struct(col("token"),
+          (col("n").cast("double") * log(col("n").cast("double"))).as("t"))))
+          .as("ts"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) -
+          aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("t")) /
+            col("n_tokens"), 6).as("entropy"))
+      .orderBy("doc_id")
+
   /** Per-source exact token-length quantiles (q89): p10/p50/p90 of the
     * per-doc raw token count, computed by INDEX (rank r = (n−1)·p/100 + 1
     * under (count, doc_id) order, all integer arithmetic) — no engine

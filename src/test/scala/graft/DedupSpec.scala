@@ -376,6 +376,16 @@ class DedupSpec extends AnyFunSuite {
     comp.values.toSet.foreach((c: Long) => assert(comp(c) === c))
   }
 
+  test("sourceDupMatrix: cells are ordered and total equals the verified pair count") {
+    import org.apache.spark.sql.functions._
+    val m = Dedup.sourceDupMatrix(spark, sf).persist()
+    assert(m.filter(col("source_a") > col("source_b")).count() === 0)
+    assert(m.agg(sum("n_pairs")).head().getLong(0) ===
+      Dedup.minhashNearDups(spark, sf).count())
+    m.unpersist()
+    ()
+  }
+
   test("sharedSpans: planted 7-token shared prefix yields a 3-shingle run") {
     import org.apache.spark.sql.functions.col
     // doc 1 = 7-token prefix of doc 2; shingle sets 3 vs 4, Jaccard 0.75

@@ -367,6 +367,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top2 === ((a2, b2, n2)))
   }
 
+  test("docNovelty: first doc owns everything, verbatim copy owns nothing") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c d"),            // 3 bigrams, all first-seen here → 1.0
+      (2L, "a b c d"),            // verbatim copy → 0.0
+      (3L, "c d e f"))            // bigrams: c d (seen), d e, e f → 2/3
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_novel").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.docNovelty(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 3L, 1.0), (2L, 3L, 0L, 0.0), (3L, 3L, 2L, 0.666667)))
+  }
+
+  test("tokenEntropy: uniform doc scores ln(n), constant doc scores 0") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c d"),            // uniform over 4 → ln(4)
+      (2L, "x x x x"))            // single token → 0
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ent").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.tokenEntropy(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 4L, math.rint(math.log(4.0) * 1e6) / 1e6), (2L, 4L, 0.0)))
+  }
+
   test("lengthQuantiles: picks the exact indexed doc on a planted source") {
     import org.apache.spark.sql.functions.col
     // 5 docs with token counts 1,2,3,4,5 → n=5; idx(p) = (4p)//100 + 1
