@@ -23,6 +23,43 @@ class SkewSpec extends AnyFunSuite {
     assert(expected.exceptAll(got).count() === 0)
   }
 
+  test("AQE splits the skewed partition of a sort-merge join (skew=true in plan)") {
+    // the runtime half of the skew posture: before reaching for salting,
+    // AQE's OptimizeSkewedJoin splits oversized partitions of an SMJ.
+    // Thresholds are lowered so the local fixture trips them; confs are
+    // restored afterwards (the session is shared across suites).
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val pad = "x" * 64
+      val big = (1 to 200000)
+        .map(i => (if (i % 20 != 0) 0L else i.toLong, s"$pad$i"))
+        .toDF("key", "payload")
+      val small = (0 to 100).map(i => (i.toLong, i * 2L)).toDF("key", "w")
+      val joined = big.join(small, "key")
+      // collect() drives THIS Dataset's queryExecution (count()/write()
+      // plan their own trees), so AQE finalizes the inspected plan; it
+      // also gives the row-count sanity check
+      assert(joined.collect().length === 190005)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split SMJ, got:\n${plan.linesIterator.take(25).mkString("\n")}")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("the deterministic salt spreads the hot key across buckets") {
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "v")
     // mirror saltedJoin's salt (hash over the whole row, mod buckets): the
