@@ -68,7 +68,11 @@ object Plans {
       "q84_token_pagerank" ->
         "token PageRank: per-iteration contribution join keyed on the token and a target-keyed aggregate — the same hashpartitioning both rounds, edges/out-degrees reused from the cached token stream",
       "q90_shared_spans" ->
-        "shared spans: positional shingle joins gated by the verified near-dup pair set (the quadratic is bounded by the dedup ladder's output, not the corpus); islands window partitions by (pair, diagonal) — never wider than one document's shingles")
+        "shared spans: positional shingle joins gated by the verified near-dup pair set (the quadratic is bounded by the dedup ladder's output, not the corpus); islands window partitions by (pair, diagonal) — never wider than one document's shingles",
+      "q91_doc_novelty" ->
+        "doc novelty: first-seen min-aggregate over the bigram stream (vocabulary-sized result) joined back onto the same stream — two hash aggregates and one equi-join, no windows over documents",
+      "q93_source_dup_matrix" ->
+        "source dup matrix: two doc_id equi-joins attribute the verified pair set to source cells; the aggregate output is |sources|² regardless of corpus scale")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")

@@ -32,8 +32,13 @@ object Sources {
     */
   def readWordList(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{lower, trim}
+    // trim + drop blank lines, matching the graft-words DSv2 source —
+    // dictionary files are one word per line but hand-edited ones carry
+    // stray whitespace, and a blank line must not become an empty "word"
     spark.read.textFile(path).toDF("token")
-      .select(org.apache.spark.sql.functions.lower($"token").as("token"))
+      .select(lower(trim($"token")).as("token"))
+      .filter($"token" =!= "")
   }
 
   /** JDBC source (reference O1 is literally a SQLite table scan,

@@ -99,6 +99,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(graft.Pipeline.readSplit(spark, out, "train").count() === counts("train"))
   }
 
+  test("graft-words DSv2 source agrees with readWordList and splits per file") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2")
+    java.nio.file.Files.writeString(tmp.resolve("a.txt"), "Alpha\nBETA\n\n gamma \n")
+    java.nio.file.Files.writeString(tmp.resolve("b.txt"), "Delta\nepsilon\n")
+    val df = spark.read.format("graft-words").load(tmp.toString)
+    // one input partition per dictionary file
+    assert(df.rdd.getNumPartitions === 2)
+    val got = df.as[String].collect().toSet
+    assert(got === Set("alpha", "beta", "gamma", "delta", "epsilon"))
+    // the composable twin reads the same rows from a single file
+    val single = Sources.readWordList(spark, tmp.resolve("a.txt").toString)
+      .as[String].collect().toSet
+    val v2single = spark.read.format("graft-words")
+      .load(tmp.resolve("a.txt").toString).as[String].collect().toSet
+    assert(v2single === single)
+  }
+
   test("word-list text source lowercases like the reference dictionary load") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_words")
     java.nio.file.Files.writeString(tmp.resolve("en.txt"), "Alpha\nBETA\ngamma\n")
