@@ -402,6 +402,46 @@ object StreamingOps {
       .start()
   }
 
+  /** Quality-gated ingest: the Gopher rule bundle (q75) evaluated
+    * stream-side as a stateless per-row projection, feeding the stateful
+    * exact-dedup landing — the streaming composition of the pipeline's
+    * quality gate and dedup gate in their batch order (quality first:
+    * a rejected doc must not burn a dedup-state fingerprint slot).
+    * Rule semantics are the same integer cross-multiplications as the
+    * batch operator, built from the shared TextFns expressions, so the
+    * gate admits exactly the q75 keep-set; StreamingSpec proves it.
+    */
+  def qualityGatedIngest(docs: DataFrame, path: String,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    dedupedIngest(gopherKeep(docs).select("doc_id", "text"), path, options)
+
+  /** Stream-side Gopher keep-filter (stateless; shareable with batch). */
+  def gopherKeep(docs: DataFrame): DataFrame = {
+    val stopList = graft.operators.TokenPipeline.StopWords
+    val toks = graft.functions.TextFns.tokenize(col("text"))
+    docs
+      .withColumn("graft_toks", toks)
+      .withColumn("graft_n", size(col("graft_toks")).cast("long"))
+      .withColumn("graft_len",
+        aggregate(col("graft_toks"), lit(0L), (acc, t) => acc + length(t)))
+      .withColumn("graft_stop",
+        size(filter(col("graft_toks"), t => t.isin(stopList: _*))).cast("long"))
+      .withColumn("graft_alpha",
+        size(filter(col("graft_toks"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("graft_bg",
+        graft.functions.TextFns.shingleArray(col("graft_toks"), 2))
+      .filter(
+        col("graft_n") >= 20 && col("graft_n") <= 100000 &&
+          lit(3) * col("graft_n") <= col("graft_len") &&
+          col("graft_len") <= lit(10) * col("graft_n") &&
+          col("graft_stop") >= 2 &&
+          lit(5) * col("graft_alpha") >= lit(4) * col("graft_n") &&
+          lit(10) * (size(col("graft_bg")) - size(array_distinct(col("graft_bg")))) <=
+            size(col("graft_bg")))
+      .drop("graft_toks", "graft_n", "graft_len", "graft_stop", "graft_alpha", "graft_bg")
+  }
+
   /** Streaming NEAR-dup ingestion: per micro-batch, compute MinHash band
     * buckets for incoming (doc_id, text) docs and drop any doc whose
     * bucket collides with the already-ingested corpus (or with a

@@ -63,6 +63,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("gopherKeep admits exactly the q75 keep-set (batch-checked on the corpus)") {
+    val kept = StreamingOps.gopherKeep(
+      Tables.documents(spark, sf).select("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    val want = graft.operators.TextAnalysis.gopherRules(spark, sf)
+      .filter(col("keep") === 1L).select("doc_id").as[Long].collect().toSet
+    assert(kept === want)
+  }
+
   test("streaming exact-dedup (dropDuplicates on fp) keeps one row per fingerprint") {
     val dir = java.nio.file.Files.createTempDirectory("dedup_stream")
     // duplicate the corpus so the stream really contains dups
