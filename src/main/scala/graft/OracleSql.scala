@@ -1118,6 +1118,28 @@ object OracleSql {
          |SELECT CAST(pos AS BIGINT) AS pos, CAST(n_vecs AS BIGINT) AS n_vecs,
          |       ROUND(m, 6) AS mean, ROUND(m2 - m * m, 6) AS variance
          |FROM g ORDER BY pos""".stripMargin) +
+    ("q94_payload_energy" ->
+      """WITH pb AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         (strpos('0123456789ABCDEF', substring(hx, 2 * i + 1, 1)) - 1) * 16 +
+        |         (strpos('0123456789ABCDEF', substring(hx, 2 * i + 2, 1)) - 1) AS v,
+        |         i // 64 AS win
+        |  FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM pb)),
+        |we AS (SELECT doc_id, win, SUM((v - 128) * (v - 128)) AS e
+        |       FROM b GROUP BY doc_id, win),
+        |g AS (SELECT doc_id, COUNT(*) AS n_windows, SUM(e) AS total_energy,
+        |             MAX(e) AS peak_energy
+        |      FROM we GROUP BY doc_id)
+        |SELECT g.doc_id AS doc_id, CAST(pb.n AS BIGINT) AS n_bytes,
+        |       CAST(n_windows AS BIGINT) AS n_windows,
+        |       CAST(total_energy AS BIGINT) AS total_energy,
+        |       CAST(peak_energy AS BIGINT) AS peak_energy
+        |FROM g JOIN pb ON g.doc_id = pb.doc_id
+        |ORDER BY doc_id""".stripMargin) +
     ("q91_doc_novelty" ->
       s"""WITH $ArrCte,
          |bg AS (

@@ -97,7 +97,10 @@ object ScaleSmoke {
       // round 8f: first-seen attribution (vocab-sized min-aggregate under
       // 10× duplication), per-doc entropy folds, and the source matrix
       // over the 10× pair population
-      "q91_doc_novelty", "q92_token_entropy", "q93_source_dup_matrix")
+      "q91_doc_novelty", "q92_token_entropy", "q93_source_dup_matrix",
+      // byte-grain explode over the 10× corpus — the widest row blow-up
+      // in the suite (one row per payload byte)
+      "q94_payload_energy")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()

@@ -184,7 +184,9 @@ object SparkEntry {
     // per-doc unigram entropy (repetitiveness in nats)
     "q92_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     // cross-source near-dup syndication matrix
-    "q93_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)))
+    "q93_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
+    // exact windowed byte-energy over binary payloads (PCM-energy shape)
+    "q94_payload_energy" -> ((s, d) => Multimodal.payloadEnergy(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

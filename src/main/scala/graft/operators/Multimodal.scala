@@ -63,6 +63,42 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Windowed byte-level signal energy (q94) — the PCM-energy shape over
+    * the binary payload, computed EXACTLY: bytes decode via hex (both
+    * engines agree byte-for-byte on UTF-8), each 64-byte window sums
+    * (b−128)² in integers, and the per-doc report carries window count,
+    * total and peak energy. Unlike the stub decoders above, nothing here
+    * is faked — this is the real "cheap feature from raw media bytes"
+    * computation (silence/energy gating runs exactly like this on PCM
+    * audio before any model sees it). Empty payloads are out of domain.
+    * A real deployment swaps the hex-string byte access for a binary
+    * slice inside mapPartitions; the aggregation shape is unchanged.
+    */
+  def payloadEnergy(spark: SparkSession, dir: String, window: Int = 64): DataFrame = {
+    val p = binaryPayloads(spark, dir)
+      .select(col("doc_id"), hex(col("payload")).as("hx"), col("byte_len"))
+    // byte_len = 0 must not reach sequence(): Spark's sequence(0, -1)
+    // auto-steps DOWNWARD ([0, -1]) instead of yielding empty — the
+    // domain already excludes empty payloads, so filter them here
+    val winE = p
+      .filter(col("byte_len") > 0)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, cast(byte_len as int) - 1), " +
+            "i -> cast(conv(substring(hx, 2 * i + 1, 2), 16, 10) as bigint))"))
+          .as(Seq("idx", "b")))
+      .withColumn("win", expr(s"idx div $window"))
+      .groupBy("doc_id", "win")
+      .agg(sum((col("b") - 128) * (col("b") - 128)).as("e"))
+    winE.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), sum("e").as("total_energy"),
+        max("e").as("peak_energy"))
+      .join(p.select("doc_id", "byte_len"), Seq("doc_id"))
+      .select(col("doc_id"), col("byte_len").as("n_bytes"), col("n_windows"),
+        col("total_energy"), col("peak_energy"))
+      .orderBy("doc_id")
+  }
+
   /** Sample "frames" from each payload: frame count and offsets derive from
     * byte length (generator shape: one row per sampled frame).
     */

@@ -34,4 +34,23 @@ class MultimodalSpec extends AnyFunSuite {
       .filter($"count" =!= ($"byte_len" % 5 + 1)).count()
     assert(counts === 0)
   }
+
+  test("payloadEnergy: hand-computed byte energy on planted payloads") {
+    // "AB" = bytes 65, 66 → one window: (65-128)² + (66-128)² = 3969 + 3844
+    val docs = Seq((1L, "AB"), (2L, "")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_energy").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.payloadEnergy(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // empty payload is out of domain; 2-byte payload is one short window
+    assert(got === Seq((1L, 2L, 1L, 7813L, 7813L)))
+    // a 100-byte payload spans two 64-byte windows
+    val docs2 = Seq((1L, "x" * 100)).toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_energy2").toString
+    docs2.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val g2 = Multimodal.payloadEnergy(spark, dir2)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // 'x' = 120 → (120-128)² = 64 per byte; windows of 64 and 36 bytes
+    assert(g2 === ((1L, 100L, 2L, 6400L, 4096L)))
+  }
 }
