@@ -126,6 +126,29 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("qualityGatedIngest drops low-quality docs before they reach dedup state") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_q")
+      .resolve("corpus").toString
+    // passes all five Gopher rules: 20+ alpha tokens incl. stop words,
+    // mean length in [3,10], varied bigrams
+    val good = "the quick brown fox jumps over the lazy dog while many " +
+      "other animals watch from their warm dens under bright evening skies"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.qualityGatedIngest(
+      input.toDS().toDF("doc_id", "text"), out)
+    try {
+      // docs 7 and 4 fail wc_ok (too few tokens) and must vanish before
+      // dedup; docs 2 and 8 share text, the canonical min doc_id lands
+      input.addData((7L, "too short doc"), (4L, good.toUpperCase.take(10)),
+        (2L, good), (8L, good))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+        .toSeq === Seq(2L))
+    } finally q.stop()
+  }
+
   test("ingest fails fast on stale batch dirs unless resuming a real checkpoint") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
