@@ -75,27 +75,32 @@ object Multimodal {
     * slice inside mapPartitions; the aggregation shape is unchanged.
     */
   def payloadEnergy(spark: SparkSession, dir: String, window: Int = 64): DataFrame = {
-    val p = binaryPayloads(spark, dir)
-      .select(col("doc_id"), hex(col("payload")).as("hx"), col("byte_len"))
+    // Per-ROW nested fold, no explode: a byte-grain posexplode shuffles
+    // one row per payload byte (17.5M rows at sf0.1×10 — measured 4.5 s);
+    // energy gating is embarrassingly parallel per payload, so the whole
+    // computation stays inside one projection and the only exchange is
+    // the edge sort. Integer sums are order-free, so the oracle's
+    // explode-form SQL stays valid verbatim.
     // byte_len = 0 must not reach sequence(): Spark's sequence(0, -1)
     // auto-steps DOWNWARD ([0, -1]) instead of yielding empty — the
-    // domain already excludes empty payloads, so filter them here
-    val winE = p
+    // domain already excludes empty payloads, so filter them out.
+    val wins = expr(
+      s"""transform(
+         |  sequence(0, cast((byte_len + ${window - 1}) div $window as int) - 1),
+         |  w -> aggregate(
+         |    sequence(cast($window * w as int),
+         |             cast(least($window * w + ${window - 1}, byte_len - 1) as int)),
+         |    0L,
+         |    (acc, i) -> acc + (cast(conv(substring(hx, 2 * i + 1, 2), 16, 10) as bigint) - 128L)
+         |               * (cast(conv(substring(hx, 2 * i + 1, 2), 16, 10) as bigint) - 128L)))""".stripMargin)
+    binaryPayloads(spark, dir)
       .filter(col("byte_len") > 0)
-      .select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, cast(byte_len as int) - 1), " +
-            "i -> cast(conv(substring(hx, 2 * i + 1, 2), 16, 10) as bigint))"))
-          .as(Seq("idx", "b")))
-      .withColumn("win", expr(s"idx div $window"))
-      .groupBy("doc_id", "win")
-      .agg(sum((col("b") - 128) * (col("b") - 128)).as("e"))
-    winE.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"), sum("e").as("total_energy"),
-        max("e").as("peak_energy"))
-      .join(p.select("doc_id", "byte_len"), Seq("doc_id"))
-      .select(col("doc_id"), col("byte_len").as("n_bytes"), col("n_windows"),
-        col("total_energy"), col("peak_energy"))
+      .select(col("doc_id"), hex(col("payload")).as("hx"), col("byte_len"))
+      .withColumn("es", wins)
+      .select(col("doc_id"), col("byte_len").as("n_bytes"),
+        size(col("es")).cast("long").as("n_windows"),
+        aggregate(col("es"), lit(0L), (acc, e) => acc + e).as("total_energy"),
+        array_max(col("es")).as("peak_energy"))
       .orderBy("doc_id")
   }
 
