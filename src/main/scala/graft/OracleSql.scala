@@ -1118,6 +1118,38 @@ object OracleSql {
          |SELECT CAST(pos AS BIGINT) AS pos, CAST(n_vecs AS BIGINT) AS n_vecs,
          |       ROUND(m, 6) AS mean, ROUND(m2 - m * m, 6) AS variance
          |FROM g ORDER BY pos""".stripMargin) +
+    ("q95_dup_graph_stats" ->
+      s"""WITH RECURSIVE $ShinglesCte, $SigsCte,
+         |$DupClustersBody,
+         |verts AS (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b AS v FROM pairs)),
+         |tri AS (
+         |  SELECT e1.doc_a
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+         |  JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM verts) AS n_vertices,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
+         |ORDER BY n_vertices""".stripMargin) +
+    ("q96_interarrival_median" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts_us - LAG(ts_us) OVER
+        |           (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+        |  FROM (SELECT user_id, event_id,
+        |               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)),
+        |r AS (
+        |  SELECT user_id, gap,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |       CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS median_gap_us
+        |FROM r
+        |WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) +
     ("q94_payload_energy" ->
       """WITH pb AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,

@@ -100,7 +100,11 @@ object ScaleSmoke {
       "q91_doc_novelty", "q92_token_entropy", "q93_source_dup_matrix",
       // byte-grain explode over the 10× corpus — the widest row blow-up
       // in the suite (one row per payload byte)
-      "q94_payload_energy")
+      "q94_payload_energy",
+      // triangle enumeration over the 10× pair population (the dense-clique
+      // worst case verbatim replication builds), and per-user gap medians
+      // over 10× users
+      "q95_dup_graph_stats", "q96_interarrival_median")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()

@@ -186,7 +186,11 @@ object SparkEntry {
     // cross-source near-dup syndication matrix
     "q93_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
     // exact windowed byte-energy over binary payloads (PCM-energy shape)
-    "q94_payload_energy" -> ((s, d) => Multimodal.payloadEnergy(s, d)))
+    "q94_payload_energy" -> ((s, d) => Multimodal.payloadEnergy(s, d)),
+    // near-dup graph census: vertices, edges, triangles
+    "q95_dup_graph_stats" -> ((s, d) => Dedup.dupGraphStats(s, d)),
+    // exact per-user median event inter-arrival gap
+    "q96_interarrival_median" -> ((s, d) => Events.interarrivalMedian(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

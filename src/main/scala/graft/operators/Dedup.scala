@@ -334,6 +334,30 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Near-dup graph census (q95): vertex, edge, and triangle counts over
+    * the verified pair set — the graph-shape diagnostic that says whether
+    * duplication is pairwise scatter (few triangles) or dense clique
+    * clusters (triangles ≈ edges·degree): cliques mean verbatim
+    * replication and the rep-collapse path pays off. Triangles come from
+    * the standard two-join enumeration over the ordered edge list
+    * (a<b<c counted once); all joins are keyed on doc ids and bounded by
+    * the dedup ladder's output.
+    */
+  def dupGraphStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = minhashNearDups(spark, dir).select("doc_a", "doc_b")
+    val verts = e.select(col("doc_a").as("v"))
+      .union(e.select(col("doc_b").as("v"))).distinct()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(e.as("e3"),
+        col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
+      .select(col("e1.doc_a"))
+    verts.agg(count(lit(1)).as("n_vertices"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .orderBy("n_vertices")
+  }
+
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(spark, dir)
     val cands = bands.as("x")

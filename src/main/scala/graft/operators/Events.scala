@@ -217,6 +217,34 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Exact per-user median inter-arrival gap (q96) — the activity-rhythm
+    * feature (bot traffic shows near-constant gaps, humans heavy tails).
+    * Gaps are integer microseconds from the same (ts, event_id)-ordered
+    * lag as sessionization; the median is CONSTRUCTED like q69 (rank the
+    * gaps, keep the one or two middle rows, average them) so no engine
+    * `median()` is involved and the integer sums divide exactly. Users
+    * with fewer than two events have no gap and are out of domain. One
+    * user-keyed exchange feeds both windows.
+    */
+  def interarrivalMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev", lag("ts_us", 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("event_id"), (col("ts_us") - col("prev")).as("gap"))
+    val w = Window.partitionBy("user_id")
+    gaps
+      .withColumn("rn", row_number().over(w.orderBy("gap", "event_id")))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn") * 2 === col("n") || col("rn") * 2 === col("n") + 1 ||
+        col("rn") * 2 === col("n") + 2)
+      .groupBy("user_id")
+      .agg(max("n").cast("long").as("n_gaps"),
+        (sum("gap").cast("double") / count(lit(1))).as("median_gap_us"))
+      .orderBy("user_id")
+  }
+
   /** JSON property extraction + aggregate: pull integer `$.k` out of the
     * props JSON string, sum per event type.
     */

@@ -376,6 +376,25 @@ class DedupSpec extends AnyFunSuite {
     comp.values.toSet.foreach((c: Long) => assert(comp(c) === c))
   }
 
+  test("dupGraphStats: planted triangle plus pendant edge counts exactly once") {
+    // three mutual near-dups (one shared long prefix) form a triangle;
+    // a fourth doc shares enough with only one of them for a pendant edge
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, s"$base kilo"),
+      (2L, s"$base lima"),
+      (3L, s"$base mike"),
+      (4L, "zulu yankee xray whiskey victor uniform tango sierra"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dupGraphStats(spark, dir)
+      .as[(Long, Long, Long)].collect().head
+    // docs 1-2-3 pairwise share 6 of 8 shingles (Jaccard 0.75): 3 vertices,
+    // 3 edges, 1 triangle; doc 4 shares nothing and stays out
+    assert(got === ((3L, 3L, 1L)))
+  }
+
   test("sourceDupMatrix: cells are ordered and total equals the verified pair count") {
     import org.apache.spark.sql.functions._
     val m = Dedup.sourceDupMatrix(spark, sf).persist()

@@ -88,4 +88,25 @@ class EventsSpec extends AnyFunSuite {
       "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
     assert(eventExchanges === 1, s"expected one user_id exchange:\n$plan")
   }
+
+  test("interarrivalMedian: hand-computed odd and even gap sets") {
+    import org.apache.spark.sql.functions._
+    // user 1: events at 0, 10, 30, 60 s → gaps 10, 20, 30 s → median 20 s
+    // user 2: events at 0, 5 s → one gap → median 5 s
+    // user 3: one event → no gap, out of domain
+    val rows = Seq(
+      (1L, 1L, 0L), (2L, 1L, 10L), (3L, 1L, 30L), (4L, 1L, 60L),
+      (5L, 2L, 0L), (6L, 2L, 5L), (7L, 3L, 0L))
+      .map { case (eid, uid, sec) => (eid, uid, sec * 1000000L) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap").toString
+    rows.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"),
+        (col("us") * 1000L).as("ts"), // Tables.events expects long nanos
+        lit("view").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.interarrivalMedian(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 3L, 2e7), (2L, 1L, 5e6)))
+  }
 }
