@@ -14,6 +14,7 @@ object Caches {
     operators.Dedup.cache, operators.Dedup.sigCache,
     operators.Dedup.clusterCache, operators.Dedup.repsCache,
     operators.Dedup.fpCache, operators.Dedup.cappedCache,
+    operators.Dedup.pairsCache,
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache)
 
   /** Unpersist and drop every cached relation belonging to `spark`
@@ -37,6 +38,11 @@ object Caches {
     val prefix = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#"
     operators.Dedup.clusterCache.keys.filter(_.startsWith(prefix)).foreach { k =>
       operators.Dedup.clusterCache.remove(k).foreach(free)
+    }
+    // verified rep-pair relations are detection RESULTS too — each bench
+    // pass must re-pay the band join + Jaccard verify exactly once
+    operators.Dedup.pairsCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      operators.Dedup.pairsCache.remove(k).foreach(free)
     }
     // learned BPE merge tables are results too (driver values, no blocks)
     operators.TextAnalysis.mergeMemo.keys.filter(_.startsWith(prefix))

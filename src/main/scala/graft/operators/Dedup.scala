@@ -343,8 +343,65 @@ object Dedup {
     * (a<b<c counted once); all joins are keyed on doc ids and bounded by
     * the dedup ladder's output.
     */
-  def dupGraphStats(spark: SparkSession, dir: String): DataFrame = {
-    val e = minhashNearDups(spark, dir).select("doc_a", "doc_b")
+  def dupGraphStats(spark: SparkSession, dir: String): DataFrame =
+    if (!hasVerbatimDups(spark, dir))
+      enumGraphStats(repNearDupPairs(spark, dir, collapse = false)
+        .select("doc_a", "doc_b"))
+    else {
+      // Verbatim cliques make doc-level triangle enumeration cubic in the
+      // clique size (the 10× smoke measured 18 s); count on the REP graph
+      // and expand combinatorially instead, mirroring expandVerbatim's
+      // semantics exactly: rep-edge (A,B) ⇒ complete bipartite s_A×s_B,
+      // multi-member group with shingles ⇒ complete within-clique.
+      //   vertices  = Σ s over (edge-endpoint reps ∪ shingled multi groups)
+      //   edges     = Σ s_A·s_B over rep edges + Σ C(s,2) over multi groups
+      //   triangles = Σ s_A·s_B·s_C  (rep triangles)
+      //             + Σ C(s_A,2)·s_B + s_A·C(s_B,2)  (rep edges)
+      //             + Σ C(s,3)  (multi groups)
+      // All integer arithmetic; the oracle still verifies against the full
+      // doc-level enumeration, so the combinatorics are hash-checked.
+      val reps = verbatimReps(spark, dir)
+      val sz = reps.groupBy("rep_id").agg(count(lit(1)).as("s"))
+      val multi = sz.filter(col("s") >= 2)
+        .join(shingles(spark, dir).select(col("doc_id").as("rep_id")).distinct(),
+          Seq("rep_id"), "left_semi")
+      val rp = repNearDupPairs(spark, dir, collapse = true)
+        .select("doc_a", "doc_b")
+      val withSz = rp
+        .join(sz.select(col("rep_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+        .join(sz.select(col("rep_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      val vreps = rp.select(col("doc_a").as("rep_id"))
+        .union(rp.select(col("doc_b").as("rep_id")))
+        .union(multi.select("rep_id")).distinct()
+        .join(sz, Seq("rep_id"))
+      val triRep = rp.as("e1")
+        .join(rp.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+        .join(rp.as("e3"),
+          col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
+        .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+          col("e2.doc_b").as("c"))
+        .join(sz.select(col("rep_id").as("a"), col("s").as("sa")), Seq("a"))
+        .join(sz.select(col("rep_id").as("b"), col("s").as("sb")), Seq("b"))
+        .join(sz.select(col("rep_id").as("c"), col("s").as("sc")), Seq("c"))
+        .agg(coalesce(sum(col("sa") * col("sb") * col("sc")), lit(0L)).as("t3"))
+      vreps.agg(coalesce(sum("s"), lit(0L)).as("n_vertices"))
+        .crossJoin(withSz.agg(
+          coalesce(sum(col("sa") * col("sb")), lit(0L)).as("ce"),
+          coalesce(sum(expr("(sa * (sa - 1) div 2) * sb + sa * (sb * (sb - 1) div 2)")),
+            lit(0L)).as("t2")))
+        .crossJoin(multi.agg(
+          coalesce(sum(expr("s * (s - 1) div 2")), lit(0L)).as("we"),
+          coalesce(sum(expr("s * (s - 1) * (s - 2) div 6")), lit(0L)).as("t1")))
+        .crossJoin(triRep)
+        .select(col("n_vertices"), (col("ce") + col("we")).as("n_edges"),
+          (col("t3") + col("t2") + col("t1")).as("n_triangles"))
+        .orderBy("n_vertices")
+    }
+
+  /** Doc-level triangle enumeration — the dup-free path (every group is a
+    * singleton, so the blow-up the collapse path avoids cannot occur).
+    */
+  private def enumGraphStats(e: DataFrame): DataFrame = {
     val verts = e.select(col("doc_a").as("v"))
       .union(e.select(col("doc_b").as("v"))).distinct()
     val tri = e.as("e1")
@@ -397,8 +454,26 @@ object Dedup {
     * df-capped shingles (signatures recomputed on the capped sets; the
     * cached full-corpus signatures stay untouched for q22).
     */
+  /** Memoized rep-level verified pairs: the relation feeds q23/q52/q54 and
+    * the whole diagnostic family (q90/q93/q95), several of which consume
+    * it more than once inside one plan — without the memo each consumer
+    * re-runs the band join + Jaccard verify (the q95 rewrite measured 18 s
+    * at the 10× smoke, ~5 recomputations of a ~3 s pipeline). Like the
+    * cluster-label memo it is a RESULT, so Bench clears it between passes
+    * (Caches.clearResultMemos) and each pass still pays for detection
+    * exactly once.
+    */
+  private[graft] val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private def repNearDupPairs(spark: SparkSession, dir: String,
-      collapse: Boolean, maxShingleDf: Option[Long] = None): DataFrame = {
+      collapse: Boolean, maxShingleDf: Option[Long] = None): DataFrame =
+    pairsCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir#$collapse#${maxShingleDf.getOrElse(-1L)}",
+      repNearDupPairsUncached(spark, dir, collapse, maxShingleDf)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  private def repNearDupPairsUncached(spark: SparkSession, dir: String,
+      collapse: Boolean, maxShingleDf: Option[Long]): DataFrame = {
     val all = maxShingleDf match {
       case None      => minhashBands(spark, dir)
       case Some(cap) => bandsOfSignatures(
