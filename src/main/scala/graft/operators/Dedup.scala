@@ -290,8 +290,57 @@ object Dedup {
     * exceeds one document's shingle count.
     */
   def sharedSpans(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashNearDups(spark, dir).select("doc_a", "doc_b")
+    val spans =
+      if (!hasVerbatimDups(spark, dir))
+        enumSharedSpans(spark, dir,
+          repNearDupPairs(spark, dir, collapse = false).select("doc_a", "doc_b"))
+      else {
+        // Verbatim members share their rep's TEXT, so they share its spans:
+        // enumerate positions only between REPS, then expand — cross-group
+        // member pairs inherit the rep pair's run verbatim, within-group
+        // pairs (identical texts) run the full positional shingle count.
+        // Mirrors expandVerbatim's pair domain exactly (within-pairs exist
+        // iff the rep has shingles).
+        val m = verbatimReps(spark, dir).select(col("doc_id").as("m_id"), col("rep_id"))
+        val repSpans = enumSharedSpans(spark, dir,
+          repNearDupPairs(spark, dir, collapse = true).select("doc_a", "doc_b"))
+        val cross = repSpans
+          .join(m.select(col("rep_id").as("doc_a"), col("m_id").as("ma")), Seq("doc_a"))
+          .join(m.select(col("rep_id").as("doc_b"), col("m_id").as("mb")), Seq("doc_b"))
+          .select(least(col("ma"), col("mb")).as("doc_a"),
+            greatest(col("ma"), col("mb")).as("doc_b"), col("max_run"))
+        val posCount = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            (size(TextFns.tokenize(col("text"))) - (ShingleSize - 1)).cast("long").as("pn"))
+          .filter(col("pn") >= 1)
+          .join(shingles(spark, dir).select("doc_id"), Seq("doc_id"), "left_semi")
+        val within = m.as("x")
+          .join(m.as("y"),
+            col("x.rep_id") === col("y.rep_id") && col("x.m_id") < col("y.m_id"))
+          .join(posCount.select(col("doc_id").as("rid"), col("pn")),
+            col("x.rep_id") === col("rid"))
+          .select(col("x.m_id").as("doc_a"), col("y.m_id").as("doc_b"),
+            col("pn").as("max_run"))
+        cross.union(within)
+      }
+    spans
+      .select(col("doc_a"), col("doc_b"), col("max_run"),
+        (col("max_run") + lit(ShingleSize - 1)).cast("long").as("span_tokens"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Doc-level positional run enumeration over a given pair set (UNSORTED,
+    * max_run only — sharedSpans adds the token form and the edge sort).
+    */
+  private def enumSharedSpans(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    // tokenize ONLY pair endpoints: the pair set is the dedup ladder's
+    // output (collapse path: reps), so the positional pass touches a
+    // near-dup-sized slice of the corpus, not all of it
     val pos5 = Tables.documents(spark, dir)
+      .join(pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct(),
+        Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextFns.tokenize(col("text")).as("toks"))
       .select(col("doc_id"),
         posexplode(TextFns.shingleArray(col("toks"), ShingleSize))
@@ -309,9 +358,6 @@ object Dedup {
       .agg(count(lit(1)).as("run"))
       .groupBy("doc_a", "doc_b")
       .agg(max("run").as("max_run"))
-      .select(col("doc_a"), col("doc_b"), col("max_run"),
-        (col("max_run") + lit(ShingleSize - 1)).cast("long").as("span_tokens"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Cross-source duplication matrix (q93): verified near-dup pairs
