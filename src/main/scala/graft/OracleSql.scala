@@ -1105,6 +1105,17 @@ object OracleSql {
          |SELECT vec_id, cid AS cluster_id, ROUND(sqrt(d2), 6) AS dist
          |FROM asg
          |ORDER BY vec_id""".stripMargin) +
+    ("q97_cluster_sample" ->
+      s"""WITH $KmeansAsgCtes,
+         |d AS (SELECT vec_id, cid AS cluster_id, ROUND(sqrt(d2), 6) AS dist FROM asg),
+         |r AS (
+         |  SELECT cluster_id, vec_id, dist,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                ORDER BY dist, vec_id) AS BIGINT) AS rnk
+         |  FROM d)
+         |SELECT cluster_id, rnk, vec_id, dist FROM r
+         |WHERE rnk <= 3
+         |ORDER BY cluster_id, rnk""".stripMargin) +
     ("q88_dim_stats" ->
       s"""WITH pv AS (
          |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,

@@ -190,7 +190,9 @@ object SparkEntry {
     // near-dup graph census: vertices, edges, triangles
     "q95_dup_graph_stats" -> ((s, d) => Dedup.dupGraphStats(s, d)),
     // exact per-user median event inter-arrival gap
-    "q96_interarrival_median" -> ((s, d) => Events.interarrivalMedian(s, d)))
+    "q96_interarrival_median" -> ((s, d) => Events.interarrivalMedian(s, d)),
+    // m nearest vectors per k-means cluster (prototype selection)
+    "q97_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -61,4 +61,29 @@ object TopKAggregator {
 
   def topKByScore(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKByScore(k), Encoders.product[TokScore])
+
+  case class VecDist(vec_id: Long, dist: Double)
+
+  private val distOrd: Ordering[VecDist] = Ordering.by(v => (v.dist, v.vec_id))
+
+  /** Bounded min-k by (dist asc, vec_id asc) — the ranking contract of
+    * `ROW_NUMBER() OVER (ORDER BY dist, vec_id)` kept to k rows per group
+    * through partial, shuffle, and merge. Used by prototype selection
+    * (q97): a cluster with millions of members still ships only k rows.
+    */
+  class MinKByDist(k: Int) extends Aggregator[VecDist, Seq[VecDist], Seq[VecDist]] {
+    override def zero: Seq[VecDist] = Nil
+    override def reduce(buf: Seq[VecDist], a: VecDist): Seq[VecDist] =
+      merge(buf, Seq(a))
+    override def merge(b1: Seq[VecDist], b2: Seq[VecDist]): Seq[VecDist] =
+      (b1 ++ b2).sorted(distOrd).take(k)
+    override def finish(r: Seq[VecDist]): Seq[VecDist] = r.sorted(distOrd)
+    override def bufferEncoder: Encoder[Seq[VecDist]] =
+      Encoders.kryo[Seq[VecDist]]
+    override def outputEncoder: Encoder[Seq[VecDist]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  def minKByDist(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new MinKByDist(k), Encoders.product[VecDist])
 }

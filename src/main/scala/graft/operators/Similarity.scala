@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFns
+import graft.functions.{TopKAggregator, VectorFns}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -268,6 +268,29 @@ object Similarity {
       .select(col("vec_id"), col("best.cid").as("cid"),
         col("best.emb").as("emb"), col("best.d2").as("d2"))
   }
+
+  /** Prototype selection (q97): the m vectors nearest their cluster's
+    * seed centroid, per cluster — the "pick representative examples per
+    * cluster" step of cluster-balanced curation (the complement of
+    * SemDeDup's remove-near-centroid-duplicates). NOT a ranking window:
+    * a window partitioned by cluster_id would funnel every assignment
+    * row into k partitions (catastrophic skew at 100 TB). Instead the
+    * bounded MinKByDist aggregator carries ≤m rows per cluster through
+    * the map-side partial and the exchange — a cluster with millions of
+    * members still ships m rows. Ties break on vec_id so ranks are
+    * engine-independent; rank = 1 + position in the sorted buffer.
+    */
+  def clusterSample(spark: SparkSession, dir: String, k: Int = 8,
+      m: Int = 3): DataFrame =
+    kmeansAssignRaw(spark, dir, k)
+      .select(col("cid").as("cluster_id"), col("vec_id"),
+        round(sqrt(col("d2")), 6).as("dist"))
+      .groupBy("cluster_id")
+      .agg(TopKAggregator.minKByDist(m)(col("vec_id"), col("dist")).as("top"))
+      .select(col("cluster_id"), posexplode(col("top")))
+      .select(col("cluster_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.vec_id").as("vec_id"), col("col.dist").as("dist"))
+      .orderBy("cluster_id", "rnk")
 
   /** Per-dimension embedding health stats (q88): count, mean, and
     * population variance of every embedding position — the feature-QA

@@ -117,6 +117,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === Seq((0L, 2L, 2.0, 1.0), (1L, 2L, 2.0, 0.0)))
   }
 
+  test("clusterSample: every cluster's rank-1 prototype is its own seed") {
+    import org.apache.spark.sql.functions.col
+    val cs = Similarity.clusterSample(spark, sf).persist()
+    // the seed is at distance 0 from itself, so it must rank first
+    assert(cs.filter(col("rnk") === 1L &&
+      col("vec_id") =!= col("cluster_id")).count() === 0)
+    // ranks are dense 1..m within every cluster
+    assert(cs.groupBy("cluster_id").count()
+      .filter(col("count") =!= 3L).count() === 0)
+    cs.unpersist()
+    ()
+  }
+
   test("kmeansAssign: seeds claim themselves at distance 0, counts match the step") {
     import org.apache.spark.sql.functions._
     val asg = Similarity.kmeansAssign(spark, sf).persist()
