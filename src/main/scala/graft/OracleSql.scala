@@ -333,6 +333,30 @@ object OracleSql {
          |  FROM p)
          |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
+    "q98_knn_classify" ->
+      s"""WITH $EmbCte,
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 8),
+         |p AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |         ${dotExpr("q_emb", "emb")} / (q_nrm * nrm) AS c
+         |  FROM q, n WHERE vec_id <> query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+         |  FROM p),
+         |v AS (
+         |  SELECT query_id, n.label, COUNT(*) AS votes
+         |  FROM r JOIN n ON n.vec_id = r.neighbor_id
+         |  WHERE rnk <= 5
+         |  GROUP BY query_id, n.label),
+         |w AS (
+         |  SELECT query_id, label AS pred_label, votes,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rk
+         |  FROM v)
+         |SELECT w.query_id, n.label AS true_label, w.pred_label, w.votes
+         |FROM w JOIN n ON n.vec_id = w.query_id
+         |WHERE w.rk = 1
+         |ORDER BY w.query_id""".stripMargin,
     "q29_knn_ivf" ->
       s"""WITH $EmbCte,
          |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket FROM n WHERE vec_id < 8),

@@ -104,7 +104,10 @@ object ScaleSmoke {
       // triangle enumeration over the 10× pair population (the dense-clique
       // worst case verbatim replication builds), and per-user gap medians
       // over 10× users
-      "q95_dup_graph_stats", "q96_interarrival_median")
+      "q95_dup_graph_stats", "q96_interarrival_median",
+      // round 8g: prototype selection (10× assignment through the bounded
+      // min-k partial agg) and the kNN vote (8 queries × 10× corpus scan)
+      "q97_cluster_sample", "q98_knn_classify")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()

@@ -192,7 +192,9 @@ object SparkEntry {
     // exact per-user median event inter-arrival gap
     "q96_interarrival_median" -> ((s, d) => Events.interarrivalMedian(s, d)),
     // m nearest vectors per k-means cluster (prototype selection)
-    "q97_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)))
+    "q97_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
+    // kNN majority-vote label prediction per query vector
+    "q98_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

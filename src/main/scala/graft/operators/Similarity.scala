@@ -129,6 +129,36 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** kNN majority-vote label classification (q98): each query vector
+    * (vec_id < QuerySetSize) takes its K exact nearest neighbors — q28's
+    * ranking contract, self excluded — and predicts the modal neighbor
+    * label (most votes, ties to the smaller label), reported next to the
+    * query's own label. This is the label-propagation shape quality
+    * classifiers take when a curation pipeline has a small labeled seed
+    * set and a large unlabeled corpus. Scale: the neighbor search is the
+    * broadcast-query scan (at 100 TB the q77 quantized shortlist would
+    * feed it); the vote itself is a ≤K-row-per-query aggregate and the
+    * label lookup a join against the (vec_id, label) relation — nothing
+    * here is wider than the kNN output.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val pred = knnBruteForce(spark, dir)
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(min_by(struct(col("label"), col("votes")),
+        struct((-col("votes")).as("nv"), col("label"))).as("best"))
+      .select(col("query_id"), col("best.label").as("pred_label"),
+        col("best.votes").as("votes"))
+    pred
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
   /** Materialize the IVF index as a BUCKETED table keyed by the coarse-
     * quantizer cell — the storage layout that makes the q29 "partition-
     * pruned probe" claim a code path: a probe on one cell reads only that

@@ -130,6 +130,22 @@ class SimilaritySpec extends AnyFunSuite {
     ()
   }
 
+  test("knnClassify: one prediction per query, votes bounded by K, majority agrees with hand count") {
+    import org.apache.spark.sql.functions.col
+    val pred = Similarity.knnClassify(spark, sf).collect()
+    assert(pred.map(_.getLong(0)).toSeq === (0L until 8L))
+    assert(pred.forall { r => r.getLong(3) >= 1 && r.getLong(3) <= 5 })
+    // recompute query 0's modal neighbor label straight from the kNN output
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val n0 = Similarity.knnBruteForce(spark, sf)
+      .filter(col("query_id") === 0L).collect().map(_.getLong(1))
+    val expect = n0.map(labels).groupBy(identity).toSeq
+      .map { case (l, v) => (-v.length, l) }.min._2
+    assert(pred.head.getInt(2) === expect)
+  }
+
   test("kmeansAssign: seeds claim themselves at distance 0, counts match the step") {
     import org.apache.spark.sql.functions._
     val asg = Similarity.kmeansAssign(spark, sf).persist()
