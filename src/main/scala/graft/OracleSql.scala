@@ -1237,6 +1237,26 @@ object OracleSql {
          |       ROUND(ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens, 6) AS entropy
          |FROM g
          |ORDER BY doc_id""".stripMargin) +
+    ("q99_cross_entropy" ->
+      s"""WITH $ArrCte,
+         |tc AS (
+         |  SELECT doc_id, token, COUNT(*) AS n
+         |  FROM (SELECT doc_id, unnest(arr) AS token FROM base)
+         |  GROUP BY doc_id, token),
+         |cc AS (SELECT token, SUM(n) AS c FROM tc GROUP BY token),
+         |tot AS (SELECT SUM(c) AS tt FROM cc),
+         |g AS (
+         |  SELECT doc_id, SUM(n) AS n_tokens,
+         |         list_reduce(list(CAST(n AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY token),
+         |                     (a, b) -> a + b) AS sc,
+         |         list_reduce(list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) ORDER BY token),
+         |                     (a, b) -> a + b) AS sn
+         |  FROM tc JOIN cc USING (token) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       ROUND(ln(CAST(tt AS DOUBLE)) - sc / n_tokens, 6) AS cross_entropy,
+         |       ROUND(ln(CAST(tt AS DOUBLE)) - ln(CAST(n_tokens AS DOUBLE)) + (sn - sc) / n_tokens, 6) AS kl
+         |FROM g, tot
+         |ORDER BY doc_id""".stripMargin) +
     ("q93_source_dup_matrix" ->
       s"""WITH RECURSIVE $ShinglesCte, $SigsCte,
          |$DupClustersBody,

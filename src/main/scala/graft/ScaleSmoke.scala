@@ -107,7 +107,9 @@ object ScaleSmoke {
       "q95_dup_graph_stats", "q96_interarrival_median",
       // round 8g: prototype selection (10× assignment through the bounded
       // min-k partial agg) and the kNN vote (8 queries × 10× corpus scan)
-      "q97_cluster_sample", "q98_knn_classify")
+      "q97_cluster_sample", "q98_knn_classify",
+      // corpus-LM cross-entropy: vocab join + two per-doc folds over 10×
+      "q99_cross_entropy")
     val qs = SparkEntry.queries
     heavy.foreach { name =>
       val t0 = System.nanoTime()

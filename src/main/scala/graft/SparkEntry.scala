@@ -194,7 +194,9 @@ object SparkEntry {
     // m nearest vectors per k-means cluster (prototype selection)
     "q97_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     // kNN majority-vote label prediction per query vector
-    "q98_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)))
+    "q98_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
+    // per-doc cross-entropy + KL under the corpus unigram LM
+    "q99_cross_entropy" -> ((s, d) => TextAnalysis.crossEntropy(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -823,6 +823,45 @@ object TextAnalysis {
             col("n_tokens"), 6).as("entropy"))
       .orderBy("doc_id")
 
+  /** Per-doc cross-entropy under the corpus unigram LM (q99): the CCNet
+    * device — score every document by how surprising its tokens are to a
+    * language model of the whole corpus, here the exact unigram MLE.
+    * CE = ln T − Σ n_t·ln(c_t) / N (nats), with n_t the doc's token
+    * count, c_t the corpus count, T total corpus tokens; also reported:
+    * KL(doc ‖ corpus) = CE − H_doc ≥ 0, the "how unusual" distance that
+    * separates topical/boilerplate outliers from typical prose. Both
+    * Σ-folds are token-ordered and sequential over one collected struct
+    * array (the q92 device) so both engines sum identical doubles in
+    * identical order; ln is engine-libm, absorbed by round(6). Scale: a
+    * (doc,token)→(token) vocab join + one per-doc fold; the corpus
+    * counts relation is vocab-sized and the total a broadcast scalar —
+    * at 100 TB the LM side would be learned once and shipped, exactly
+    * like q82's weight table.
+    */
+  def crossEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val dt = rawTokens(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+    val corpus = dt.groupBy("token").agg(sum("n").as("c"))
+    val total = corpus.agg(sum("c").as("tt"))
+    def fold(field: String) =
+      aggregate(col("ts"), lit(0.0), (a, x) => a + x.getField(field))
+    dt.join(corpus, Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"),
+        sort_array(collect_list(struct(col("token"),
+          (col("n").cast("double") * log(col("c").cast("double"))).as("tc"),
+          (col("n").cast("double") * log(col("n").cast("double"))).as("tn"))))
+          .as("ts"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("tt").cast("double")) - fold("tc") / col("n_tokens"), 6)
+          .as("cross_entropy"),
+        round(log(col("tt").cast("double")) - log(col("n_tokens").cast("double"))
+          + (fold("tn") - fold("tc")) / col("n_tokens"), 6).as("kl"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source exact token-length quantiles (q89): p10/p50/p90 of the
     * per-doc raw token count, computed by INDEX (rank r = (n−1)·p/100 + 1
     * under (count, doc_id) order, all integer arithmetic) — no engine

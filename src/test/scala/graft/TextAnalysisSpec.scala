@@ -396,6 +396,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, 4L, math.rint(math.log(4.0) * 1e6) / 1e6), (2L, 4L, 0.0)))
   }
 
+  test("crossEntropy: planted two-doc corpus matches hand-computed CE and KL") {
+    val docs = Seq(
+      (1L, "a a a b"),            // n_a=3 n_b=1 N=4
+      (2L, "a b"))                // n_a=1 n_b=1 N=2
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ce").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // corpus: c_a=4 c_b=2 T=6
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val ln = (x: Double) => math.log(x)
+    val ce1 = ln(6) - (3 * ln(4) + 1 * ln(2)) / 4
+    val h1 = ln(4) - (3 * ln(3)) / 4
+    val ce2 = ln(6) - (1 * ln(4) + 1 * ln(2)) / 2
+    val h2 = ln(2)
+    val got = TextAnalysis.crossEntropy(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 4L, r6(ce1), r6(ce1 - h1)),
+      (2L, 2L, r6(ce2), r6(ce2 - h2))))
+    assert(got.forall(_._4 >= 0.0)) // KL(doc ‖ corpus) is non-negative
+  }
+
   test("lengthQuantiles: picks the exact indexed doc on a planted source") {
     import org.apache.spark.sql.functions.col
     // 5 docs with token counts 1,2,3,4,5 → n=5; idx(p) = (4p)//100 + 1
