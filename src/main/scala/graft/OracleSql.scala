@@ -1168,6 +1168,34 @@ object OracleSql {
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
          |ORDER BY n_vertices""".stripMargin) +
+    ("q100_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY e.user_id),
+        |conv AS (
+        |  SELECT s1.user_id, CAST(make_timestamp(s1.t1) AS DATE) AS cohort,
+        |         s3.t3 - s1.t1 AS ttc
+        |  FROM s3 JOIN s1 ON s3.user_id = s1.user_id),
+        |r AS (
+        |  SELECT cohort, ttc,
+        |         ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY ttc, user_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY cohort) AS n
+        |  FROM conv)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+        |       CAST(MAX(n) AS BIGINT) AS n_converted,
+        |       CAST(SUM(ttc) AS DOUBLE) / COUNT(*) AS median_ttc_us
+        |FROM r
+        |WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+        |GROUP BY cohort
+        |ORDER BY cohort_date""".stripMargin) +
     ("q96_interarrival_median" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts_us - LAG(ts_us) OVER

@@ -196,7 +196,9 @@ object SparkEntry {
     // kNN majority-vote label prediction per query vector
     "q98_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
     // per-doc cross-entropy + KL under the corpus unigram LM
-    "q99_cross_entropy" -> ((s, d) => TextAnalysis.crossEntropy(s, d)))
+    "q99_cross_entropy" -> ((s, d) => TextAnalysis.crossEntropy(s, d)),
+    // exact median time-to-convert per first-view day cohort
+    "q100_time_to_convert" -> ((s, d) => Events.timeToConvert(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -245,6 +245,50 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Median time-to-convert per first-view day cohort (q100): among
+    * users who complete the strict view→click→purchase funnel (q61's
+    * window construction, same single user-keyed shuffle), the exact
+    * median of (first purchase − first view) in integer microseconds,
+    * grouped by the UTC day of the first view — the conversion-latency
+    * curve growth teams read per acquisition cohort. The median is
+    * CONSTRUCTED (rank + middle rows + exact integer average, the
+    * q69/q96 device) so no engine median() interpolation is involved;
+    * ties rank on user_id. Cohorts are day-grain, so the median window
+    * partitions into ~date-range many groups of converting users —
+    * bounded and balanced at 100 TB.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val conv = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("us") > col("t1"),
+          col("us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+          col("us"))).over(w))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t3").as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(col("user_id"),
+        to_date(timestamp_micros(col("t1"))).as("cohort"),
+        (col("t3") - col("t1")).as("ttc"))
+    val wc = Window.partitionBy("cohort")
+    conv
+      .withColumn("rn", row_number().over(wc.orderBy("ttc", "user_id")))
+      .withColumn("n", count(lit(1)).over(wc))
+      .filter(col("rn") * 2 === col("n") || col("rn") * 2 === col("n") + 1 ||
+        col("rn") * 2 === col("n") + 2)
+      .groupBy("cohort")
+      .agg(max("n").cast("long").as("n_converted"),
+        (sum("ttc").cast("double") / count(lit(1))).as("median_ttc_us"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_date"),
+        col("n_converted"), col("median_ttc_us"))
+      .orderBy("cohort_date")
+  }
+
   /** JSON property extraction + aggregate: pull integer `$.k` out of the
     * props JSON string, sum per event type.
     */
