@@ -15,6 +15,12 @@ object OracleSql {
   private val Dict = TokenPipeline.Dictionary.map(w => s"'$w'").mkString("(", ",", ")")
   private val Stop = TokenPipeline.StopWords.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** Chunk width of the two-level deterministic fold — read from the SAME
+    * constant Similarity.chunkedSums uses, so the oracle's `vec_id //
+    * FoldChunk` grouping can never desync from the Spark side.
+    */
+  private val FoldChunk = graft.operators.Similarity.FoldChunk
+
   /** Tokenization CTE mirroring TextFns.tokenize (clean → lower → split →
     * drop empties) + the dictionary semi-join and stop-word anti-join.
     */
@@ -862,10 +868,14 @@ object OracleSql {
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |pv AS (SELECT vec_id, label, unnest(emb) AS v,
          |              unnest(range(1, len(emb) + 1)) AS pos FROM e),
+         |pc AS (
+         |  SELECT label, pos, vec_id // $FoldChunk AS chunk, COUNT(*) AS n,
+         |         list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) AS s
+         |  FROM pv GROUP BY label, pos, chunk),
          |cpos AS (
          |  SELECT label, pos,
-         |         list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS cv
-         |  FROM pv GROUP BY label, pos),
+         |         list_reduce(list(s ORDER BY chunk), (a, b) -> a + b) / SUM(n) AS cv
+         |  FROM pc GROUP BY label, pos),
          |cent AS (SELECT label, list(cv ORDER BY pos) AS cent FROM cpos GROUP BY label),
          |d AS (
          |  SELECT vec_id, e.label AS label,
@@ -1118,11 +1128,15 @@ object OracleSql {
     ("q83_kmeans_step" ->
       s"""WITH $KmeansAsgCtes,
          |pv AS (SELECT cid, vec_id, unnest(emb) AS v,
-         |              unnest(range(0, len(emb))) AS pos FROM asg)
+         |              unnest(range(0, len(emb))) AS pos FROM asg),
+         |pc AS (
+         |  SELECT cid, pos, vec_id // $FoldChunk AS chunk, COUNT(*) AS n,
+         |         list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) AS s
+         |  FROM pv GROUP BY cid, pos, chunk)
          |SELECT cid AS cluster_id, CAST(pos AS BIGINT) AS pos,
-         |       CAST(COUNT(*) AS BIGINT) AS n_members,
-         |       ROUND(list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) / COUNT(*), 6) AS c_val
-         |FROM pv GROUP BY cid, pos
+         |       CAST(SUM(n) AS BIGINT) AS n_members,
+         |       ROUND(list_reduce(list(s ORDER BY chunk), (a, b) -> a + b) / SUM(n), 6) AS c_val
+         |FROM pc GROUP BY cid, pos
          |ORDER BY cluster_id, pos""".stripMargin) +
     ("q85_kmeans_assign" ->
       s"""WITH $KmeansAsgCtes
@@ -1145,11 +1159,16 @@ object OracleSql {
          |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
          |         unnest(range(0, len(embedding))) AS pos
          |  FROM embeddings),
+         |pc AS (
+         |  SELECT pos, vec_id // $FoldChunk AS chunk, COUNT(*) AS n,
+         |         list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) AS s,
+         |         list_reduce(list(v * v ORDER BY vec_id), (a, b) -> a + b) AS s2
+         |  FROM pv GROUP BY pos, chunk),
          |g AS (
-         |  SELECT pos, COUNT(*) AS n_vecs,
-         |         list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS m,
-         |         list_reduce(list(v * v ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS m2
-         |  FROM pv GROUP BY pos)
+         |  SELECT pos, SUM(n) AS n_vecs,
+         |         list_reduce(list(s ORDER BY chunk), (a, b) -> a + b) / SUM(n) AS m,
+         |         list_reduce(list(s2 ORDER BY chunk), (a, b) -> a + b) / SUM(n) AS m2
+         |  FROM pc GROUP BY pos)
          |SELECT CAST(pos AS BIGINT) AS pos, CAST(n_vecs AS BIGINT) AS n_vecs,
          |       ROUND(m, 6) AS mean, ROUND(m2 - m * m, 6) AS variance
          |FROM g ORDER BY pos""".stripMargin) +

@@ -16,6 +16,8 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/sf1x")
     val copies = if (args.length > 1) args(1).toInt else 10
+    // extra args (dev loop only) restrict the run to the named queries
+    val only = args.drop(2).toSet
     val src = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.start(cpus)
@@ -109,9 +111,12 @@ object ScaleSmoke {
       // min-k partial agg) and the kNN vote (8 queries × 10× corpus scan)
       "q97_cluster_sample", "q98_knn_classify",
       // corpus-LM cross-entropy: vocab join + two per-doc folds over 10×
-      "q99_cross_entropy")
+      "q99_cross_entropy",
+      // round 9: conversion-latency cohort medians — one user-keyed window
+      // pass + a per-(day) percentile over 10× users
+      "q100_time_to_convert")
     val qs = SparkEntry.queries
-    heavy.foreach { name =>
+    heavy.filter(n => only.isEmpty || only(n)).foreach { name =>
       val t0 = System.nanoTime()
       val r = try { val c = qs(name)(spark, out).count(); s"rows=$c" }
         catch { case e: Throwable => s"FAILED: ${e.getMessage.take(200)}" }
