@@ -102,17 +102,32 @@ object OracleSql {
       |WHERE 2 * inter >= (za.sz + zb.sz - inter)
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Sign-LSH bucket CASE-chain over the first `bits` components,
+    * generated from the SAME `Similarity.IvfBits` constant the Spark
+    * side reads (the simhashSumsSql(bits) pattern), so a width change —
+    * including the SPARK_GRAFT_LSH_BITS scale override — can never
+    * desync the oracle from VectorFns.signBucket.
+    */
+  private def signBucketSql(bits: Int): String =
+    (0 until bits)
+      .map(i => s"(CASE WHEN emb[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("(", " +\n          ", ")")
+
+  /** Hamming-distance-1 probe set of the multiprobe oracle (q55) — own
+    * cell plus every single-bit flip, from the same width constant.
+    */
+  private def probeFlipsSql(bits: Int): String =
+    (0 +: (0 until bits).map(1 << _).toList)
+      .map(v => s"($v)").mkString("(VALUES ", ", ", ")")
+
+  private val LshBits = graft.operators.Similarity.IvfBits
+
   /** Normed double-cast embeddings; folds mirror VectorFns (sequential). */
   val EmbCte: String =
-    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |n AS (
       |  SELECT vec_id, label, emb,
-      |         ((CASE WHEN emb[1] > 0 THEN 1 ELSE 0 END) +
-      |          (CASE WHEN emb[2] > 0 THEN 2 ELSE 0 END) +
-      |          (CASE WHEN emb[3] > 0 THEN 4 ELSE 0 END) +
-      |          (CASE WHEN emb[4] > 0 THEN 8 ELSE 0 END) +
-      |          (CASE WHEN emb[5] > 0 THEN 16 ELSE 0 END) +
-      |          (CASE WHEN emb[6] > 0 THEN 32 ELSE 0 END)) AS bucket,
+      |         ${signBucketSql(LshBits)} AS bucket,
       |         sqrt(list_reduce(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i]),
       |                          (x, y) -> x + y)) AS nrm
       |  FROM e)""".stripMargin
@@ -747,7 +762,7 @@ object OracleSql {
          |q0 AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket FROM n WHERE vec_id < 8),
          |q AS (
          |  SELECT query_id, q_emb, q_nrm, xor(bucket, f.v) AS bucket
-         |  FROM q0, (VALUES (0), (1), (2), (4), (8), (16), (32)) f(v)),
+         |  FROM q0, ${probeFlipsSql(LshBits)} f(v)),
          |p AS (
          |  SELECT query_id, vec_id AS neighbor_id,
          |         ${dotExpr("q_emb", "emb")} / (q_nrm * nrm) AS c

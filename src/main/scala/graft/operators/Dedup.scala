@@ -660,6 +660,8 @@ object Dedup {
     // fail loudly rather than return non-minimal labels for a pathological
     // long-chain component
     require(converged, s"label propagation did not converge in $maxRounds rounds")
+    if (sys.env.contains("GRAFT_PROP_DEBUG"))
+      println(s"[prop] converged in $rounds rounds")
     labels
   }
 
@@ -1016,10 +1018,13 @@ object Dedup {
     * so the threshold is set where the op provably produces verifiable
     * output). In-bucket verification is ~n²/2^bits pairs, so `bits` must
     * GROW with the corpus: bits ≈ log₂(n) keeps expected in-bucket pairs
-    * O(n). The default stays 6 (64 cells) because the q27 DuckDB oracle
-    * hardcodes that bucket expression (the Similarity.IvfBits trap);
-    * callers at scale pass log₂(n), bounded by the embedding dimension
-    * (each bit consumes one component's sign). Raising bits never adds
+    * O(n). The default is the shared `Similarity.IvfBits` (6 = 64 cells
+    * for the sf corpora; SPARK_GRAFT_LSH_BITS overrides it for scale
+    * runs), and the DuckDB oracle GENERATES its bucket expression from
+    * the same constant (OracleSql.signBucketSql) — the round-8 "IvfBits
+    * trap" is gone; any width stays oracle-checkable. Width is bounded
+    * by the embedding dimension (each bit consumes one component's
+    * sign). Raising bits never adds
     * pairs — it only splits buckets — and true near-dups (cosine → 1)
     * agree on every sign, so they survive any width; borderline pairs
     * with disagreeing signs are the recall/cost trade, same as every
@@ -1027,21 +1032,34 @@ object Dedup {
     * narrow sign tables the way MinHash does (minhashBands).
     */
   def embeddingNearDups(spark: SparkSession, dir: String,
-      bits: Int = 6): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"),
-      VectorFns.asDouble(col("embedding")).as("emb"))
+      bits: Int = Similarity.IvfBits): DataFrame =
+    embNearDupPairsOf(
+      Tables.embeddings(spark, dir).select(
+        col("vec_id"), VectorFns.asDouble(col("embedding")).as("emb")),
+      bits)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+
+  /** Verified sign-LSH near-dup pairs of one (vec_id, emb) relation:
+    * bucket equi-join + in-bucket cosine ≥ 0.25 — the shared core of the
+    * doc-level q27 enumeration and q74's rep-level edge build. Zero-norm
+    * vectors are excluded BEFORE the join: their cosine is undefined
+    * (ANSI mode turns the 0/0 into a runtime error rather than a
+    * filterable NaN), and an undefined similarity can never verify, so
+    * they contribute no pairs under either semantics.
+    */
+  private def embNearDupPairsOf(e: DataFrame, bits: Int): DataFrame = {
+    val b = e
       .withColumn("bucket", VectorFns.signBucket(col("emb"), bits))
       .withColumn("nrm", VectorFns.l2Norm(col("emb")))
-    e.as("x").join(e.as("y"),
+      .filter(col("nrm") > 0.0)
+    b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(
         col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         VectorFns.cosine(VectorFns.dot(col("x.emb"), col("y.emb")),
           col("x.nrm"), col("y.nrm")).as("c"))
       .filter(col("c") >= 0.25)
-      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos_sim"))
-      .orderBy("vec_a", "vec_b")
   }
 
   /** SemDeDup-style embedding survivors (q74): connected components over
@@ -1050,27 +1068,51 @@ object Dedup {
     * distributed min-label propagation as q52, then EVERY vector marked
     * with its component and whether it is the canonical survivor — the
     * embedding-space analogue of dedupSurvivors, i.e. the "cluster
-    * semantically, keep one per cluster" semantic-dedup recipe. Scale:
-    * candidate edges come from bucketed equi-joins (never all-pairs, and
-    * `bits` grows with log₂(n) — see embeddingNearDups), propagation is
-    * one join+agg per round with checkpointed labels, and the final
-    * survivor join is vector-grain.
+    * semantically, keep one per cluster" semantic-dedup recipe.
+    *
+    * Verbatim-vector collapse (the q52 rep-graph device, round 9):
+    * identical NONZERO vectors verify pairwise at any LSH width (cosine
+    * of a vector with itself is d/(√d)² ≥ 0.25 whenever d > 0), so each
+    * identical-embedding group enters the candidate join only through
+    * its min-id representative and the group rides the rep's component
+    * at the end. The expanded labels equal the doc-level enumeration's:
+    * a component's min member IS its min rep (every member ≥ its group's
+    * rep), and cross-group pairs verify iff the rep pair does (cosine
+    * reads only values, identical across the group). Zero-norm vectors
+    * stay singleton reps — their cosine is undefined, so they never pair
+    * even with identical copies, exactly as the doc-level enumeration
+    * (which excludes them from the candidate join — see
+    * embNearDupPairsOf; DedupSpec asserts both properties on a planted
+    * corpus). Under k× verbatim duplication the in-bucket verification
+    * shrinks k², the propagation join k.
+    *
+    * Scale: candidate edges come from bucketed equi-joins (never
+    * all-pairs, and `bits` grows with log₂(n) — see embeddingNearDups),
+    * propagation is one join+agg per round with checkpointed labels, and
+    * the final survivor join is vector-grain.
     */
   def semDedupSurvivors(spark: SparkSession, dir: String,
-      bits: Int = 6): DataFrame = {
-    val pairs = embeddingNearDups(spark, dir, bits)
+      bits: Int = Similarity.IvfBits): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), VectorFns.asDouble(col("embedding")).as("emb"))
+    val withRep = e.withColumn("rep",
+      when(VectorFns.l2Norm(col("emb")) === 0.0, col("vec_id"))
+        .otherwise(min("vec_id").over(Window.partitionBy("emb"))))
+    val reps = withRep.filter(col("vec_id") === col("rep"))
+      .select("vec_id", "emb")
+    val pairs = embNearDupPairsOf(reps, bits)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val sym = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val labels = propagateMinLabels(sym.select(col("doc_a").as("doc_id")), sym)
     sym.unpersist() // labels are checkpoint-materialized; sym is done
-    Tables.embeddings(spark, dir).select("vec_id")
-      .join(labels.select(col("doc_id").as("vec_id"), col("component_id")),
-        Seq("vec_id"), "left")
+    withRep
+      .join(labels.select(col("doc_id").as("rep"), col("component_id")),
+        Seq("rep"), "left")
       .select(col("vec_id"),
-        coalesce(col("component_id"), col("vec_id")).as("component_id"),
-        (coalesce(col("component_id"), col("vec_id")) === col("vec_id"))
+        coalesce(col("component_id"), col("rep")).as("component_id"),
+        (coalesce(col("component_id"), col("rep")) === col("vec_id"))
           .as("kept"))
       .orderBy("vec_id")
   }

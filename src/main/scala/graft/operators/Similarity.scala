@@ -53,11 +53,17 @@ object Similarity {
     topK(pairs, K)
   }
 
-  /** Sign-quantizer width. Fixed, not a parameter: the q29/q55 DuckDB
-    * oracles hardcode the 6-bit bucket expression, so a configurable
-    * width here would be a silent oracle-divergence trap.
+  /** Sign-quantizer width for every sign-LSH consumer (q27/q29/q55/q74).
+    * The DuckDB oracle derives its bucket CASE-chain and the multiprobe
+    * flip list from THIS constant (OracleSql.signBucketSql), so changing
+    * the width can never desync Spark from the oracle — the round-8
+    * "IvfBits trap" is dead. Default 6 (64 cells) suits the sf test
+    * corpora; scale runs export SPARK_GRAFT_LSH_BITS ≈ log₂(n) (bounded
+    * by the embedding dimension — each bit consumes one component's
+    * sign), which keeps expected in-bucket verification pairs O(n).
     */
-  val IvfBits = 6
+  val IvfBits: Int =
+    sys.env.get("SPARK_GRAFT_LSH_BITS").map(_.toInt).getOrElse(6)
 
   /** Shared IVF probe: each query scores vectors in the cells
     * `own-cell XOR flip` for every flip in `flips` — the single

@@ -405,6 +405,50 @@ class DedupSpec extends AnyFunSuite {
     ()
   }
 
+  test("semDedupSurvivors: rep collapse ≡ doc-level enumeration, zero vectors stay apart") {
+    // planted: vecs 1..3 verbatim copies of pattern p1, vec 4 a same-sign
+    // near-dup of p1 (cosine ≈ 1 ⇒ same component); vecs 5/6 verbatim
+    // copies of orthogonal p2 (own component); vecs 7/8 verbatim ZERO
+    // vectors — cosine NaN, so doc-level semantics keep them singletons
+    // and the collapse must NOT merge them despite identical values.
+    val dim = 16
+    val p1 = Seq.fill(dim)(1.0f)
+    val p2 = (0 until dim).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val near = p1.zipWithIndex.map { case (x, i) => x * (1.0f + 0.05f * (i % 3)) }
+    val zero = Seq.fill(dim)(0.0f)
+    val rows = Seq(
+      (1L, p1), (2L, p1), (3L, p1), (4L, near),
+      (5L, p2), (6L, p2), (7L, zero), (8L, zero))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Dedup.semDedupSurvivors(spark, dir)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // doc-level reference: q27's full pair enumeration (no collapse) +
+    // the same min-label propagation + vector-grain expansion — the
+    // pre-collapse algorithm inlined
+    val pairs = Dedup.embeddingNearDups(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val sym = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val labels = Dedup.propagateMinLabels(
+      sym.select(col("doc_a").as("doc_id")), sym)
+    val want = rows.toDF("vec_id", "embedding").select("vec_id")
+      .join(labels.select(col("doc_id").as("vec_id"), col("component_id")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component_id"), col("vec_id")).as("component_id"),
+        (coalesce(col("component_id"), col("vec_id")) === col("vec_id"))
+          .as("kept"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === want)
+    // planted structure: {1,2,3,4} one component kept by 1; {5,6} kept by
+    // 5; zero vectors 7 and 8 are BOTH kept as singletons
+    assert(got === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false), (7L, 7L, true), (8L, 8L, true)))
+  }
+
   test("sharedSpans: planted 7-token shared prefix yields a 3-shingle run") {
     import org.apache.spark.sql.functions.col
     // doc 1 = 7-token prefix of doc 2; shingle sets 3 vs 4, Jaccard 0.75
