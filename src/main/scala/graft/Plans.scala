@@ -38,7 +38,7 @@ object Plans {
       "q62_cross_corpus" ->
         "cross-corpus near-dup: band equi-join BETWEEN the two parity sides of the cached shingle relation — never incoming×incoming, never all-pairs",
       "q64_label_outliers" ->
-        "label outliers: per-(label,pos) aggregate → 10-row centroid relation broadcast back; distance via the codegen graft_dot, bounded window per label",
+        "label outliers: two-level chunked centroid fold — (label,pos,chunk) then (label,pos) aggregates, every buffered array ≤ 4096 — → 10-row centroid relation broadcast back; distance via the codegen graft_dot, bounded window per label",
       "q66_vocab_growth" ->
         "vocab growth: two hash-aggregates over the cached shingle relation; the running-sum window orders BATCHES (corpus/batchSize rows), not documents",
       "q68_salted_revenue" ->
@@ -64,7 +64,7 @@ object Plans {
       "q82_dsir_weights" ->
         "DSIR weights: two hash-aggregates over the hashed-bigram stream, the 256-row weight table broadcast back, per-doc score a bucket-ordered fold inside one ObjectHashAggregate",
       "q83_kmeans_step" ->
-        "k-means step: broadcast seed centroids cross-joined map-side, partial min_by collapses k candidates to 1 BEFORE the exchange (n rows shuffle, not n·k; sort-based agg locally — struct ordering isn't hash-aggregable), then the (cluster,pos) fold aggregate",
+        "k-means step: broadcast seed centroids cross-joined map-side, partial min_by collapses k candidates to 1 BEFORE the exchange (n rows shuffle, not n·k; sort-based agg locally — struct ordering isn't hash-aggregable), then the two-level (cluster,pos,chunk)→(cluster,pos) fold with ≤4096-element buffers",
       "q84_token_pagerank" ->
         "token PageRank: per-iteration contribution join keyed on the token and a target-keyed aggregate — the same hashpartitioning both rounds, edges/out-degrees reused from the cached token stream",
       "q90_shared_spans" ->
@@ -72,7 +72,15 @@ object Plans {
       "q91_doc_novelty" ->
         "doc novelty: first-seen min-aggregate over the bigram stream (vocabulary-sized result) joined back onto the same stream — two hash aggregates and one equi-join, no windows over documents",
       "q93_source_dup_matrix" ->
-        "source dup matrix: two doc_id equi-joins attribute the verified pair set to source cells; the aggregate output is |sources|² regardless of corpus scale")
+        "source dup matrix: two doc_id equi-joins attribute the verified pair set to source cells; the aggregate output is |sources|² regardless of corpus scale",
+      "q97_cluster_sample" ->
+        "cluster prototypes: the bounded min-k typed aggregator (q43's device) carries at most m rows per cluster through partial/shuffle/final — no ranking window over the full assignment",
+      "q98_knn_classify" ->
+        "kNN classify: 8-row query set broadcast against the corpus scan, codegen graft_dot scoring, vote counts aggregated at (query,label) grain — k·|queries| rows through the shuffle, not the corpus",
+      "q99_cross_entropy" ->
+        "corpus cross-entropy: vocabulary-sized unigram LM aggregate broadcast back onto the token stream, both folds token-ordered inside one per-doc ObjectHashAggregate — two corpus passes, no joins wider than the vocab",
+      "q100_time_to_convert" ->
+        "time-to-convert: strict view→click→purchase resolved by three chained whole-partition window minima in ONE hashpartitioning(user_id) exchange (the q61 funnel device), then the constructed per-cohort median over day-grain groups")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")
