@@ -1095,11 +1095,28 @@ object Dedup {
       bits: Int = Similarity.IvfBits): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), VectorFns.asDouble(col("embedding")).as("emb"))
-    val withRep = e.withColumn("rep",
-      when(VectorFns.l2Norm(col("emb")) === 0.0, col("vec_id"))
-        .otherwise(min("vec_id").over(Window.partitionBy("emb"))))
-    val reps = withRep.filter(col("vec_id") === col("rep"))
-      .select("vec_id", "emb")
+    // group key: md5 of the canonical string render (equal arrays ⇒ equal
+    // strings; distinct doubles render distinctly; 128-bit collisions are
+    // cryptographically negligible) — NOT a window over the raw array,
+    // whose exchange would carry every 512-byte embedding as its own
+    // shuffle key. The groupBy gets a map-side partial min, so the rep
+    // map's shuffle is distinct-groups-sized and the join back is
+    // AQE-broadcastable on dup-light corpora. Zero-norm vectors get a
+    // per-vector key, pinning rep = self. The (vec_id, rep) membership is
+    // localCheckpoint-materialized — 16 bytes a row — so the hash pass
+    // over the embeddings runs exactly once however many consumers
+    // (edge build, final expansion) read it.
+    val keyed = e.withColumn("ehash",
+      when(VectorFns.l2Norm(col("emb")) === 0.0,
+        concat(lit("z"), col("vec_id").cast("string")))
+        .otherwise(md5(col("emb").cast("string").cast("binary"))))
+    val memberRep = keyed.select("ehash", "vec_id")
+      .join(keyed.groupBy("ehash").agg(min("vec_id").as("rep")), Seq("ehash"))
+      .select("vec_id", "rep")
+      .localCheckpoint()
+    val reps = e.join(
+      memberRep.filter(col("vec_id") === col("rep")).select("vec_id"),
+      Seq("vec_id"))
     val pairs = embNearDupPairsOf(reps, bits)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val sym = pairs
@@ -1107,7 +1124,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val labels = propagateMinLabels(sym.select(col("doc_a").as("doc_id")), sym)
     sym.unpersist() // labels are checkpoint-materialized; sym is done
-    withRep
+    memberRep
       .join(labels.select(col("doc_id").as("rep"), col("component_id")),
         Seq("rep"), "left")
       .select(col("vec_id"),
