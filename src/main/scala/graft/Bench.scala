@@ -52,9 +52,6 @@ object Bench {
     // Locale-pinned so the decimal separator is always '.'
     def s3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def fmt(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + s3(v) }
-        .mkString("{", ",", "}")
     val all = (1 to passes).map { i =>
       // later passes re-do real per-query work (cluster labels are a
       // memoized RESULT, not an index) but keep index-like caches warm
@@ -74,8 +71,18 @@ object Bench {
     // maps go on their own earlier diagnostic lines (no "metric" key, so no
     // parser can mistake them), and the final line carries ONLY scalar
     // totals — ~170 bytes, guaranteed complete inside any tail window.
-    println(s"""{"bench_cold_pass":${fmt(cold)},"cold_total":${s3(coldTotal)}}""")
-    println(s"""{"bench_warm_pass":${fmt(results)}}""")
+    // At 100 queries the FULL-NAME maps themselves outgrew the window
+    // (BENCH_r08 lost q01–q29's cold history), so the per-query keys are
+    // the qNN prefix — unambiguous under the qNN_name convention, sorted
+    // name order — at 2-decimal precision: both maps + headline ≈ 2.4 KB,
+    // whole tail guaranteed visible.
+    def s2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def fmtShort(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s2(v) }
+        .mkString("{", ",", "}")
+    println(s"""{"bench_cold_pass":${fmtShort(cold)},"cold_total":${s3(coldTotal)}}""")
+    println(s"""{"bench_warm_pass":${fmtShort(results)}}""")
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }
