@@ -1248,7 +1248,7 @@ object OracleSql {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin) +
     ("q94_payload_energy" ->
-      """WITH pb AS (
+      s"""WITH pb AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |         octet_length(encode(text)) AS n
         |  FROM documents),
@@ -1256,7 +1256,7 @@ object OracleSql {
         |  SELECT doc_id,
         |         (strpos('0123456789ABCDEF', substring(hx, 2 * i + 1, 1)) - 1) * 16 +
         |         (strpos('0123456789ABCDEF', substring(hx, 2 * i + 2, 1)) - 1) AS v,
-        |         i // 64 AS win
+        |         i // ${operators.Multimodal.EnergyWindow} AS win
         |  FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM pb)),
         |we AS (SELECT doc_id, win, SUM((v - 128) * (v - 128)) AS e
         |       FROM b GROUP BY doc_id, win),

@@ -39,10 +39,14 @@ object Pipeline {
         col("split"), col("source"))
     sources.Sources.writeParquet(out, s"$outPath/corpus",
       partitionCols = Seq("split", "source"))
-    // counts from what was actually WRITTEN, not from the plan
-    val counts = spark.read.parquet(s"$outPath/corpus")
-      .groupBy("split").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // counts from what was actually WRITTEN, not from the plan; seeded
+    // with every expected split so a split filtered to zero docs is
+    // recorded as 0, not absent (consumers can't otherwise distinguish
+    // "empty split" from "no such split")
+    val counts = Map("train" -> 0L, "val" -> 0L, "test" -> 0L) ++
+      spark.read.parquet(s"$outPath/corpus")
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val manifest = counts.toSeq.sortBy(_._1)
       .map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
     Files.write(Paths.get(s"$outPath/manifest.json"),

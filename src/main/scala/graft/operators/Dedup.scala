@@ -332,7 +332,7 @@ object Dedup {
   /** Doc-level positional run enumeration over a given pair set (UNSORTED,
     * max_run only — sharedSpans adds the token form and the edge sort).
     */
-  private def enumSharedSpans(spark: SparkSession, dir: String,
+  private[graft] def enumSharedSpans(spark: SparkSession, dir: String,
       pairs: DataFrame): DataFrame = {
     // tokenize ONLY pair endpoints: the pair set is the dedup ladder's
     // output (collapse path: reps), so the positional pass touches a
@@ -404,8 +404,9 @@ object Dedup {
       //   triangles = Σ s_A·s_B·s_C  (rep triangles)
       //             + Σ C(s_A,2)·s_B + s_A·C(s_B,2)  (rep edges)
       //             + Σ C(s,3)  (multi groups)
-      // All integer arithmetic; the oracle still verifies against the full
-      // doc-level enumeration, so the combinatorics are hash-checked.
+      // All integer arithmetic. The oracle dirs are dup-light and never
+      // take this branch; DedupSpec asserts it equals the doc-level
+      // enumeration on a planted verbatim-copy corpus.
       val reps = verbatimReps(spark, dir)
       val sz = reps.groupBy("rep_id").agg(count(lit(1)).as("s"))
       val multi = sz.filter(col("s") >= 2)
@@ -447,7 +448,7 @@ object Dedup {
   /** Doc-level triangle enumeration — the dup-free path (every group is a
     * singleton, so the blow-up the collapse path avoids cannot occur).
     */
-  private def enumGraphStats(e: DataFrame): DataFrame = {
+  private[graft] def enumGraphStats(e: DataFrame): DataFrame = {
     val verts = e.select(col("doc_a").as("v"))
       .union(e.select(col("doc_b").as("v"))).distinct()
     val tri = e.as("e1")

@@ -20,6 +20,12 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** q94's energy window in bytes — OracleSql interpolates this same
+    * constant into the q94 SQL, so a width change can never desync the
+    * Spark side from the oracle.
+    */
+  val EnergyWindow = 64
+
   /** A decoded-media metadata record (the stub "decoder" output). */
   case class ImageMeta(doc_id: Long, width: Int, height: Int, channels: Int,
       n_pixels: Long)
@@ -74,7 +80,8 @@ object Multimodal {
     * A real deployment swaps the hex-string byte access for a binary
     * slice inside mapPartitions; the aggregation shape is unchanged.
     */
-  def payloadEnergy(spark: SparkSession, dir: String, window: Int = 64): DataFrame = {
+  def payloadEnergy(spark: SparkSession, dir: String,
+      window: Int = Multimodal.EnergyWindow): DataFrame = {
     // Per-ROW nested fold, no explode: a byte-grain posexplode shuffles
     // one row per payload byte (17.5M rows at sf0.1×10 — measured 4.5 s);
     // energy gating is embarrassingly parallel per payload, so the whole

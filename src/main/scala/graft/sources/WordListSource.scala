@@ -54,10 +54,21 @@ private[sources] class WordListScanBuilder(path: String)
   override def readSchema(): StructType = WordListSource.Schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
+    // local-filesystem reader by design: a remote scheme would silently
+    // fall through to `new File("hdfs://...")`, so reject it loudly
+    // (prefix match, not URI.create — plain paths with spaces aren't URIs)
+    require("^[a-zA-Z][a-zA-Z0-9+.-]*://".r.findFirstIn(path).isEmpty,
+      s"graft-words reads plain local paths only, got '$path'")
     val p = new java.io.File(path)
     val files =
-      if (p.isDirectory) p.listFiles().filter(_.isFile).map(_.getPath).sorted
-      else Array(path)
+      if (p.isDirectory) {
+        val listed = p.listFiles() // null on permission failure / races
+        require(listed != null, s"cannot list word-list directory $path")
+        listed.filter(_.isFile).map(_.getPath).sorted
+      } else {
+        require(p.isFile, s"word-list path $path does not exist")
+        Array(path)
+      }
     files.map(f => WordListPartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory = new WordListReaderFactory

@@ -464,4 +464,44 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got === Seq((1L, 2L, 3L, 7L)))
   }
+
+  test("dupGraphStats/sharedSpans: collapse ≡ doc-level enumeration on verbatim copies") {
+    // Same planted shape as the minhashNearDups collapse test: doc 0 near-
+    // dups doc 1, docs 2..5 verbatim copies of 0 (K6 component), 6/7 a
+    // verbatim pair, 8/9 a verbatim group with NO shingles (must stay out
+    // of the census entirely). hasVerbatimDups=true, so both operators
+    // take their collapse branch; the reference runs the doc-level enum
+    // over the expanded verified pair set.
+    val base = "spark table scan filter join group order sort merge hash key value row column batch stream"
+    val near = base.replace("batch", "fast")
+    val other = "customer orders line part region nation supplier query window vector data big small slow"
+    val docs = Seq(
+      0L -> base, 1L -> near, 2L -> base, 3L -> base, 4L -> base, 5L -> base,
+      6L -> other, 7L -> other, 8L -> "tiny doc", 9L -> "tiny doc")
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vbg").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docPairs = Dedup.minhashNearDups(spark, dir).select("doc_a", "doc_b")
+
+    val gotCensus = Dedup.dupGraphStats(spark, dir)
+      .as[(Long, Long, Long)].collect().head
+    val wantCensus = Dedup.enumGraphStats(docPairs)
+      .as[(Long, Long, Long)].collect().head
+    assert(gotCensus === wantCensus)
+    // K6 on {0..5} (15 edges, 20 triangles) + the {6,7} pendant pair;
+    // the shingle-less 8/9 group contributes nothing
+    assert(gotCensus === ((8L, 16L, 20L)))
+
+    val gotSpans = Dedup.sharedSpans(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val wantSpans = Dedup.enumSharedSpans(spark, dir, docPairs)
+      .select(col("doc_a"), col("doc_b"), col("max_run"),
+        (col("max_run") + lit(Dedup.ShingleSize - 1)).cast("long").as("span_tokens"))
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(gotSpans === wantSpans)
+    // every identical pair shares its full shingle run; the (0,1)-family
+    // cross pairs share the 12-token prefix up to the edited token
+    assert(gotSpans.nonEmpty && gotSpans === gotSpans.sorted)
+  }
 }

@@ -114,6 +114,16 @@ class SourcesSpec extends AnyFunSuite {
     val v2single = spark.read.format("graft-words")
       .load(tmp.resolve("a.txt").toString).as[String].collect().toSet
     assert(v2single === single)
+    // remote schemes and missing paths fail loudly at planning, not with
+    // an NPE or a silent single-file read of "hdfs://..."
+    val remote = intercept[Exception] {
+      spark.read.format("graft-words").load("hdfs://nn/dict").count()
+    }
+    assert(remote.getMessage.contains("local paths"))
+    val missing = intercept[Exception] {
+      spark.read.format("graft-words").load(s"$tmp/nope.txt").count()
+    }
+    assert(missing.getMessage.contains("does not exist"))
   }
 
   test("word-list text source lowercases like the reference dictionary load") {
