@@ -273,19 +273,30 @@ object Events {
       .agg(max("t1").as("t1"), max("t3").as("t3"))
       .filter(col("t3").isNotNull)
       .select(col("user_id"),
-        to_date(timestamp_micros(col("t1"))).as("cohort"),
-        (col("t3") - col("t1")).as("ttc"))
-    val wc = Window.partitionBy("cohort")
+        date_format(to_date(timestamp_micros(col("t1"))), "yyyy-MM-dd")
+          .as("cohort_date"),
+        (col("t3") - col("t1")).as("ttc_us"))
+    cohortMedians(conv)
+  }
+
+  /** The q100 aggregation tail, shared with the streaming twin
+    * (StreamingOps.timeToConvertStreaming): exact constructed median of
+    * `ttc_us` per `cohort_date` over a (user_id, cohort_date, ttc_us)
+    * conversion relation. yyyy-MM-dd strings order exactly like the
+    * dates they render, so grouping on the formatted string is
+    * plan-identical in semantics to grouping on the date.
+    */
+  def cohortMedians(conv: DataFrame): DataFrame = {
+    val wc = Window.partitionBy("cohort_date")
     conv
-      .withColumn("rn", row_number().over(wc.orderBy("ttc", "user_id")))
+      .withColumn("rn", row_number().over(wc.orderBy("ttc_us", "user_id")))
       .withColumn("n", count(lit(1)).over(wc))
       .filter(col("rn") * 2 === col("n") || col("rn") * 2 === col("n") + 1 ||
         col("rn") * 2 === col("n") + 2)
-      .groupBy("cohort")
+      .groupBy("cohort_date")
       .agg(max("n").cast("long").as("n_converted"),
-        (sum("ttc").cast("double") / count(lit(1))).as("median_ttc_us"))
-      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_date"),
-        col("n_converted"), col("median_ttc_us"))
+        (sum("ttc_us").cast("double") / count(lit(1))).as("median_ttc_us"))
+      .select(col("cohort_date"), col("n_converted"), col("median_ttc_us"))
       .orderBy("cohort_date")
   }
 

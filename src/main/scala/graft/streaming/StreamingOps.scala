@@ -304,6 +304,87 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  case class ConvEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  /** buf: unsealed (ts_us, event_type) events; t1/t2/t3: funnel stage
+    * first-times (−1 = unreached). t3 ≥ 0 is the done tombstone — the
+    * conversion emitted exactly once, later events ignored.
+    */
+  case class ConvState(buf: List[(Long, String)], t1: Long, t2: Long, t3: Long)
+  case class ConvOut(user_id: Long, cohort_date: String, ttc_us: Long)
+
+  /** True incremental time-to-convert — the streaming twin of q100's
+    * conversion relation (Events.timeToConvert before its cohort-median
+    * tail): per user, the strict view→click→purchase funnel's
+    * (first-view cohort day, first-qualifying-purchase − first-view)
+    * in integer microseconds, emitted EXACTLY ONCE when the purchase
+    * stage seals.
+    *
+    * Emission is WATERMARK-SEALED (the trailingWindowStreaming device):
+    * an event folds into the funnel automaton only once the watermark
+    * passes its timestamp, at which point every event that could precede
+    * it has provably arrived — so the automaton consumes events in
+    * event-time order regardless of arrival order within the lateness
+    * tolerance, and its state machine (first view; first click strictly
+    * after; first purchase strictly after) equals the batch min-based
+    * construction: processing in time order, min(view) IS the first
+    * view, min(click > t1) IS the first qualifying click, and strict
+    * `>` makes equal-timestamp tie order irrelevant at every stage.
+    *
+    * State per user is the unsealed-event buffer (bounded by event rate
+    * × delay) plus three longs; a converted user keeps only the 3-long
+    * tombstone so re-emission is impossible over the stream's life. The
+    * cohort median itself is NOT computed in-stream — a cohort's median
+    * isn't append-monotone; run Events.cohortMedians over the emitted
+    * conversions (StreamingIncrementalSpec proves the composition equals
+    * batch q100 on the same corpus).
+    */
+  def timeToConvertStreaming(events: Dataset[ConvEv],
+      delay: String = "0 seconds"): Dataset[ConvOut] = {
+    require(events.isStreaming,
+      "timeToConvertStreaming is streaming-only (pending events flush on " +
+        "EventTimeTimeout, which never fires in batch); use " +
+        "Events.timeToConvert for batch input")
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[ConvEv],
+        state: GroupState[ConvState]): Iterator[ConvOut] = {
+      var st = state.getOption.getOrElse(ConvState(Nil, -1L, -1L, -1L))
+      if (st.t3 >= 0L) { evs.foreach(_ => ()); return Iterator.empty }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val buf = st.buf ++ evs.map(e => (e.ts.getTime * 1000L, e.event_type))
+      // seal boundary ts ≤ watermark: the engine never delivers rows at or
+      // below the watermark, so no sealed event can gain an earlier peer
+      val (ripe, pending) = buf.partition(_._1 <= wmUs)
+      var (t1, t2, t3) = (st.t1, st.t2, st.t3)
+      ripe.sortBy(_._1).foreach { case (us, tpe) =>
+        if (t3 < 0L) tpe match {
+          case "view" if t1 < 0L => t1 = us
+          case "click" if t1 >= 0L && t2 < 0L && us > t1 => t2 = us
+          case "purchase" if t2 >= 0L && us > t2 => t3 = us
+          case _ => ()
+        }
+      }
+      if (t3 >= 0L) {
+        state.update(ConvState(Nil, t1, t2, t3)) // done tombstone
+        val day = java.time.LocalDate.ofInstant(
+          java.time.Instant.ofEpochMilli(t1 / 1000L), java.time.ZoneOffset.UTC)
+        Iterator.single(ConvOut(userId, day.toString, t3 - t1))
+      } else {
+        state.update(ConvState(pending, t1, t2, t3))
+        if (pending.nonEmpty)
+          // wake once the watermark can seal the earliest pending event
+          // (clamped above the current watermark — setTimeoutTimestamp at
+          // or below it throws and kills the query)
+          state.setTimeoutTimestamp(math.max(pending.map(_._1).min / 1000L,
+            state.getCurrentWatermarkMs() + 1L))
+        Iterator.empty
+      }
+    }
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   case class DocFp(doc_id: Long, text: String, fp: String)
 
   /** Restart-safety guard shared by the ingest sinks: restarting WITHOUT a

@@ -433,4 +433,62 @@ class StreamingIncrementalSpec extends AnyFunSuite {
       assert(got.filter(_._1 == 3L).map(r => (r._4, r._5)) === Set((2L, 3.00)))
     } finally q.stop()
   }
+
+  test("timeToConvertStreaming ∘ cohortMedians equals batch q100, exactly once") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.ConvEv
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    // user 1: clean funnel; user 2: arrives REVERSED across one batch (in-
+    // tolerance out-of-order); user 3: view→purchase, no click (never
+    // converts); user 4: pre-view click must not count, later click does;
+    // user 9: watermark-driver views only
+    val all = scala.collection.mutable.ArrayBuffer.empty[ConvEv]
+    def ev(u: Long, s: String, tpe: String): ConvEv =
+      { val e = ConvEv(u, t(s), tpe); all += e; e }
+    val input = MemoryStream[ConvEv]
+    val q = StreamingOps.timeToConvertStreaming(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("inc_conv")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1L, "10:00:00", "view"), ev(1L, "10:05:00", "click"),
+        ev(1L, "10:10:00", "purchase"),
+        ev(3L, "10:01:00", "view"), ev(3L, "10:02:00", "purchase"),
+        ev(4L, "10:00:00", "click"))
+      q.processAllAvailable()
+      assert(spark.table("inc_conv").count() === 0,
+        "nothing may emit before the watermark seals the purchase")
+      // user 2 funnel arrives in REVERSE event-time order; user 4 completes
+      input.addData(
+        ev(2L, "10:20:00", "purchase"), ev(2L, "10:18:00", "click"),
+        ev(2L, "10:16:00", "view"),
+        ev(4L, "10:03:00", "view"), ev(4L, "10:04:00", "click"),
+        ev(4L, "10:06:00", "purchase"),
+        ev(9L, "10:30:00", "view"))
+      q.processAllAvailable()
+      // watermark-driver pushes wm past every event; stragglers for the
+      // already-converted user 1 must not re-emit
+      input.addData(ev(1L, "11:00:00", "purchase"), ev(9L, "13:00:00", "view"))
+      q.processAllAvailable()
+      val conv = spark.table("inc_conv")
+      assert(conv.filter($"user_id" === 1L).count() === 1, "exactly once")
+      assert(conv.filter($"user_id" === 3L || $"user_id" === 9L).count() === 0)
+      val got = graft.operators.Events.cohortMedians(conv)
+        .as[(String, Long, Double)].collect().toSeq
+      // batch oracle: q100 end-to-end over the identical events
+      val dir = java.nio.file.Files.createTempDirectory("graft_ttc_tw").toString
+      all.zipWithIndex
+        .map { case (e, i) =>
+          (i.toLong, e.ts.getTime * 1000000L, e.user_id, e.event_type, 1.0) }
+        .toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val want = graft.operators.Events.timeToConvert(spark, dir)
+        .as[(String, Long, Double)].collect().toSeq
+      assert(got === want)
+      // the planted shape: users 1/2/4 convert (ttc 600/240/180 s), median 240 s
+      assert(got.map(r => (r._2, r._3)) === Seq((3L, 240e6)))
+    } finally q.stop()
+  }
 }
