@@ -48,7 +48,7 @@ object Plans {
       "q61_funnel" ->
         "strict-order funnel in ONE event-grain exchange: three chained whole-partition window minima (t2 reads the t1 column — no join back), then a user-grain aggregate reusing the window's hashpartitioning(user_id) — no per-step joins",
       "q74_semdedup_survivors" ->
-        "SemDeDup survivors: one left join of embeddings against the checkpoint-truncated component labels (edges from q27's bucketed sign-LSH equi-join; propagation ran one join+agg per round before this plan)",
+        "SemDeDup survivors: verbatim vectors collapse via an md5-keyed groupBy with map-side partial min (no full-embedding shuffle keys), the narrow (vec_id, rep) membership localCheckpoint-materialized, then one left join against the checkpoint-truncated component labels (edges from q27's bucketed sign-LSH equi-join)",
       "q76_dup_span_coverage" ->
         "duplicated-span coverage: per-shingle df aggregate joined back to the cached shingle relation, then a per-doc aggregate — the inverted index costed, never doc pairs",
       "q77_knn_quantized" ->
