@@ -615,10 +615,14 @@ object Dedup {
     * connected components labeled by their minimum member id. `verts` is
     * a one-column (`doc_id`) vertex relation (deduplicated here); `sym`
     * is the symmetrized edge list (doc_a, doc_b), read once per round, so
-    * callers should persist it. Rounds needed = component diameter.
-    * Shared by the shingle near-dup clusters (q52) and the SemDeDup
-    * embedding clusters (q74). Returns (doc_id, component_id),
-    * localCheckpoint-materialized.
+    * callers should persist it. Each round also pointer-doubles
+    * (label ← label(label)), so rounds needed = O(log diameter), not
+    * diameter — the 10× verbatim-replicated corpus that needed 14
+    * neighbor-min rounds converges in 10 with the jump (measured,
+    * BASELINE-notes round 9; the jump composes already-found minima, so
+    * its gain depends on where the min id sits in the chain). Shared by the shingle near-dup clusters
+    * (q52) and the SemDeDup embedding clusters (q74). Returns
+    * (doc_id, component_id), localCheckpoint-materialized.
     */
   private[graft] def propagateMinLabels(verts: DataFrame, sym: DataFrame): DataFrame = {
     // localCheckpoint (eager) both materializes the round's labels AND
@@ -637,7 +641,7 @@ object Dedup {
       // recovers the old one, and the convergence flag falls out of their
       // comparison — no second per-round join. (Every vertex has exactly
       // one nbr=false row, so `oldc` is never null.)
-      val next = labels
+      val stepped = labels
         .select(col("doc_id"), col("component_id"), lit(false).as("nbr"))
         .union(sym
           .join(labels, sym("doc_b") === labels("doc_id"))
@@ -646,8 +650,17 @@ object Dedup {
         .groupBy("doc_id")
         .agg(min("component_id").as("newc"),
           min(when(!col("nbr"), col("component_id"))).as("oldc"))
-        .select(col("doc_id"), col("newc").as("component_id"),
-          (col("newc") < col("oldc")).as("chg"))
+      // pointer-doubling: every label value is itself a vertex id (labels
+      // start as verts and each round's mins are drawn from prior label
+      // values), so label(label(v)) is total via an inner self-join — the
+      // path to the component min halves each round, O(log d) rounds
+      // instead of O(d). Both join sides share the aggregate's exchange
+      // (ReusedExchange), so the extra cost is one tiny hash join.
+      val next = stepped.as("x")
+        .join(stepped.select(col("doc_id").as("jid"), col("newc").as("jc")),
+          col("x.newc") === col("jid"))
+        .select(col("x.doc_id").as("doc_id"), col("jc").as("component_id"),
+          (col("jc") < col("x.oldc")).as("chg"))
         .localCheckpoint()
       converged = !next.agg(coalesce(max(col("chg")), lit(false)))
         .head().getBoolean(0)

@@ -465,6 +465,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Seq((1L, 2L, 3L, 7L)))
   }
 
+  test("propagateMinLabels: deep chain and forest label to component minima") {
+    // a 40-vertex path (diameter 39 — far beyond a log-rounds budget if
+    // the pointer-doubling regressed), a 3-clique, and two isolates
+    val chain = (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val edges = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)))
+      .toDF("doc_a", "doc_b")
+    val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val verts = sym.select(col("doc_a").as("doc_id"))
+      .union(Seq(200L, 201L).toDF("doc_id"))
+    val got = Dedup.propagateMinLabels(verts, sym)
+      .as[(Long, Long)].collect().toSet
+    val want = (1L to 40L).map(v => (v, 1L)).toSet ++
+      Set((100L, 100L), (101L, 100L), (102L, 100L), (200L, 200L), (201L, 201L))
+    assert(got === want)
+  }
+
   test("dupGraphStats/sharedSpans: collapse ≡ doc-level enumeration on verbatim copies") {
     // Same planted shape as the minhashNearDups collapse test: doc 0 near-
     // dups doc 1, docs 2..5 verbatim copies of 0 (K6 component), 6/7 a
