@@ -116,12 +116,33 @@ object ScaleSmoke {
       // pass + a per-(day) percentile over 10× users
       "q100_time_to_convert")
     val qs = SparkEntry.queries
+    // Self-check where the row count is DERIVABLE from replication:
+    // per-document / per-vector / per-user relations must have exactly
+    // copies × the sf0.1 base cardinality (docs 5,000; vectors 2,000;
+    // event users 15,000) — a wrong count here means the operator lost
+    // or duplicated rows under replication, not that it got slow.
+    val expectRows: Map[String, Long] = Map(
+      "q22_minhash_signatures" -> 5000L, "q54_dedup_survivors" -> 5000L,
+      "q52_dup_clusters" -> 5000L, "q58_doc_repetition" -> 5000L,
+      "q72_epoch_mix" -> 5000L, "q74_semdedup_survivors" -> 2000L,
+      "q76_dup_span_coverage" -> 5000L, "q81_train_corpus" -> 5000L,
+      "q82_dsir_weights" -> 5000L, "q91_doc_novelty" -> 5000L,
+      "q92_token_entropy" -> 5000L, "q94_payload_energy" -> 5000L,
+      "q99_cross_entropy" -> 5000L
+    ).map { case (k, v) => k -> v * copies }
+    var bad = 0
     heavy.filter(n => only.isEmpty || only(n)).foreach { name =>
       val t0 = System.nanoTime()
-      val r = try { val c = qs(name)(spark, out).count(); s"rows=$c" }
-        catch { case e: Throwable => s"FAILED: ${e.getMessage.take(200)}" }
+      val r = try {
+        val c = qs(name)(spark, out).count()
+        expectRows.get(name) match {
+          case Some(e) if e != c => bad += 1; s"rows=$c MISMATCH expected=$e"
+          case _ => s"rows=$c"
+        }
+      } catch { case e: Throwable => bad += 1; s"FAILED: ${e.getMessage.take(200)}" }
       println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $r")
     }
+    require(bad == 0, s"$bad scale-smoke failures/row mismatches (see above)")
     spark.stop()
   }
 }
