@@ -144,4 +144,31 @@ class PropertySpec extends AnyFunSuite {
         assert(span === run + k - 1)
       }
   }
+
+  test("propagateMinLabels equals union-find on random graphs") {
+    // 10 random graphs spanning sparse scatter to near-connected: the
+    // pointer-doubling round must land every vertex on its component's
+    // true minimum id regardless of shape (chains, cliques, isolates)
+    val rnd = new scala.util.Random(7L)
+    (1 to 10).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(v => (v.toLong, find(v).toLong)).toSet
+      val e = edges.toDF("doc_a", "doc_b")
+      val sym = e.union(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val verts = (0L until n.toLong).toDF("doc_id")
+      val got = graft.operators.Dedup.propagateMinLabels(verts, sym)
+        .as[(Long, Long)].collect().toSet
+      assert(got === want, s"trial=$trial n=$n m=$m")
+    }
+  }
 }
