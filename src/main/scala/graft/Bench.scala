@@ -27,6 +27,19 @@ object Bench {
     warm(operators.TokenPipeline.tokenDictionary(spark, sfDir).count())
     warm(operators.Dedup.shingles(spark, sfDir).count())
     warm(operators.Dedup.minhashSignatures(spark, sfDir).count())
+    // q73/q74 first-touch pre-fill (round 10): these two queries alone
+    // carried 42 s of BENCH_r09's 163 s cold total — the BPE loop JITs
+    // ~15 per-round window plans and SemDeDup JITs the embedding
+    // hash/rep + sign-LSH + propagation plans on first run. One full run
+    // each here moves that one-time codegen/cache fill into warmup_sec,
+    // so the cold map measures them against a steady floor and cold
+    // regressions elsewhere stop hiding behind their noise.
+    warm(SparkEntry.queries("q73_bpe_merges")(spark, sfDir).count())
+    warm(SparkEntry.queries("q74_semdedup_survivors")(spark, sfDir).count())
+    // evict the result memos the pre-fill just created (BPE merges,
+    // cluster labels): the timed cold pass must still do each query's
+    // full per-query work, minus only the JIT/codegen warmup above
+    Caches.clearResultMemos(spark)
     val warmup = (System.nanoTime() - w0) / 1e9
     // deterministic name order; a failed query reports -1 (not its wall
     // time) so breakage can never masquerade as a speedup; failure count is
@@ -63,26 +76,30 @@ object Bench {
     val failures = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
-    // The driver captures only the LAST ~4 KB of output and parses the final
-    // {"metric":...} line from it. Rounds 1-5 all recorded parsed:null: the
-    // per-query map for 72 queries is ~2.5 KB, and with the cold line ahead
-    // of it the HEAD of the metric line fell outside the tail window
-    // (BENCH_r05's capture starts mid-q03). Structural fix: the per-query
-    // maps go on their own earlier diagnostic lines (no "metric" key, so no
-    // parser can mistake them), and the final line carries ONLY scalar
-    // totals — ~170 bytes, guaranteed complete inside any tail window.
-    // At 100 queries the FULL-NAME maps themselves outgrew the window
-    // (BENCH_r08 lost q01–q29's cold history), so the per-query keys are
-    // the qNN prefix — unambiguous under the qNN_name convention, sorted
-    // name order — at 2-decimal precision: both maps + headline ≈ 2.4 KB,
-    // whole tail guaranteed visible.
-    def s2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    def fmtShort(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s2(v) }
+    // The driver captures only the LAST 2000 chars of output (measured from
+    // BENCH_r09's "tail" field) and parses the final {"metric":...} line.
+    // Rounds 1-5 recorded parsed:null (maps ahead of the metric line pushed
+    // it out of the window); rounds 8-9 then lost the HEAD of the cold map
+    // (BENCH_r09 starts mid-q37) because 2-decimal maps + headline ≈ 2.6 KB
+    // > 2000. Structural fix: per-query values are INTEGERS with the unit in
+    // the map's key — warm (the declared metric) in centiseconds
+    // ("bench_warm_pass_cs", 10 ms resolution), cold (diagnostic only) in
+    // deciseconds ("bench_cold_pass_ds", 100 ms) — keys are the qNN prefix,
+    // sorted name order. Measured against r09 values: cold ≈ 850 + warm
+    // ≈ 950 + headline ≈ 160 < 1950, so BOTH complete maps and the headline
+    // sit inside any 2000-char tail. A failed query stays visibly negative
+    // (-1 s → -10/-100 ticks).
+    def fmtShort(rs: Seq[(String, Double)], ticksPerSec: Int): String = {
+      // qNN prefixes must be unique or the JSON object would silently
+      // carry duplicate keys and drop a timing
+      require(rs.map(_._1.takeWhile(_ != '_')).distinct.size == rs.size,
+        "duplicate qNN prefix across query names — bench map would lose a timing")
+      rs.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * ticksPerSec) }
         .mkString("{", ",", "}")
-    println(s"""{"bench_cold_pass":${fmtShort(cold)},"cold_total":${s3(coldTotal)}}""")
-    println(s"""{"bench_warm_pass":${fmtShort(results)}}""")
+    }
+    println(s"""{"bench_cold_pass_ds":${fmtShort(cold, 10)}}""")
+    println(s"""{"bench_warm_pass_cs":${fmtShort(results, 100)}}""")
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -85,13 +85,49 @@ object Plans {
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")
     sb.append(s"Input: `$sfDir`. Regenerate after operator changes.\n")
-    picks.foreach { case (name, why) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+    def section(name: String, why: String, df: org.apache.spark.sql.DataFrame): Unit = {
       df.collect() // run THIS DataFrame's queryExecution so AQE finalizes
       val plan = df.queryExecution.executedPlan.toString
       sb.append(s"\n## $name\n\n$why\n\n```\n")
       sb.append(plan.linesIterator.take(60).mkString("\n"))
       sb.append("\n```\n")
+    }
+    picks.foreach { case (name, why) =>
+      section(name, why, SparkEntry.queries(name)(spark, sfDir))
+    }
+    // Iterative queries hide their per-round structure behind
+    // localCheckpoints (each round is its own job), so their FINAL plans
+    // carry no evidence — dump one round's relation against the real
+    // inputs instead.
+    locally {
+      // q52: one min-label propagation round in its round-3+ jump form.
+      // Evidence to check: ONE hashpartitioning(doc_id) exchange feeding
+      // the grouped min, and the pointer-doubling self-join consuming the
+      // aggregate's OUTPUT — at sf AQE broadcasts that tiny side
+      // (BroadcastHashJoin on newc=jid in the dump); at scale both sides
+      // share the aggregate's exchange (ReusedExchange). Either way the
+      // jump adds no corpus-side shuffle. (Rounds 1–2 run the same plan
+      // minus the jump join; Dedup.propagateMinLabels gates it.)
+      val (verts, sym) = operators.Dedup.dupClusterGraph(spark, sfDir, collapse = true)
+      val labels0 = verts.distinct()
+        .withColumn("component_id", org.apache.spark.sql.functions.col("doc_id"))
+        .localCheckpoint()
+      section("q52_dup_clusters — one propagation round (jump form)",
+        "min-label propagation round over the REP graph: labels join onto edge targets through ONE hashpartitioning(doc_id) exchange, grouped min, then the round-3+ pointer-doubling self-join over the aggregate's output — AQE broadcasts that tiny side at sf (the BroadcastHashJoin on newc=jid below); at scale both sides share the aggregate's exchange (ReusedExchange) — either way the jump adds no corpus-side shuffle",
+        operators.Dedup.propagationRound(labels0, sym, jump = true))
+      org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(labels0)
+    }
+    locally {
+      // q73: one BPE learning round's pair scoring — the k-round loop's
+      // whole per-round cost. Evidence to check: ONE hashpartitioning
+      // (doc_id) exchange feeding the adjacency window, partial/final
+      // hash aggregate on (tok, nxt), and TakeOrderedAndProject for the
+      // top-1 (per-partition heaps, no global sort; the collected row is
+      // the loop's only driver traffic).
+      section("q73_bpe_merges — one learning round's pair scoring",
+        "adjacent-pair counts over the positional token stream: window over one doc_id exchange, hash aggregate, TakeOrderedAndProject top-1 — the per-round corpus pass is linear and the driver receives ONE row per round",
+        operators.TextAnalysis.bpeRoundTop(
+          operators.TextAnalysis.bpeTokenStream(spark, sfDir)))
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")

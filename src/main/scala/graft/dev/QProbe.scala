@@ -1,0 +1,49 @@
+package graft.dev
+
+/** Parameterized drift-adjudication probe — the 3-pass protocol that closed
+  * q43 (round 6), q53 (round 7) and q64 (round 9), folded into ONE main so
+  * each new adjudication doesn't need a new file:
+  *
+  *   sbt -batch "runMain graft.dev.QProbe q23_minhash_neardups q52_dup_clusters"
+  *
+  * Protocol (BASELINE-notes "drift adjudication protocol"): the exact Bench
+  * environment (Sessions.start, local[32], shuffle=32), one untimed warm-up
+  * sweep, then 3 timed passes. Every pass starts with ONE
+  * Caches.clearResultMemos — Bench's steady-state eviction — and then runs
+  * the named queries IN THE GIVEN ORDER, so shared rebuild costs (e.g. the
+  * verified-pair relation q23/q52/q54/q95 share) land on whichever query
+  * the caller lists first, exactly as Bench's alphabetical pass assigns
+  * them. To reproduce a bench number for a target query, list the
+  * alphabetically-earlier queries that pre-pay its shared relations (for
+  * q52: q23 repays the band join + Jaccard verify; q52's own time is then
+  * propagation only).
+  *
+  * Reading: local-warm ≈ the prior BENCH round's number → record a drift
+  * entry (host wobble, documented ±20–30%); consistently slower across all
+  * 3 passes → a real regression to root-cause.
+  */
+object QProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: runMain graft.dev.QProbe <queryName> [queryName...]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Sessions.start(cpus)
+    val qs = args.toSeq.map { name =>
+      name -> graft.SparkEntry.queries.getOrElse(name, sys.error(
+        s"unknown query '$name'; known: " +
+          graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+    }
+    // warm-up sweep: scans, codegen, building-block cache fills
+    qs.foreach { case (_, fn) => fn(spark, sfDir).count() }
+    (1 to 3).foreach { i =>
+      graft.Caches.clearResultMemos(spark)
+      qs.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"QPROBE $name pass$i ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}

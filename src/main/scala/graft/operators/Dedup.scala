@@ -615,15 +615,61 @@ object Dedup {
     * connected components labeled by their minimum member id. `verts` is
     * a one-column (`doc_id`) vertex relation (deduplicated here); `sym`
     * is the symmetrized edge list (doc_a, doc_b), read once per round, so
-    * callers should persist it. Each round also pointer-doubles
-    * (label ← label(label)), so rounds needed = O(log diameter), not
-    * diameter — the 10× verbatim-replicated corpus that needed 14
-    * neighbor-min rounds converges in 10 with the jump (measured,
-    * BASELINE-notes round 9; the jump composes already-found minima, so
-    * its gain depends on where the min id sits in the chain). Shared by the shingle near-dup clusters
+    * callers should persist it. From round 3 each round also
+    * pointer-doubles (label ← label(label)), so rounds needed =
+    * O(log diameter) + 2, not diameter — the 10× verbatim-replicated
+    * corpus that needed 14 neighbor-min rounds converges in ~10 with the
+    * jump (measured, BASELINE-notes round 9; the jump composes
+    * already-found minima, so its gain depends on where the min id sits
+    * in the chain). Rounds 1–2 stay plain: the common case (tiny cliques,
+    * 2-round convergence) can never profit from the jump, and the extra
+    * join cost there regressed q52 by ~1 s warm at sf0.1 (round-10
+    * adjudication). Shared by the shingle near-dup clusters
     * (q52) and the SemDeDup embedding clusters (q74). Returns
     * (doc_id, component_id), localCheckpoint-materialized.
     */
+  /** One propagation round's pre-materialization relation
+    * (doc_id, component_id, chg) — extracted from the loop so Plans can
+    * dump the per-round physical plan: each round hides behind a
+    * localCheckpoint, so the round's join/exchange structure appears in
+    * NO final query plan and this is the only way to evidence it.
+    * `jump` = the round-3+ pointer-doubling self-join (both sides share
+    * the aggregate's exchange — ReusedExchange in the dump).
+    */
+  private[graft] def propagationRound(labels: DataFrame, sym: DataFrame,
+      jump: Boolean): DataFrame = {
+    // one round = ONE join (labels onto edge targets) + ONE aggregate:
+    // each vertex's own label rides the union as a nbr=false row, so
+    // the grouped min yields the new label, the min over nbr=false rows
+    // recovers the old one, and the convergence flag falls out of their
+    // comparison — no second per-round join. (Every vertex has exactly
+    // one nbr=false row, so `oldc` is never null.)
+    val stepped = labels
+      .select(col("doc_id"), col("component_id"), lit(false).as("nbr"))
+      .union(sym
+        .join(labels, sym("doc_b") === labels("doc_id"))
+        .select(col("doc_a").as("doc_id"), col("component_id"),
+          lit(true).as("nbr")))
+      .groupBy("doc_id")
+      .agg(min("component_id").as("newc"),
+        min(when(!col("nbr"), col("component_id"))).as("oldc"))
+    if (!jump)
+      stepped.select(col("doc_id"), col("newc").as("component_id"),
+        (col("newc") < col("oldc")).as("chg"))
+    else
+      // pointer-doubling: every label value is itself a vertex id (labels
+      // start as verts and each round's mins are drawn from prior label
+      // values), so label(label(v)) is total via an inner self-join — the
+      // path to the component min halves each round. Both join sides
+      // share the aggregate's exchange, so the extra cost is one tiny
+      // hash join.
+      stepped.as("x")
+        .join(stepped.select(col("doc_id").as("jid"), col("newc").as("jc")),
+          col("x.newc") === col("jid"))
+        .select(col("x.doc_id").as("doc_id"), col("jc").as("component_id"),
+          (col("jc") < col("x.oldc")).as("chg"))
+  }
+
   private[graft] def propagateMinLabels(verts: DataFrame, sym: DataFrame): DataFrame = {
     // localCheckpoint (eager) both materializes the round's labels AND
     // truncates lineage — without it each round's plan stacks on the last
@@ -635,32 +681,15 @@ object Dedup {
     var rounds = 0
     val maxRounds = 50 // component diameter bound; near-dup clusters are tiny
     while (!converged && rounds < maxRounds) {
-      // one round = ONE join (labels onto edge targets) + ONE aggregate:
-      // each vertex's own label rides the union as a nbr=false row, so
-      // the grouped min yields the new label, the min over nbr=false rows
-      // recovers the old one, and the convergence flag falls out of their
-      // comparison — no second per-round join. (Every vertex has exactly
-      // one nbr=false row, so `oldc` is never null.)
-      val stepped = labels
-        .select(col("doc_id"), col("component_id"), lit(false).as("nbr"))
-        .union(sym
-          .join(labels, sym("doc_b") === labels("doc_id"))
-          .select(col("doc_a").as("doc_id"), col("component_id"),
-            lit(true).as("nbr")))
-        .groupBy("doc_id")
-        .agg(min("component_id").as("newc"),
-          min(when(!col("nbr"), col("component_id"))).as("oldc"))
-      // pointer-doubling: every label value is itself a vertex id (labels
-      // start as verts and each round's mins are drawn from prior label
-      // values), so label(label(v)) is total via an inner self-join — the
-      // path to the component min halves each round, O(log d) rounds
-      // instead of O(d). Both join sides share the aggregate's exchange
-      // (ReusedExchange), so the extra cost is one tiny hash join.
-      val next = stepped.as("x")
-        .join(stepped.select(col("doc_id").as("jid"), col("newc").as("jc")),
-          col("x.newc") === col("jid"))
-        .select(col("x.doc_id").as("doc_id"), col("jc").as("component_id"),
-          (col("jc") < col("x.oldc")).as("chg"))
+      // The jump is GATED to round 3+: near-dup components are
+      // overwhelmingly tiny cliques that converge in 2 plain rounds, where
+      // the doubling join can never save a round and its cost is pure
+      // overhead — q52 warm regressed 1.24 → 2.2 s steady at sf0.1 under
+      // always-jump (QProbe, round 10). A graph still unconverged entering
+      // round 3 has diameter ≥ 3, exactly where doubling pays (q74's 10×
+      // chain graph: 14 plain rounds → ~10 with the jump); the two plain
+      // head rounds keep the budget O(log d) + 2.
+      val next = propagationRound(labels, sym, jump = rounds >= 2)
         .localCheckpoint()
       converged = !next.agg(coalesce(max(col("chg")), lit(false)))
         .head().getBoolean(0)
@@ -679,19 +708,15 @@ object Dedup {
     labels
   }
 
-  private def dupClusterLabels(spark: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
-    // Propagate on the REPRESENTATIVE graph and expand member labels at
-    // the end: identical texts are by construction in one component, and
-    // the component's min doc_id IS its min rep_id (every member ≥ its
-    // group's rep), so rep-level labels expanded through the membership
-    // map equal doc-level labels — at a fraction of the per-round join
-    // size when verbatim copies exist. Dup-free corpora skip the rep
-    // machinery (vertices = edge endpoints, no final expansion join).
-    val collapse = hasVerbatimDups(spark, dir)
+  /** The (verts, symmetrized-edges) graph q52/q54 propagate over —
+    * extracted so Plans can dump a propagation round's plan against the
+    * REAL graph relations. Callers persist `sym` (it's read once per
+    * round).
+    */
+  private[graft] def dupClusterGraph(spark: SparkSession, dir: String,
+      collapse: Boolean): (DataFrame, DataFrame) = {
     val edges = repNearDupPairs(spark, dir, collapse).select("doc_a", "doc_b")
     val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // vertex set: edge endpoints PLUS reps of multi-member groups that
     // have shingles — their members form within-group pairs in the
     // expanded relation even when the rep has no cross-rep edge
@@ -704,6 +729,21 @@ object Dedup {
           .filter(col("nm") > 1)
           .select(col("rep_id").as("doc_id"))
           .join(shingles(spark, dir).select("doc_id"), Seq("doc_id"), "left_semi"))
+    (verts, sym)
+  }
+
+  private def dupClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    clusterCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+    // Propagate on the REPRESENTATIVE graph and expand member labels at
+    // the end: identical texts are by construction in one component, and
+    // the component's min doc_id IS its min rep_id (every member ≥ its
+    // group's rep), so rep-level labels expanded through the membership
+    // map equal doc-level labels — at a fraction of the per-round join
+    // size when verbatim copies exist. Dup-free corpora skip the rep
+    // machinery (vertices = edge endpoints, no final expansion join).
+    val collapse = hasVerbatimDups(spark, dir)
+    val (verts, sym0) = dupClusterGraph(spark, dir, collapse)
+    val sym = sym0.persist(StorageLevel.MEMORY_AND_DISK)
     val labels = propagateMinLabels(verts, sym)
     sym.unpersist()
     // expand rep-level labels to every member of each labeled group; once

@@ -63,7 +63,19 @@ object Similarity {
     * sign), which keeps expected in-bucket verification pairs O(n).
     */
   val IvfBits: Int =
-    sys.env.get("SPARK_GRAFT_LSH_BITS").map(_.toInt).getOrElse(6)
+    sys.env.get("SPARK_GRAFT_LSH_BITS").map { raw =>
+      // validate at the read site: an unguarded .toInt in object init
+      // surfaces as an opaque ExceptionInInitializerError; bits ≥ 31
+      // overflows the `1 << i` Int shift; bits > dimension makes Spark's
+      // ANSI element_at throw while the generated DuckDB CASE silently
+      // reads out-of-range components as sign 0 (a desync, not an error)
+      val v = raw.toIntOption.getOrElse(sys.error(
+        s"SPARK_GRAFT_LSH_BITS must be an integer, got '$raw'"))
+      require(v >= 1 && v <= 30,
+        s"SPARK_GRAFT_LSH_BITS must be in [1, 30] (each bit consumes one " +
+          s"embedding component's sign; 31+ overflows Int), got $v")
+      v
+    }.getOrElse(6)
 
   /** Shared IVF probe: each query scores vectors in the cells
     * `own-cell XOR flip` for every flip in `flips` — the single

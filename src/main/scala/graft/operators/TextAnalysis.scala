@@ -487,23 +487,38 @@ object TextAnalysis {
     * GraftBridge.unpersistCheckpointRdds once its derivative is
     * materialized.
     */
+  /** One learning round's pair-scoring relation: adjacent-pair counts over
+    * the (evolving) positional token stream, top-1 by (count desc, pair).
+    * Extracted so Plans can dump the per-round physical plan — the loop
+    * hides it behind localCheckpoints and a 1-row collect, so it appears
+    * in NO final query plan.
+    */
+  private[graft] def bpeRoundTop(toks: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("idx")
+    toks
+      .withColumn("nxt", lead("tok", 1).over(byDoc))
+      .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+      .groupBy("tok", "nxt").agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("tok"), col("nxt"))
+      .limit(1)
+  }
+
+  /** The round-1 positional token stream the BPE loop starts from (Plans
+    * evidence helper).
+    */
+  private[graft] def bpeTokenStream(spark: SparkSession, dir: String): DataFrame =
+    rawTokens(spark, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("idx", "tok")))
+
   private def bpeLoop(spark: SparkSession, dir: String, rounds: Int)
       : (Seq[(Long, String, String, Long, String)], DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
-    val byDoc = Window.partitionBy("doc_id").orderBy("idx")
-    var toks = rawTokens(spark, dir)
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("idx", "tok")))
-      .localCheckpoint()
+    var toks = bpeTokenStream(spark, dir).localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long, String)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val top = toks
-        .withColumn("nxt", lead("tok", 1).over(byDoc))
-        .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
-        .groupBy("tok", "nxt").agg(count(lit(1)).as("n_ab"))
-        .orderBy(col("n_ab").desc, col("tok"), col("nxt"))
-        .limit(1).collect()
+      val top = bpeRoundTop(toks).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))

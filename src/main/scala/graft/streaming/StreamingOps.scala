@@ -17,6 +17,19 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** Exact Catalyst microseconds from a JVM Timestamp — the state-side twin
+    * of batch `unix_micros(col)`. `getTime` is MILLISECOND-truncated, so
+    * `getTime * 1000` silently dropped sub-ms precision: real
+    * events.parquet timestamps carry µs (e.g. .179575 s at sf0.01), and
+    * the funnel's strict `>` stage comparisons could flip for events
+    * inside the same millisecond, breaking the proven batch-equality of
+    * the streaming twins. Seconds come from floorDiv(getTime, 1000)
+    * (floor, not truncate — exact for pre-epoch too); `getNanos` carries
+    * the full fractional second.
+    */
+  private[streaming] def tsUs(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   val EventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -185,8 +198,8 @@ object StreamingOps {
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
       var st = state.getOption.orNull
-      evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val us = e.ts.getTime * 1000L
+      evs.toSeq.sortBy(e => tsUs(e.ts)).foreach { e =>
+        val us = tsUs(e.ts)
         if (st == null) {
           st = SessionState(1L, us, us, 1L)
         } else if (st.n == 0L) {
@@ -270,7 +283,7 @@ object StreamingOps {
     def fn(userId: Long, evs: Iterator[EvFull],
         state: GroupState[TrailState]): Iterator[TrailOut] = {
       var buf = state.getOption.map(_.buf).getOrElse(Nil)
-      evs.foreach(e => buf = (e.ts.getTime * 1000L, e.event_id, e.value, false) :: buf)
+      evs.foreach(e => buf = (tsUs(e.ts), e.event_id, e.value, false) :: buf)
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val sorted = buf.sortBy(t => (t._1, t._2))
       val out = scala.collection.mutable.ArrayBuffer.empty[TrailOut]
@@ -350,7 +363,7 @@ object StreamingOps {
       var st = state.getOption.getOrElse(ConvState(Nil, -1L, -1L, -1L))
       if (st.t3 >= 0L) { evs.foreach(_ => ()); return Iterator.empty }
       val wmUs = state.getCurrentWatermarkMs() * 1000L
-      val buf = st.buf ++ evs.map(e => (e.ts.getTime * 1000L, e.event_type))
+      val buf = st.buf ++ evs.map(e => (tsUs(e.ts), e.event_type))
       // seal boundary ts ≤ watermark: the engine never delivers rows at or
       // below the watermark, so no sealed event can gain an earlier peer
       val (ripe, pending) = buf.partition(_._1 <= wmUs)
@@ -365,8 +378,12 @@ object StreamingOps {
       }
       if (t3 >= 0L) {
         state.update(ConvState(Nil, t1, t2, t3)) // done tombstone
+        // day from the exact µs value, mirroring batch
+        // to_date(timestamp_micros(t1)): floor to whole seconds first so a
+        // pre-epoch fractional second can't round the day up
         val day = java.time.LocalDate.ofInstant(
-          java.time.Instant.ofEpochMilli(t1 / 1000L), java.time.ZoneOffset.UTC)
+          java.time.Instant.ofEpochSecond(Math.floorDiv(t1, 1000000L)),
+          java.time.ZoneOffset.UTC)
         Iterator.single(ConvOut(userId, day.toString, t3 - t1))
       } else {
         state.update(ConvState(pending, t1, t2, t3))

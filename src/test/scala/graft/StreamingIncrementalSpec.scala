@@ -491,4 +491,52 @@ class StreamingIncrementalSpec extends AnyFunSuite {
       assert(got.map(r => (r._2, r._3)) === Seq((3L, 240e6)))
     } finally q.stop()
   }
+
+  test("timeToConvertStreaming keeps sub-millisecond precision (µs twin of unix_micros)") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.ConvEv
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    // user 7's whole funnel lives inside ONE millisecond: under the former
+    // getTime*1000 grain all three stages collapsed to the same µs value,
+    // the strict > comparisons rejected the funnel, and the streaming twin
+    // diverged from batch on any sub-ms corpus. user 8's click TIES the
+    // view at exact µs — strict > must reject that funnel in both engines.
+    val all = scala.collection.mutable.ArrayBuffer.empty[ConvEv]
+    def ev(u: Long, s: String, tpe: String): ConvEv =
+      { val e = ConvEv(u, t(s), tpe); all += e; e }
+    val input = MemoryStream[ConvEv]
+    val q = StreamingOps.timeToConvertStreaming(input.toDS(), "0 seconds")
+      .writeStream.format("memory").queryName("inc_conv_us")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(7L, "10:00:00.000100", "view"), ev(7L, "10:00:00.000200", "click"),
+        ev(7L, "10:00:00.000300", "purchase"),
+        ev(8L, "10:00:00.000500", "view"), ev(8L, "10:00:00.000500", "click"),
+        ev(8L, "10:00:00.000600", "purchase"))
+      q.processAllAvailable()
+      input.addData(ev(9L, "11:00:00", "view")) // watermark driver
+      q.processAllAvailable()
+      val got = spark.table("inc_conv_us")
+        .as[StreamingOps.ConvOut].collect().toSeq.sortBy(_.user_id)
+      assert(got.map(c => (c.user_id, c.cohort_date, c.ttc_us)) ===
+        Seq((7L, "2024-01-01", 200L)))
+      // batch oracle over the identical events, ts in the events.parquet
+      // nanosecond convention (full µs × 1000)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ttc_us").toString
+      all.zipWithIndex.map { case (e, i) =>
+        (i.toLong, e.ts.getTime / 1000L * 1000000000L + e.ts.getNanos.toLong,
+          e.user_id, e.event_type, 1.0) }
+        .toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val want = graft.operators.Events.timeToConvert(spark, dir)
+        .as[(String, Long, Double)].collect().toSeq
+      val gotMed = graft.operators.Events.cohortMedians(
+        spark.table("inc_conv_us")).as[(String, Long, Double)].collect().toSeq
+      assert(gotMed === want)
+      assert(want === Seq(("2024-01-01", 1L, 200.0)))
+    } finally q.stop()
+  }
 }
