@@ -37,8 +37,9 @@ object ScaleSmoke {
       }
       rep("documents")((d, i) => d.withColumn("doc_id", col("doc_id") + n * i))
       rep("embeddings")((d, i) => d.withColumn("vec_id", col("vec_id") + n * i))
-      // events keep raw nanos `ts` (nanosAsLong reads it back identically);
-      // users offset so sessionization scales in group count
+      // events keep the raw `ts` column exactly as stored (either
+      // generation — nanos int64 or native µs; Tables.events normalizes on
+      // read); users offset so sessionization scales in group count
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       rep("events")((d, i) => d
         .withColumn("event_id", col("event_id") + n * i)

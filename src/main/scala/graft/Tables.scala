@@ -20,23 +20,39 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long and convert to a microsecond timestamp
-    * (integer floor-div — exactly DuckDB's ns→us cast truncation).
+  /** `events.parquet` has shipped with two generations of `ts` physical
+    * type, and this loader normalizes BOTH to a session-zone (UTC)
+    * microsecond TIMESTAMP so every downstream operator and the DuckDB
+    * oracle agree on instants:
     *
-    * Side effect: sets the session-wide `nanosAsLong` legacy flag (the only
-    * way to read nanos), so any OTHER nanos-timestamp parquet read later in
-    * the session will also surface as BIGINT. events is the only such table
-    * here.
+    *  - TIMESTAMP(NANOS) int64 (generations ≤ round 9): Spark's reader
+    *    only surfaces nanos via the session-wide `nanosAsLong` legacy
+    *    flag, so the column arrives as BIGINT and we floor-div to µs —
+    *    measured to be EXACTLY DuckDB 1.0's ns→µs cast truncation
+    *    including pre-1970 values (-1500 ns → -1 µs, -999 ns → 0 µs).
+    *  - native timestamp[us], isAdjustedToUTC=false (round-10
+    *    regeneration): Spark reads TIMESTAMP_NTZ; the cast to TIMESTAMP
+    *    interprets the naive value in the session zone (pinned UTC in
+    *    Sessions.builder), which is bit-identical to DuckDB's naive read
+    *    compared in UTC. No precision change — both generations land on
+    *    the same µs grain.
+    *
+    * Side effect: still sets `nanosAsLong` (harmless for µs files), so a
+    * nanos-generation file read later in the same session also works.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` truncates toward zero — measured to be EXACTLY DuckDB 1.0's
-    // ns→us cast behavior including pre-1970 values (-1500 ns → -1 µs,
-    // -999 ns → 0 µs), so the two engines agree on all sign cases.
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -9,10 +9,11 @@ import graft.Tables
 /** Batch event analytics over the `events` table: tumbling windows,
   * gap-based sessionization, JSON property extraction.
   *
-  * Timestamps: the table is nanosecond-precision; both engines truncate to
-  * microseconds (Tables.events ⇔ DuckDB's ns→us cast), and every interval
-  * comparison is done on integer epoch-micros so there is no float or
-  * timezone dependence. Window boundaries surface as formatted strings.
+  * Timestamps: Tables.events normalizes either stored generation (nanos
+  * int64 or native µs) to a UTC microsecond TIMESTAMP that agrees with
+  * DuckDB's read of the same file, and every interval comparison is done
+  * on integer epoch-micros so there is no float or timezone dependence.
+  * Window boundaries surface as formatted strings.
   *
   * Scale: tumbling windows are a single hash aggregate on (window, type);
   * sessionization shuffles once on user_id and runs two narrow window

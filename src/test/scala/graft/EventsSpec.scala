@@ -101,7 +101,7 @@ class EventsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_gap").toString
     rows.toDF("event_id", "user_id", "us")
       .select(col("event_id"), col("user_id"),
-        (col("us") * 1000L).as("ts"), // Tables.events expects long nanos
+        (col("us") * 1000L).as("ts"), // long ts ⇒ Tables.events nanos branch
         lit("view").as("event_type"), lit(1.0).as("value"),
         lit("{}").as("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")

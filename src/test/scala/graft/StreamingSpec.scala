@@ -17,8 +17,12 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming hourly counts equal batch hourly counts") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.types._
+    // mirror Tables.events' generation handling: sniff the stored ts type
+    // (nanos int64 in generations ≤ r9, native µs TIMESTAMP_NTZ from r10)
+    // and declare the stream schema + normalization to match
+    val rawTs = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
     val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", rawTs),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file-stream source wants a directory: stage the single file
@@ -26,9 +30,12 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(rawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream0 = spark.readStream.schema(rawSchema).parquet(dir.toString)
+    val stream = rawTs match {
+      case LongType => stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => stream0.withColumn("ts", $"ts".cast(TimestampType))
+      case _ => stream0
+    }
     val got = StreamingOps.runToMemory(spark,
       StreamingOps.hourlyByType(stream), "hourly_test")
       .select("hour_start", "event_type", "n_events")
