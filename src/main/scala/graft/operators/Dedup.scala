@@ -689,6 +689,17 @@ object Dedup {
       // round 3 has diameter ≥ 3, exactly where doubling pays (q74's 10×
       // chain graph: 14 plain rounds → ~10 with the jump); the two plain
       // head rounds keep the budget O(log d) + 2.
+      //
+      // ONE round per checkpoint — two-round fusion measured SLOWER
+      // (negative result, round 10): composing two propagationRounds into
+      // one checkpointed plan to halve the per-iteration fixed cost
+      // (checkpoint job + `.head()` job, ~0.5 s/round on local[32]) took
+      // q74 from 6.3–7.1 s to 10.1–10.6 s steady. The inner round's
+      // aggregate subtree feeds the outer round's union branch AND its
+      // edge join (AND the jump join), and those consumers re-shuffle it
+      // differently, so ReuseExchange can NOT dedup them — the inner
+      // round's shuffles run up to three times per pair. Fixed overhead
+      // per round is real but its remedy isn't plan fusion.
       val next = propagationRound(labels, sym, jump = rounds >= 2)
         .localCheckpoint()
       converged = !next.agg(coalesce(max(col("chg")), lit(false)))
