@@ -12,6 +12,43 @@ class EventsSpec extends AnyFunSuite {
 
   private def nsOfSec(s: Long): Long = s * 1000000000L
 
+  test("Tables.events normalizes nanos-int64 and native-µs generations to identical instants") {
+    // the two physical generations the driver has shipped (BASELINE-notes
+    // "Round-10 testdata regeneration"): ts as TIMESTAMP(NANOS) int64 and
+    // ts as timestamp[us] NTZ. Same logical instants — incl. pre-1970 and
+    // sub-millisecond — must normalize to the same epoch-µs through
+    // Tables.events' type branch. Values exercise the documented ns→µs
+    // truncation sign cases (-1500 ns → -1 µs, -999 ns → 0 µs) via their
+    // µs-grain images.
+    val micros = Seq(-3600000001L, -1L, 0L, 1L, 999L, 179575L, 1700000000123456L)
+    def base(us: Seq[Long]) = us.zipWithIndex.map { case (u, i) =>
+      (i.toLong, u, 1L, "view", 1.0, "{}")
+    }
+    val nanosDir = java.nio.file.Files.createTempDirectory("graft_gen_ns").toString
+    base(micros).map { case (e, u, uid, t, v, p) => (e, u * 1000L, uid, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    val usDir = java.nio.file.Files.createTempDirectory("graft_gen_us").toString
+    base(micros)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$usDir/events.parquet")
+    // confirm the fixtures really hit BOTH branches (long vs NTZ on read)
+    assert(spark.read.parquet(s"$nanosDir/events.parquet").schema("ts").dataType
+      === org.apache.spark.sql.types.LongType)
+    assert(spark.read.parquet(s"$usDir/events.parquet").schema("ts").dataType
+      === org.apache.spark.sql.types.TimestampNTZType)
+    def instants(dir: String): Seq[(Long, Long)] =
+      Tables.events(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val fromNanos = instants(nanosDir)
+    val fromMicros = instants(usDir)
+    assert(fromNanos === fromMicros)
+    assert(fromNanos.map(_._2) === micros)
+  }
+
   test("trailingWindow: RANGE frame is inclusive at exactly one hour") {
     val dir = java.nio.file.Files.createTempDirectory("graft_trail").toString
     Seq(
