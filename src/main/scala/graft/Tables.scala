@@ -51,7 +51,14 @@ object Tables {
       case TimestampNTZType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast(TimestampType))
-      case _ => raw
+      // already a session-zone timestamp: the only other correct generation
+      case TimestampType => raw
+      // fail loudly on any third generation (e.g. int64-millis surfacing as
+      // LongType would be misread by the nanos branch; an unknown logical
+      // type would silently skip normalization and shift every instant)
+      case other => throw new IllegalStateException(
+        s"events.ts has unrecognized physical type $other; " +
+          "add an explicit normalization branch before trusting instants")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -49,6 +49,40 @@ class EventsSpec extends AnyFunSuite {
     assert(fromNanos.map(_._2) === micros)
   }
 
+  test("nanos branch truncates sub-µs remainders toward zero (DuckDB cast semantics)") {
+    // RAW nanos with NONZERO sub-µs remainders — the generation-equivalence
+    // fixtures above are all whole µs, so they never exercise `ts div 1000`
+    // with a remainder. These pin the documented truncate-toward-zero claim
+    // (Tables.scala): -1500 ns → -1 µs, -999 ns → 0 µs, 1500 ns → 1 µs —
+    // i.e. Spark's `div` must match DuckDB 1.0's ns→µs cast on both signs.
+    val nsToUs = Seq(
+      -2500L -> -2L, -1500L -> -1L, -1001L -> -1L, -1000L -> -1L,
+      -999L -> 0L, -1L -> 0L, 0L -> 0L, 1L -> 0L, 999L -> 0L,
+      1000L -> 1L, 1500L -> 1L, 2999L -> 2L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gen_ns_frac").toString
+    nsToUs.zipWithIndex.map { case ((ns, _), i) =>
+      (i.toLong, ns, 1L, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      === org.apache.spark.sql.types.LongType)
+    val got = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1).map(_._2)
+    assert(got === nsToUs.map(_._2))
+  }
+
+  test("Tables.events throws on an unrecognized ts physical type") {
+    // a third generation (e.g. int32, or string) must fail loudly, not pass
+    // through unnormalized (ADVICE r10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gen_bad").toString
+    Seq((1L, 42, 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("unrecognized physical type"))
+  }
+
   test("trailingWindow: RANGE frame is inclusive at exactly one hour") {
     val dir = java.nio.file.Files.createTempDirectory("graft_trail").toString
     Seq(
