@@ -557,12 +557,32 @@ object Dedup {
         verbatimReps(spark, dir)
           .filter(col("doc_id") === col("rep_id")).select("doc_id"),
         Seq("doc_id"), "left_semi")
-    val cands = sh.as("x")
-      .join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val verified = jaccardVerify(spark, dir, cands)
+    val verified =
+      if (maxShingleDf.isEmpty) {
+        // Candidates and intersections fall out of the SAME posting-list
+        // self-join: shingles are distinct per (doc_id, shingle), so the
+        // per-pair match count IS |A∩B| — no distinct-candidates pass and
+        // no re-join of the pair list against the shingle relation (the
+        // two-phase form pays three extra pair-keyed shuffles for numbers
+        // this one aggregate already determines). Valid because candidate
+        // shingles == verification shingles here; the df-capped path
+        // generates candidates on capped sets but verifies on FULL sets,
+        // so it keeps the two-phase jaccardVerify.
+        jaccardFinish(spark, dir,
+          sh.as("x")
+            .join(sh.as("y"),
+              col("x.shingle") === col("y.shingle") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter")))
+      } else {
+        val cands = sh.as("x")
+          .join(sh.as("y"),
+            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        jaccardVerify(spark, dir, cands)
+      }
     if (collapse) expandVerbatim(spark, dir, verbatimReps(spark, dir), verified)
     else verified.orderBy("doc_a", "doc_b")
   }
@@ -575,12 +595,20 @@ object Dedup {
   private def jaccardVerify(spark: SparkSession, dir: String,
       cands: DataFrame): DataFrame = {
     val sh = shingles(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    jaccardFinish(spark, dir, inter)
+  }
+
+  /** Shared tail of Jaccard verification: join per-doc set sizes onto a
+    * per-pair intersection-count relation, derive the union, keep ≥ 0.5.
+    */
+  private def jaccardFinish(spark: SparkSession, dir: String,
+      inter: DataFrame): DataFrame = {
+    val sizes = shingles(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("sz"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
@@ -677,9 +705,29 @@ object Dedup {
     var labels = verts.distinct()
       .withColumn("component_id", col("doc_id"))
       .localCheckpoint()
+    // The loop runs on the CONTRACTED graph (rep-collapsed vertices), whose
+    // per-round relations are orders smaller than the corpus — round plans
+    // are scheduler-latency-bound, not data-bound. AQE's per-exchange query
+    // stages add ~3 scheduler round-trips per round for nothing at that
+    // size (measured: 0.30 s/round ckpt at 2k vertices, sf0.1), so it is
+    // disabled for the loop only; the candidate/verify joins that feed it
+    // keep AQE. Shuffle partitions are sized from the measured vertex
+    // count (the initial checkpoint makes the count a cheap block scan):
+    // ~500k vertices per partition, floored at the session default's
+    // parallelism cap — tiny graphs stop paying 32-task stages per round,
+    // billion-vertex rep graphs still get thousands of partitions.
+    val sess = sym.sparkSession
+    val nVerts = labels.count()
+    val oldAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val oldParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(oldParts.toLong,
+      (nVerts + 499999L) / 500000L)).toString
     var converged = false
     var rounds = 0
     val maxRounds = 50 // component diameter bound; near-dup clusters are tiny
+    try {
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", loopParts)
     while (!converged && rounds < maxRounds) {
       // The jump is GATED to round 3+: near-dup components are
       // overwhelmingly tiny cliques that converge in 2 plain rounds, where
@@ -700,16 +748,25 @@ object Dedup {
       // differently, so ReuseExchange can NOT dedup them — the inner
       // round's shuffles run up to three times per pair. Fixed overhead
       // per round is real but its remedy isn't plan fusion.
+      val t0 = System.nanoTime()
       val next = propagationRound(labels, sym, jump = rounds >= 2)
         .localCheckpoint()
+      val t1 = System.nanoTime()
       converged = !next.agg(coalesce(max(col("chg")), lit(false)))
         .head().getBoolean(0)
+      if (sys.env.contains("GRAFT_PROP_DEBUG"))
+        println(f"[prop] round ${rounds + 1} ckpt ${(t1 - t0) / 1e9}%.3f s " +
+          f"conv ${(System.nanoTime() - t1) / 1e9}%.3f s")
       // `next` is eagerly materialized above, so the PREVIOUS round's
       // checkpoint blocks can be freed now — Dataset.unpersist doesn't
       // reach them (they're RDD-persisted, not CacheManager entries)
       org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(labels)
       labels = next.select("doc_id", "component_id")
       rounds += 1
+    }
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      sess.conf.set("spark.sql.shuffle.partitions", oldParts)
     }
     // fail loudly rather than return non-minimal labels for a pathological
     // long-chain component
@@ -894,11 +951,12 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        expr("cast(bit_count(sh_a ^ sh_b) as bigint)").as("hamming"))
+        expr("cast(bit_count(x.simhash ^ y.simhash) as bigint)").as("hamming"))
+      // verify BEFORE the dedup shuffle (same device as simhash64NearPairs):
+      // failing collisions die in the join's output projection, so the
+      // distinct's exchange is output-sized, not collision-sized
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -973,13 +1031,14 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sh_lo").as("lo_a"), col("y.sh_lo").as("lo_b"),
-        col("x.sh_hi").as("hi_a"), col("y.sh_hi").as("hi_b"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        expr("cast(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) as bigint)")
-          .as("hamming"))
+        expr("cast(bit_count(x.sh_lo ^ y.sh_lo) + bit_count(x.sh_hi ^ y.sh_hi)" +
+          " as bigint)").as("hamming"))
+      // verify BEFORE the dedup shuffle: the hamming test is a per-row
+      // bit_count on the join output, so multi-band collisions that fail
+      // it never enter the exchange — the distinct then carries only
+      // true near-pairs (output-sized), not every band collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -205,10 +205,16 @@ object Events {
     */
   def valueMedian(spark: SparkSession, dir: String): DataFrame = {
     val byType = Window.partitionBy("event_type")
+    // per-type totals come from a tiny pre-aggregate broadcast back onto
+    // the stream, NOT a second whole-partition count window — the
+    // unordered-frame window would buffer the full event table a second
+    // time just to stamp one constant per type
+    val counts = Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
     Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("value"))
+      .join(broadcast(counts), Seq("event_type"))
       .withColumn("rn", row_number().over(byType.orderBy("value", "event_id")))
-      .withColumn("n", count(lit(1)).over(byType))
       .filter(col("rn") * 2 === col("n") || col("rn") * 2 === col("n") + 1 ||
         col("rn") * 2 === col("n") + 2)
       .groupBy("event_type")

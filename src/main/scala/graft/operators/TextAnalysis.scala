@@ -513,7 +513,21 @@ object TextAnalysis {
   private def bpeLoop(spark: SparkSession, dir: String, rounds: Int)
       : (Seq[(Long, String, String, Long, String)], DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
-    var toks = bpeTokenStream(spark, dir).localCheckpoint()
+    // The rewrite chain stays UNMATERIALIZED between rounds: every window
+    // in mergeAdjacentPair/bpeRoundTop shares the (doc_id, idx)
+    // partitioning and ordering, and Filter/Project preserve both, so a
+    // round's count query pays ONE exchange + sort however many prior
+    // rewrites are stacked under it (EnsureRequirements elides the
+    // chained Sorts) — exactly the plan q79 already uses to APPLY a
+    // merge table. Checkpointing the full positional stream per round
+    // (the previous form) paid k stream materializations to avoid
+    // recompute that costs only pipelined map work. A periodic
+    // checkpoint every `ckptEvery` rounds bounds replan depth and
+    // recompute when a caller asks for a large merge table (k in the
+    // thousands at real scale); k ≤ ckptEvery never materializes at all.
+    val ckptEvery = 8
+    var toks = bpeTokenStream(spark, dir)
+    var lastCkpt: DataFrame = null
     val merges = Seq.newBuilder[(Long, String, String, Long, String)]
     var r = 1
     var exhausted = false
@@ -523,9 +537,14 @@ object TextAnalysis {
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, a, b, n, s"${a}_$b"))
-        val next = mergeAdjacentPair(toks, a, b).localCheckpoint()
-        org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(toks)
-        toks = next
+        toks = mergeAdjacentPair(toks, a, b)
+        if (r % ckptEvery == 0) {
+          val next = toks.localCheckpoint()
+          if (lastCkpt != null)
+            org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(lastCkpt)
+          lastCkpt = next
+          toks = next
+        }
       }
       r += 1
     }
@@ -797,21 +816,30 @@ object TextAnalysis {
     * ingestion order) is this document — the doc-grain "how much new
     * content does each crawl item add" attribution (q66 answers it at
     * batch grain). Zero-bigram docs are out of domain. Integer counts;
-    * one ratio at the edge. Two hash aggregates over the bigram stream
-    * plus a join back — the first-seen relation is vocabulary-sized.
+    * one ratio at the edge.
+    *
+    * No bigram-stream join: a doc's novel count is |{b : first_doc(b) =
+    * doc}| which is a GROUP BY first_doc over the vocabulary-sized
+    * first-seen relation — so the plan is two aggregates off one shared
+    * bigram scan plus a doc-grain join of two doc-sized relations
+    * (novelty counts left-joined onto per-doc bigram counts, absent ⇒ 0).
+    * The previous form joined the full (doc, bigram) stream back to
+    * first-seen — corpus-sized shuffle work for numbers that the two
+    * small aggregates already determine.
     */
   def docNovelty(spark: SparkSession, dir: String): DataFrame = {
     val bg = rawTokens(spark, dir)
       .select(col("doc_id"),
         explode(array_distinct(TextFns.shingleArray(col("toks"), 2))).as("b"))
-    val firstSeen = bg.groupBy("b").agg(min("doc_id").as("first_doc"))
-    bg.join(firstSeen, Seq("b"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_bigrams"), 6).as("novelty"))
+    val perDoc = bg.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
+    val novel = bg.groupBy("b").agg(min("doc_id").as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("n_novel"))
+      .select(col("first_doc").as("doc_id"), col("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_bigrams"), 6).as("novelty"))
       .orderBy("doc_id")
   }
 
