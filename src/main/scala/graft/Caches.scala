@@ -14,7 +14,8 @@ object Caches {
     operators.Dedup.cache, operators.Dedup.sigCache,
     operators.Dedup.clusterCache, operators.Dedup.repsCache,
     operators.Dedup.fpCache, operators.Dedup.cappedCache,
-    operators.Dedup.pairsCache,
+    operators.Dedup.pairsCache, operators.Dedup.simhashSigCache,
+    operators.Dedup.embRepCache,
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache)
 
   /** Unpersist and drop every cached relation belonging to `spark`
