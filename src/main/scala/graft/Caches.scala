@@ -11,6 +11,7 @@ object Caches {
 
   private def maps = Seq(
     operators.TokenPipeline.cache, operators.TokenPipeline.dictCache,
+    operators.TokenPipeline.statsCache,
     operators.Dedup.cache, operators.Dedup.sigCache,
     operators.Dedup.clusterCache, operators.Dedup.repsCache,
     operators.Dedup.fpCache, operators.Dedup.cappedCache,

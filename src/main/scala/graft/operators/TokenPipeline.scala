@@ -102,19 +102,33 @@ object TokenPipeline {
     * at query edges).
     */
   def docStatsRaw(spark: SparkSession, dir: String): DataFrame = {
-    val counts = docTokenCounts(spark, dir)
-    val agg = counts.groupBy("doc_id").agg(
-      count(lit(1)).as("count_unique_words"),
-      sum("qty").as("total_tokens"),
-      round(sqrt(sum(col("qty") * col("qty"))), 6).as("euclidian_norm"))
+    val agg = docAggregates(spark, dir)
     Tables.documents(spark, dir).select("doc_id")
       .join(agg, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("count_unique_words"), lit(0L)).as("count_unique_words"),
         coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
-        coalesce(col("euclidian_norm"), lit(0.0)).as("euclidian_norm"))
+        coalesce(round(col("nrm"), 6), lit(0.0)).as("euclidian_norm"))
   }
+
+  private[graft] val statsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Cached per-doc aggregate triple (unique tokens, total tokens,
+    * UNROUNDED L2 norm) over the kept-token counts — the index-artifact
+    * relation the reference maintains as per-doc fields (main.go:57,
+    * 272–281: CountUniqueWords/EuclidianNorm are PRECOMPUTED per doc, not
+    * re-derived per query). docStats rounds at its edge; cosine consumers
+    * (q47) read the raw norm. Doc-grain, three numbers a row.
+    */
+  private[graft] def docAggregates(spark: SparkSession, dir: String): DataFrame =
+    statsCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+      docTokenCounts(spark, dir).groupBy("doc_id").agg(
+        count(lit(1)).as("count_unique_words"),
+        sum("qty").as("total_tokens"),
+        sqrt(sum(col("qty") * col("qty"))).as("nrm"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   private[graft] val dictCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
@@ -182,8 +196,10 @@ object TokenPipeline {
     */
   def docCosineTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val sv = sparseVectorsRaw(spark, dir)
-    val norms = sv.groupBy("doc_id")
-      .agg(sqrt(sum(col("qty") * col("qty"))).as("nrm"))
+    // norms from the cached per-doc aggregate relation (identical to an
+    // aggregate over sv: the dictionary is built from the counts' own
+    // distinct tokens, so the sv join drops no rows)
+    val norms = docAggregates(spark, dir).select("doc_id", "nrm")
     val q = sv.filter(col("doc_id") < 5)
       .select(col("doc_id").as("q_id"), col("token_id"), col("qty").as("q_qty"))
     val dots = sv.join(broadcast(q), Seq("token_id"))
