@@ -377,7 +377,10 @@ object Similarity {
       .select(col("cid").as("cluster_id"), col("vec_id"),
         round(sqrt(col("d2")), 6).as("dist"))
       .groupBy("cluster_id")
-      .agg(TopKAggregator.minKByDist(m)(col("vec_id"), col("dist")).as("top"))
+      // native CollectTopK on struct(dist, vec_id): smallest-k ascending
+      // is exactly (dist asc, vec_id asc) — no key negation needed
+      .agg(org.apache.spark.sql.GraftBridge.collectTopK(
+        struct(col("dist"), col("vec_id")), m, reverse = true).as("top"))
       .select(col("cluster_id"), posexplode(col("top")))
       .select(col("cluster_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("col.vec_id").as("vec_id"), col("col.dist").as("dist"))

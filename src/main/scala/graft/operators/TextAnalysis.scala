@@ -172,16 +172,22 @@ object TextAnalysis {
     * relation; ties break on token so ranks are engine-independent).
     */
   def topTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    // bounded-buffer typed aggregator, not a ranking window: a window sorts
-    // every doc's full term set through the shuffle; this carries at most k
-    // rows per doc (same ordering contract, ROW_NUMBER parity in the oracle)
-    val topk = graft.functions.TopKAggregator.topKByScore(k)
+    // bounded top-k aggregate, not a ranking window: a window sorts every
+    // doc's full term set through the shuffle; this carries at most k rows
+    // per doc (same ordering contract, ROW_NUMBER parity in the oracle).
+    // Native CollectTopK on struct(-tfidf, token): smallest-k ascending
+    // == (tfidf desc, token asc); -(-x) is exact for all finite doubles.
+    // TopKAggregator.topKByScore is the typed-UDAF equivalent (kept, and
+    // pinned equal in AggregatorSpec); the native form skips its per-row
+    // object conversion and kryo buffer round-trips on this hot path.
+    val topk = org.apache.spark.sql.GraftBridge.collectTopK(
+      struct((-col("tfidf")).as("ns"), col("token")), k, reverse = true)
     tfidfRaw(spark, dir)
       .groupBy("doc_id")
-      .agg(topk(col("token"), col("tfidf")).as("top"))
+      .agg(topk.as("top"))
       .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rnk"),
-        col("t.token").as("token"), col("t.tfidf").as("tfidf"))
+        col("t.token").as("token"), (-col("t.ns")).as("tfidf"))
       .orderBy("doc_id", "rnk")
   }
 

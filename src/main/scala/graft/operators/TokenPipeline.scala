@@ -263,15 +263,18 @@ object TokenPipeline {
     * "doc:qty,…" string for the oracle.
     */
   def topDocsPerToken(spark: SparkSession, dir: String): DataFrame = {
-    val topk = graft.functions.TopKAggregator.topKByQty(3)
+    // native CollectTopK on struct(-qty, doc_id): smallest-k ascending ==
+    // (qty desc, doc_id asc) — see topTerms for the native-vs-UDAF note
+    val topk = org.apache.spark.sql.GraftBridge.collectTopK(
+      struct((-col("qty")).as("nq"), col("doc_id")), 3, reverse = true)
     docTokenCounts(spark, dir)
       .groupBy("token")
-      .agg(topk(col("doc_id"), col("qty")).as("top"))
+      .agg(topk.as("top"))
       .select(col("token"),
         array_join(
           transform(col("top"),
             e => concat(e.getField("doc_id").cast("string"), lit(":"),
-                        e.getField("qty").cast("string"))),
+                        (-e.getField("nq")).cast("string"))),
           ",").as("top_docs"))
       .orderBy("token")
   }

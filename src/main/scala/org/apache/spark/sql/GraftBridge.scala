@@ -18,6 +18,21 @@ object GraftBridge {
   def sessionKey(spark: SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 
+  /** Native bounded top-k aggregate (the expression behind pandas-on-Spark
+    * nlargest/nsmallest): collects the k extreme values of `c` under the
+    * type's interpreted ordering — for a struct child, lexicographic over
+    * its fields. `reverse = true` keeps the k SMALLEST and emits them
+    * sorted ascending (mixed-direction contracts like "score desc, token
+    * asc" become single-direction by negating the numeric key). Chosen
+    * over a typed Aggregator UDAF for hot paths: the native expression
+    * works on InternalRows directly — no per-row object conversion, no
+    * kryo buffer round-trip — while carrying the same ≤ k rows per group
+    * through partial, shuffle, and merge.
+    */
+  def collectTopK(c: Column, k: Int, reverse: Boolean): Column =
+    column(org.apache.spark.sql.catalyst.expressions.aggregate
+      .GraftAggBridge.collectTopK(expression(c), k, reverse))
+
   /** Eagerly free the persisted blocks behind `localCheckpoint`-backed
     * DataFrames. `Dataset.unpersist` only touches CacheManager entries;
     * a checkpointed plan is a LogicalRDD whose RDD is persisted directly,
