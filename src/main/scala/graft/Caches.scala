@@ -16,7 +16,7 @@ object Caches {
     operators.Dedup.clusterCache, operators.Dedup.repsCache,
     operators.Dedup.fpCache, operators.Dedup.cappedCache,
     operators.Dedup.pairsCache, operators.Dedup.simhashSigCache,
-    operators.Dedup.embRepCache,
+    operators.Dedup.embRepCache, operators.Similarity.idxCache,
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache)
 
   /** Unpersist and drop every cached relation belonging to `spark`

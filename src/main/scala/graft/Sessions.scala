@@ -32,14 +32,25 @@ object Sessions {
   /** Configured builder; callers add master-specific overrides then
     * `getOrCreate()`.
     */
-  def builder(cpus: String): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(cpus: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         ObjectHashFallbackGroups.toString)
+    // A/B experiment knob: "key=value;key=value" applied last, so config
+    // hypotheses (AQE on/off, thresholds) can be measured without code
+    // edits. Unset in normal operation — the committed defaults above are
+    // the engine's configuration.
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';').toSeq).filter(_.contains("="))
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        bb.config(k.trim, v.trim)
+      }
+  }
 
   /** Build, quiet the logs, and register the custom planner extensions.
     * `appName` is the one per-caller knob (tests want a distinct name);

@@ -739,15 +739,15 @@ object Dedup {
       // head rounds keep the budget O(log d) + 2.
       //
       // ONE round per checkpoint — two-round fusion measured SLOWER
-      // (negative result, round 10): composing two propagationRounds into
-      // one checkpointed plan to halve the per-iteration fixed cost
-      // (checkpoint job + `.head()` job, ~0.5 s/round on local[32]) took
-      // q74 from 6.3–7.1 s to 10.1–10.6 s steady. The inner round's
-      // aggregate subtree feeds the outer round's union branch AND its
-      // edge join (AND the jump join), and those consumers re-shuffle it
-      // differently, so ReuseExchange can NOT dedup them — the inner
-      // round's shuffles run up to three times per pair. Fixed overhead
-      // per round is real but its remedy isn't plan fusion.
+      // (negative result, round 10; RE-ADJUDICATED round 11 after the
+      // loop went AQE-off with vertex-sized partitions: still strictly
+      // worse, q74 4.3 → 5.9 s steady). The inner round's aggregate
+      // subtree feeds the outer round's union branch AND its edge join
+      // (AND the jump join), and those consumers re-shuffle it
+      // differently, so ReuseExchange can NOT dedup them — even at
+      // single-task stage sizes the re-executed inner exchanges cost
+      // more than the one checkpoint they save. Fixed overhead per round
+      // is real but its remedy isn't plan fusion.
       val t0 = System.nanoTime()
       val next = propagationRound(labels, sym, jump = rounds >= 2)
         .localCheckpoint()
@@ -1176,14 +1176,12 @@ object Dedup {
     */
   def embeddingNearDups(spark: SparkSession, dir: String,
       bits: Int = Similarity.IvfBits): DataFrame =
-    embNearDupPairsOf(
-      Tables.embeddings(spark, dir).select(
-        col("vec_id"), VectorFns.asDouble(col("embedding")).as("emb")),
-      bits)
+    embNearDupPairsOf(Similarity.vectorIndex(spark, dir, bits))
       .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
 
-  /** Verified sign-LSH near-dup pairs of one (vec_id, emb) relation:
+  /** Verified sign-LSH near-dup pairs of one INDEXED (vec_id, emb, nrm,
+    * bucket) relation (Similarity.vectorIndex, or a subset of it):
     * bucket equi-join + in-bucket cosine ≥ 0.25 — the shared core of the
     * doc-level q27 enumeration and q74's rep-level edge build. Zero-norm
     * vectors are excluded BEFORE the join: their cosine is undefined
@@ -1191,11 +1189,8 @@ object Dedup {
     * filterable NaN), and an undefined similarity can never verify, so
     * they contribute no pairs under either semantics.
     */
-  private def embNearDupPairsOf(e: DataFrame, bits: Int): DataFrame = {
-    val b = e
-      .withColumn("bucket", VectorFns.signBucket(col("emb"), bits))
-      .withColumn("nrm", VectorFns.l2Norm(col("emb")))
-      .filter(col("nrm") > 0.0)
+  private def embNearDupPairsOf(indexed: DataFrame): DataFrame = {
+    val b = indexed.filter(col("nrm") > 0.0)
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(
@@ -1266,13 +1261,13 @@ object Dedup {
 
   def semDedupSurvivors(spark: SparkSession, dir: String,
       bits: Int = Similarity.IvfBits): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"), VectorFns.asDouble(col("embedding")).as("emb"))
     val memberRep = embeddingRepMap(spark, dir)
-    val reps = e.join(
+    // rep vectors read from the cached index (buckets/norms are per-vector
+    // values — identical whether computed on the subset or the whole)
+    val reps = Similarity.vectorIndex(spark, dir, bits).join(
       memberRep.filter(col("vec_id") === col("rep")).select("vec_id"),
       Seq("vec_id"))
-    val pairs = embNearDupPairsOf(reps, bits)
+    val pairs = embNearDupPairsOf(reps)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val sym = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.functions.{TopKAggregator, VectorFns}
@@ -25,11 +26,35 @@ object Similarity {
   val K = 5
   val QuerySetSize = 8 // vec_id < 8 are the demo query vectors
 
+  private[graft] val idxCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Cached (vec_id, emb, nrm) relation per (session, dir) — the resident
+    * base of the vector index, shared by every embedding consumer
+    * (ANN probes, brute-force, k-means, stats, SemDeDup's rep-edge
+    * build). Decoding float→double and recomputing norms per query was a
+    * full embedding pass each time. Sign buckets are NOT cached here:
+    * computing them is `bits` array reads a row (cheap on the cached
+    * doubles), and keeping them lazy preserves the documented ANSI error
+    * when a caller asks for more bits than the vectors have components.
+    */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(
-      col("vec_id"),
-      VectorFns.asDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", VectorFns.l2Norm(col("emb")))
+    idxCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        Tables.embeddings(spark, dir).select(
+          col("vec_id"),
+          VectorFns.asDouble(col("embedding")).as("emb"))
+          .withColumn("nrm", VectorFns.l2Norm(col("emb")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** The cached base plus the `bits`-wide sign-bucket column — the
+    * in-memory form of what buildIvfIndex writes to disk.
+    */
+  def vectorIndex(spark: SparkSession, dir: String,
+      bits: Int = IvfBits): DataFrame =
+    vectors(spark, dir)
+      .withColumn("bucket", VectorFns.signBucket(col("emb"), bits))
 
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
@@ -84,8 +109,7 @@ object Similarity {
     */
   private def ivfTopK(spark: SparkSession, dir: String,
       flips: Seq[Int]): DataFrame = {
-    val e = vectors(spark, dir)
-      .withColumn("bucket", VectorFns.signBucket(col("emb"), IvfBits))
+    val e = vectorIndex(spark, dir)
     val q = e.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"),
@@ -187,7 +211,7 @@ object Similarity {
   def buildIvfIndex(spark: SparkSession, dir: String, table: String,
       path: String, bits: Int = IvfBits, buckets: Int = 16): Unit =
     graft.sources.Sources.writeBucketed(
-      vectors(spark, dir).withColumn("bucket", VectorFns.signBucket(col("emb"), bits)),
+      vectorIndex(spark, dir, bits),
       table, path, buckets, "bucket", Seq("bucket"))
 
   /** Driver-side mirror of VectorFns.signBucket for routing a query vector
@@ -344,8 +368,7 @@ object Similarity {
     * cid is unique, so no ties.)
     */
   private def kmeansAssignRaw(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"), VectorFns.asDouble(col("embedding")).as("emb"))
+    val e = vectors(spark, dir).select("vec_id", "emb")
     val cent0 = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("emb").as("cent"))
     e.crossJoin(broadcast(cent0))
@@ -396,9 +419,8 @@ object Similarity {
     * (pos, chunk) then pos — both with bounded rows.
     */
   def dimStats(spark: SparkSession, dir: String): DataFrame = {
-    val pv = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(VectorFns.asDouble(col("embedding")))
-        .as(Seq("pos", "v")))
+    val pv = vectors(spark, dir)
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "v")))
     chunkedSums(pv, Seq("pos"),
       Seq("s" -> col("v"), "s2" -> (col("v") * col("v"))))
       .select(col("pos").cast("long").as("pos"), col("n_vecs"),
