@@ -110,6 +110,30 @@ class TokenPipelineSpec extends AnyFunSuite {
     assert(TokenPipeline.docTokenCounts(spark, sf).count() > 0)
   }
 
+  test("Caches.clear and clearDir reach the index caches added in round 11") {
+    import graft.operators.{Dedup, Similarity}
+    Dedup.simhashSignature(spark, sf, 16).count()
+    Similarity.vectorIndex(spark, sf).count()
+    TokenPipeline.docAggregates(spark, sf).count()
+    Dedup.embeddingRepMap(spark, sf).count()
+    val prefix = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#"
+    val maps = Seq[(String, scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame])](
+      "simhashSigCache" -> Dedup.simhashSigCache,
+      "idxCache" -> Similarity.idxCache,
+      "statsCache" -> TokenPipeline.statsCache,
+      "embRepCache" -> Dedup.embRepCache)
+    maps.foreach { case (n, m) =>
+      assert(m.keys.exists(_.startsWith(prefix)), s"$n not populated") }
+    Caches.clear(spark)
+    maps.foreach { case (n, m) =>
+      assert(!m.keys.exists(_.startsWith(prefix)), s"$n survived clear") }
+    // clearDir must also evict parameterized "…#dir#<bits>" entries
+    Dedup.simhashSignature(spark, sf, 16).count()
+    Caches.clearDir(spark, sf)
+    assert(!Dedup.simhashSigCache.keys.exists(_.startsWith(prefix)),
+      "parameterized simhash key survived clearDir")
+  }
+
   test("hierarchy: parent of doc N is doc N/10; roots have parent -1") {
     val links = Hierarchy.parentLinks(spark, sf)
     val bad = links.filter(
