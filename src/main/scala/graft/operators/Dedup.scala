@@ -698,36 +698,39 @@ object Dedup {
           (col("jc") < col("x.oldc")).as("chg"))
   }
 
-  private[graft] def propagateMinLabels(verts: DataFrame, sym: DataFrame): DataFrame = {
+  private[graft] def propagateMinLabels(verts: DataFrame, sym0: DataFrame): DataFrame = {
     // localCheckpoint (eager) both materializes the round's labels AND
     // truncates lineage — without it each round's plan stacks on the last
     // and replanning cost compounds with the iteration count.
-    var labels = verts.distinct()
-      .withColumn("component_id", col("doc_id"))
-      .localCheckpoint()
+    //
     // The loop runs on the CONTRACTED graph (rep-collapsed vertices), whose
     // per-round relations are orders smaller than the corpus — round plans
     // are scheduler-latency-bound, not data-bound. AQE's per-exchange query
     // stages add ~3 scheduler round-trips per round for nothing at that
-    // size (measured: 0.30 s/round ckpt at 2k vertices, sf0.1), so it is
-    // disabled for the loop only; the candidate/verify joins that feed it
-    // keep AQE. Shuffle partitions are sized from the measured vertex
-    // count (the initial checkpoint makes the count a cheap block scan):
-    // ~500k vertices per partition, floored at the session default's
-    // parallelism cap — tiny graphs stop paying 32-task stages per round,
-    // billion-vertex rep graphs still get thousands of partitions.
-    val sess = sym.sparkSession
+    // size (measured: 0.30 s/round ckpt at 2k vertices, sf0.1), so the
+    // loop executes in a conf-ISOLATED cloned session (same context,
+    // shared cache manager — the caller's persisted `sym` blocks are
+    // visible) with AQE off and shuffle partitions sized from the
+    // measured vertex count: ~500k vertices per partition, capped at the
+    // session default — tiny graphs stop paying 32-task stages per
+    // round, billion-vertex rep graphs still get thousands of
+    // partitions. Cloning instead of set/restore keeps concurrent
+    // queries on the caller's session planning under their own conf.
+    val base = sym0.sparkSession
+    val sess = org.apache.spark.sql.GraftBridge.cloneSession(base)
+    var labels = org.apache.spark.sql.GraftBridge.inSession(
+      verts.distinct().withColumn("component_id", col("doc_id")), sess)
+      .localCheckpoint()
+    val sym = org.apache.spark.sql.GraftBridge.inSession(sym0, sess)
     val nVerts = labels.count()
-    val oldAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    val oldParts = sess.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L, math.min(oldParts.toLong,
+    val defaultParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(defaultParts.toLong,
       (nVerts + 499999L) / 500000L)).toString
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", loopParts)
     var converged = false
     var rounds = 0
     val maxRounds = 50 // component diameter bound; near-dup clusters are tiny
-    try {
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    sess.conf.set("spark.sql.shuffle.partitions", loopParts)
     while (!converged && rounds < maxRounds) {
       // The jump is GATED to round 3+: near-dup components are
       // overwhelmingly tiny cliques that converge in 2 plain rounds, where
@@ -764,16 +767,15 @@ object Dedup {
       labels = next.select("doc_id", "component_id")
       rounds += 1
     }
-    } finally {
-      sess.conf.set("spark.sql.adaptive.enabled", oldAqe)
-      sess.conf.set("spark.sql.shuffle.partitions", oldParts)
-    }
     // fail loudly rather than return non-minimal labels for a pathological
     // long-chain component
     require(converged, s"label propagation did not converge in $maxRounds rounds")
     if (sys.env.contains("GRAFT_PROP_DEBUG"))
       println(s"[prop] converged in $rounds rounds")
-    labels
+    // hand the converged labels back bound to the CALLER's session — the
+    // loop session (and its conf) ends with this call; the checkpointed
+    // blocks are context-level and stay valid
+    org.apache.spark.sql.GraftBridge.inSession(labels, base)
   }
 
   /** The (verts, symmetrized-edges) graph q52/q54 propagate over —

@@ -18,6 +18,24 @@ object GraftBridge {
   def sessionKey(spark: SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 
+  /** Conf-isolated twin of `spark`: same SparkContext, SHARED cache
+    * manager/catalog (persisted relations stay visible), but its OWN
+    * session conf — for iterative loops that want loop-local settings
+    * (AQE off, graph-sized shuffle partitions) without mutating the
+    * caller's session underneath concurrent queries.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** Rebind a DataFrame's logical plan to another session (same context):
+    * subsequent operations on the result plan/execute under `target`'s
+    * conf.
+    */
+  def inSession(df: DataFrame, target: SparkSession): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      target.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.logical)
+
   /** Native bounded top-k aggregate (the expression behind pandas-on-Spark
     * nlargest/nsmallest): collects the k extreme values of `c` under the
     * type's interpreted ordering — for a struct child, lexicographic over

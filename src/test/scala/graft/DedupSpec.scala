@@ -520,4 +520,15 @@ class DedupSpec extends AnyFunSuite {
     // cross pairs share the 12-token prefix up to the edited token
     assert(gotSpans.nonEmpty && gotSpans === gotSpans.sorted)
   }
+
+  test("propagation's loop-local conf never touches the caller's session") {
+    // the loop runs AQE-off at graph-sized shuffle partitions in a CLONED
+    // session; the caller's conf must be byte-identical before and after
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    Caches.clear(spark) // force the propagation to actually run
+    assert(Dedup.dupClusters(spark, sf).count() > 0)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === aqeBefore)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === partsBefore)
+  }
 }
