@@ -30,7 +30,7 @@ object Plans {
       "q57_simhash64_hamming" ->
         "64-bit SimHash over two longs: (d+1)-band keys, same equi-join candidate posture at the full literature-standard width",
       "q43_top_terms" ->
-        "bounded top-k typed aggregator instead of a ranking window: ObjectHashAggregate carries at most k rows per doc through partial/shuffle/final",
+        "bounded top-k via native collect_top_k instead of a ranking window: partial_collect_top_k in the map-side ObjectHashAggregate carries at most k rows per doc through partial/shuffle/final",
       "q54_dedup_survivors" ->
         "dedup survivors: one left join of documents against the (cached, checkpoint-truncated) rep-level component labels",
       "q59_split_contamination" ->
@@ -74,7 +74,7 @@ object Plans {
       "q93_source_dup_matrix" ->
         "source dup matrix: two doc_id equi-joins attribute the verified pair set to source cells; the aggregate output is |sources|² regardless of corpus scale",
       "q97_cluster_sample" ->
-        "cluster prototypes: the bounded min-k typed aggregator (q43's device) carries at most m rows per cluster through partial/shuffle/final — no ranking window over the full assignment",
+        "cluster prototypes: bounded min-k via native collect_top_k (q43's device) carries at most m rows per cluster through partial/shuffle/final — no ranking window over the full assignment",
       "q98_knn_classify" ->
         "kNN classify: 8-row query set broadcast against the corpus scan, codegen graft_dot scoring, vote counts aggregated at (query,label) grain — k·|queries| rows through the shuffle, not the corpus",
       "q99_cross_entropy" ->
