@@ -26,6 +26,7 @@ object Bench {
     warm(operators.TokenPipeline.docTokenCounts(spark, sfDir).count())
     warm(operators.TokenPipeline.tokenDictionary(spark, sfDir).count())
     warm(operators.TokenPipeline.docAggregates(spark, sfDir).count())
+    warm(operators.TextAnalysis.tfidfRaw(spark, sfDir).count())
     warm(operators.Dedup.shingles(spark, sfDir).count())
     warm(operators.Dedup.minhashSignatures(spark, sfDir).count())
     warm(operators.Dedup.simhashSignature(spark, sfDir, 16).count())

