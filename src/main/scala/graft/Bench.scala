@@ -13,35 +13,57 @@ object Bench {
     val w0 = System.nanoTime()
     // a broken warmup step must not abort the bench before the JSON line:
     // the timed loop below will surface the same breakage as -1 + failures
-    var warmupFailures = 0
+    val warmupFailed = new java.util.concurrent.atomic.AtomicInteger(0)
+    def warmupFailures = warmupFailed.get()
     def warm(f: => Long): Unit =
       try { f; () } catch { case e: Throwable =>
-        warmupFailures += 1
+        warmupFailed.incrementAndGet()
         System.err.println(s"[bench] warmup step failed: ${e.getMessage}")
       }
-    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
-      "region", "documents", "embeddings").foreach(t =>
-      warm(Tables.load(spark, sfDir, t).count()))
-    warm(Tables.events(spark, sfDir).count())
-    warm(operators.TokenPipeline.docTokenCounts(spark, sfDir).count())
-    warm(operators.TokenPipeline.tokenDictionary(spark, sfDir).count())
-    warm(operators.TokenPipeline.docAggregates(spark, sfDir).count())
-    warm(operators.TextAnalysis.tfidfRaw(spark, sfDir).count())
-    warm(operators.Dedup.shingles(spark, sfDir).count())
-    warm(operators.Dedup.minhashSignatures(spark, sfDir).count())
-    warm(operators.Dedup.simhashSignature(spark, sfDir, 16).count())
-    warm(operators.Dedup.simhashSignature(spark, sfDir, 32).count())
-    warm(operators.Dedup.simhashSignature(spark, sfDir, 64).count())
-    warm(operators.Similarity.vectorIndex(spark, sfDir).count())
-    // q73/q74 first-touch pre-fill (round 10): these two queries alone
-    // carried 42 s of BENCH_r09's 163 s cold total — the BPE loop JITs
-    // ~15 per-round window plans and SemDeDup JITs the embedding
+    // Waves run their steps CONCURRENTLY (Spark's scheduler interleaves
+    // jobs from multiple threads; local[32] has the slack), sequenced so
+    // every step's cache dependencies were filled by an earlier wave and
+    // no two concurrent steps touch the same cache key — TrieMap
+    // getOrElseUpdate may evaluate a racing thunk twice and the loser's
+    // persisted relation would leak.
+    def wave(steps: (() => Long)*): Unit = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.sequence(steps.map(s => Future(warm(s())))), 15.minutes)
+      ()
+    }
+    // wave 1: raw table scans + the two base relations everything else
+    // derives from (token hub, shingles) + the embedding base
+    wave(Seq[() => Long](
+      () => Tables.events(spark, sfDir).count(),
+      () => operators.TokenPipeline.docTokenCounts(spark, sfDir).count(),
+      () => operators.Dedup.shingles(spark, sfDir).count(),
+      () => operators.Similarity.vectorIndex(spark, sfDir).count()) ++
+      Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "documents", "embeddings")
+        .map(t => () => Tables.load(spark, sfDir, t).count()): _*)
+    // wave 2: index artifacts built from wave 1's relations (disjoint keys)
+    wave(
+      () => operators.TokenPipeline.tokenDictionary(spark, sfDir).count(),
+      () => operators.TokenPipeline.docAggregates(spark, sfDir).count(),
+      () => operators.TextAnalysis.tfidfRaw(spark, sfDir).count(),
+      () => operators.Dedup.minhashSignatures(spark, sfDir).count(),
+      () => operators.Dedup.simhashSignature(spark, sfDir, 16).count(),
+      () => operators.Dedup.simhashSignature(spark, sfDir, 32).count(),
+      () => operators.Dedup.simhashSignature(spark, sfDir, 64).count())
+    // wave 3: q73/q74 first-touch pre-fill (round 10): these two queries
+    // alone carried 42 s of BENCH_r09's 163 s cold total — the BPE loop
+    // JITs ~15 per-round window plans and SemDeDup JITs the embedding
     // hash/rep + sign-LSH + propagation plans on first run. One full run
     // each here moves that one-time codegen/cache fill into warmup_sec,
     // so the cold map measures them against a steady floor and cold
-    // regressions elsewhere stop hiding behind their noise.
-    warm(SparkEntry.queries("q73_bpe_merges")(spark, sfDir).count())
-    warm(SparkEntry.queries("q74_semdedup_survivors")(spark, sfDir).count())
+    // regressions elsewhere stop hiding behind their noise. Their memo
+    // caches are disjoint (mergeMemo vs embRep/cluster), so they overlap.
+    wave(
+      () => SparkEntry.queries("q73_bpe_merges")(spark, sfDir).count(),
+      () => SparkEntry.queries("q74_semdedup_survivors")(spark, sfDir).count())
     // evict the result memos the pre-fill just created (BPE merges,
     // cluster labels): the timed cold pass must still do each query's
     // full per-query work, minus only the JIT/codegen warmup above

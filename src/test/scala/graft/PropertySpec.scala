@@ -171,4 +171,37 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want, s"trial=$trial n=$n m=$m")
     }
   }
+
+  test("native collect_top_k == ROW_NUMBER window contract on random scored rows") {
+    // the q43/q51/q97 hot-path swap: struct(-score, tiebreak) under
+    // reverse=true must equal ROW_NUMBER() OVER (ORDER BY score DESC,
+    // tiebreak ASC) <= k for ANY score multiset — duplicated scores,
+    // zeros (negation → -0.0), negative scores, tiny groups
+    val rows: Gen[(Long, Long, Double)] = for {
+      g <- Gen.choose(0L, 7L)
+      t <- Gen.choose(0L, 999L)
+      s <- Gen.oneOf(Gen.choose(-5, 5).map(_.toDouble),
+        Gen.choose(-100, 100).map(_ / 8.0))
+    } yield (g, t, s)
+    (1 to 5).foreach { trial =>
+      val data = sample(Gen.listOfN(300, rows), 1).head
+        .distinctBy(r => (r._1, r._2)) // one score per (group, tiebreak)
+      val df = data.toDF("g", "t", "s")
+      val k = 1 + trial % 4
+      val native = df.groupBy("g")
+        .agg(org.apache.spark.sql.GraftBridge.collectTopK(
+          struct((-col("s")).as("ns"), col("t")), k, reverse = true).as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("pos", "x")))
+        .select(col("g"), (col("pos") + 1).as("rnk"), col("x.t").as("t"),
+          (-col("x.ns")).as("s"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("s").desc, col("t"))
+      val window = df.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("g"), col("rnk"), col("t"), col("s"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(native === window, s"trial=$trial k=$k")
+    }
+  }
 }
