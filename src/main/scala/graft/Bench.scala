@@ -30,8 +30,15 @@ object Bench {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
       implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(
+      // the Await itself must honor the same invariant as warm(): a HUNG
+      // warmup step (timeout) may not abort the bench before the JSON
+      // line — count it and move on; the timed loop surfaces the breakage
+      try Await.result(
         Future.sequence(steps.map(s => Future(warm(s())))), 15.minutes)
+      catch { case e: java.util.concurrent.TimeoutException =>
+        warmupFailed.incrementAndGet()
+        System.err.println(s"[bench] warmup wave timed out: ${e.getMessage}")
+      }
       ()
     }
     // wave 1: raw table scans + the two base relations everything else
@@ -112,10 +119,11 @@ object Bench {
     // > 2000. Structural fix: per-query values are INTEGERS with the unit in
     // the map's key — warm (the declared metric) in centiseconds
     // ("bench_warm_pass_cs", 10 ms resolution), cold (diagnostic only) in
-    // deciseconds ("bench_cold_pass_ds", 100 ms) — keys are the qNN prefix,
-    // sorted name order. Measured against r09 values: cold ≈ 850 + warm
-    // ≈ 950 + headline ≈ 160 < 1950, so BOTH complete maps and the headline
-    // sit inside any 2000-char tail. A failed query stays visibly negative
+    // deciseconds ("bench_cold_pass_ds", 100 ms) — keys are the qNN prefix
+    // WITHOUT the redundant 'q' ("01".."101"), sorted name order: r11
+    // measured 863 + 937 + 159 ≈ 1962 chars with 'q' prefixes, and adding
+    // q101 would have left <15 chars of margin; dropping the letter buys
+    // ~200 chars back. A failed query stays visibly negative
     // (-1 s → -10/-100 ticks).
     def fmtShort(rs: Seq[(String, Double)], ticksPerSec: Int): String = {
       // qNN prefixes must be unique or the JSON object would silently
@@ -123,7 +131,8 @@ object Bench {
       require(rs.map(_._1.takeWhile(_ != '_')).distinct.size == rs.size,
         "duplicate qNN prefix across query names — bench map would lose a timing")
       rs.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * ticksPerSec) }
+        "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" +
+          math.round(v * ticksPerSec) }
         .mkString("{", ",", "}")
     }
     println(s"""{"bench_cold_pass_ds":${fmtShort(cold, 10)}}""")

@@ -1404,7 +1404,34 @@ object OracleSql {
          |  FROM p1 LEFT JOIN in2 ON p1.token = in2.token)
          |SELECT p1.token AS token, CAST(p1.pr AS BIGINT) AS pr1, CAST(p2.pr AS BIGINT) AS pr2
          |FROM p1 JOIN p2 ON p1.token = p2.token
-         |ORDER BY token""".stripMargin)
+         |ORDER BY token""".stripMargin) +
+    // q11's membership joins at reference file scale: DuckDB reads the SAME
+    // generated 235,886/668-line files Spark broadcasts, so membership
+    // agrees by construction down to the file bytes
+    ("q101_token_counts_filescale" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')) AS token
+         |  FROM documents),
+         |dictf AS (
+         |  SELECT lower(trim(w)) AS token
+         |  FROM read_csv('${graft.sources.WordListFixtures.DictPath}',
+         |                header=false, columns={'w': 'VARCHAR'})
+         |  WHERE trim(w) <> ''),
+         |stopf AS (
+         |  SELECT lower(trim(w)) AS token
+         |  FROM read_csv('${graft.sources.WordListFixtures.StopPath}',
+         |                header=false, columns={'w': 'VARCHAR'})
+         |  WHERE trim(w) <> ''),
+         |kept AS (
+         |  SELECT doc_id, token, COUNT(*) AS qty
+         |  FROM toks
+         |  WHERE token <> ''
+         |    AND token IN (SELECT token FROM dictf)
+         |    AND token NOT IN (SELECT token FROM stopf)
+         |  GROUP BY doc_id, token)
+         |SELECT doc_id, token, qty FROM kept
+         |ORDER BY doc_id, token""".stripMargin)
 
   /** MinHash calibration (q78): band-collision candidates, signature
     * agreement count vs exact Jaccard — mirrors Dedup.minhashCalibration.

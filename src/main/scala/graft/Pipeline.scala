@@ -57,4 +57,40 @@ object Pipeline {
   /** Read one split back with partition pruning (the consumer-side call). */
   def readSplit(spark: SparkSession, outPath: String, split: String): DataFrame =
     spark.read.parquet(s"$outPath/corpus").filter(col("split") === split)
+
+  /** The reference's ACTUAL program as one library call: materialize the
+    * three collections it bulk-writes to MongoDB — enriched wikibook
+    * records (main.go:164), the token inverted index (main.go:174), and
+    * per-doc compressed token vectors + L2 norms (main.go:238) — through
+    * the format-pluggable sink. With the Mongo connector jar on the
+    * classpath this IS the reference run (`format = "mongodb"`, collection
+    * names in `options`); this container lacks the jar, so tests pin the
+    * trio through parquet — same code path, different format string.
+    *
+    * The three relations share the token hub / dictionary / doc-stats
+    * caches, so the corpus is tokenized once, not three times. Returns
+    * per-collection row counts, read back from what was actually WRITTEN,
+    * and drops them in a manifest next to the data — the reference's
+    * implicit contract (three collections from one run) made explicit for
+    * downstream consumers.
+    */
+  def writeReferenceSinks(spark: SparkSession, dir: String, outPath: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): Map[String, Long] = {
+    import graft.operators.TokenPipeline
+    val trio = Seq(
+      "wikibooks" -> TokenPipeline.wikibookRecords(spark, dir),
+      "tokens" -> TokenPipeline.postings(spark, dir),
+      "token_vectors" -> TokenPipeline.tokenVectorMap(spark, dir))
+    val counts = trio.map { case (name, df) =>
+      sources.Sources.writeFormat(df, format, s"$outPath/$name", options)
+      name -> spark.read.format(format).options(options)
+        .load(s"$outPath/$name").count()
+    }.toMap
+    val manifest = counts.toSeq.sortBy(_._1)
+      .map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}")
+    Files.write(Paths.get(s"$outPath/manifest.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    counts
+  }
 }

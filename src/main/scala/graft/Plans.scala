@@ -80,7 +80,9 @@ object Plans {
       "q99_cross_entropy" ->
         "corpus cross-entropy: vocabulary-sized unigram LM aggregate broadcast back onto the token stream, both folds token-ordered inside one per-doc ObjectHashAggregate — two corpus passes, no joins wider than the vocab",
       "q100_time_to_convert" ->
-        "time-to-convert: strict view→click→purchase resolved by three chained whole-partition window minima in ONE hashpartitioning(user_id) exchange (the q61 funnel device), then the constructed per-cohort median over day-grain groups")
+        "time-to-convert: strict view→click→purchase resolved by three chained whole-partition window minima in ONE hashpartitioning(user_id) exchange (the q61 funnel device), then the constructed per-cohort median over day-grain groups",
+      "q101_token_counts_filescale" ->
+        "reference-scale membership: the 235,886-line dictionary file survives as a BroadcastExchange feeding the left-semi BroadcastHashJoin (and the 668-line stop list its left-anti twin) — a few MB of strings, never a shuffled join over the corpus")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")

@@ -43,13 +43,18 @@ object Sessions {
     // A/B experiment knob: "key=value;key=value" applied last, so config
     // hypotheses (AQE on/off, thresholds) can be measured without code
     // edits. Unset in normal operation — the committed defaults above are
-    // the engine's configuration.
-    sys.env.get("SPARK_GRAFT_CONF").toSeq
+    // the engine's configuration. Because this builder also backs Verify
+    // and the tests, an inherited env var could silently skew a
+    // correctness run — so every application is announced LOUDLY on
+    // stderr, making a conf-tainted verification self-evident in its log.
+    val overrides = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';').toSeq).filter(_.contains("="))
-      .foldLeft(b) { (bb, kv) =>
-        val Array(k, v) = kv.split("=", 2)
-        bb.config(k.trim, v.trim)
-      }
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim, v.trim) }
+    if (overrides.nonEmpty)
+      System.err.println(
+        overrides.map { case (k, v) => s"$k=$v" }
+          .mkString("[graft] SPARK_GRAFT_CONF OVERRIDES ACTIVE: ", "; ", ""))
+    overrides.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
   }
 
   /** Build, quiet the logs, and register the custom planner extensions.

@@ -198,7 +198,17 @@ object SparkEntry {
     // per-doc cross-entropy + KL under the corpus unigram LM
     "q99_cross_entropy" -> ((s, d) => TextAnalysis.crossEntropy(s, d)),
     // exact median time-to-convert per first-view day cohort
-    "q100_time_to_convert" -> ((s, d) => Events.timeToConvert(s, d)))
+    "q100_time_to_convert" -> ((s, d) => Events.timeToConvert(s, d)),
+    // q11's semi/anti membership at the reference's FILE scale: the
+    // 235,886-line dictionary + 668-entry stop list generated to the
+    // reference's exact line counts and read through the file-backed
+    // path, so the broadcast semi-join is exercised against a 236k-row
+    // build side (main.go:108–118, 301–969)
+    "q101_token_counts_filescale" -> ((s, d) => {
+      val (dict, stop) = graft.sources.WordListFixtures.ensure()
+      TokenPipeline.docTokenCountsFromFiles(s, d, dict, stop)
+        .orderBy("doc_id", "token")
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -209,11 +209,17 @@ object Dedup {
     * join work to representative-level work plus output expansion
     * (measured in BASELINE-notes.md's 10× smoke). Only built (and
     * persisted — three consumers) when hasVerbatimDups says it matters.
+    *
+    * groupBy + join, NOT a window over the dup group: min() gets map-side
+    * partial aggregation, so a corpus with one text duplicated 10⁹×
+    * reduces per-partition before the shuffle instead of dragging the
+    * whole group into a single window partition. Same shape as the
+    * embedding side's `embeddingRepMap`.
     */
   private def verbatimReps(spark: SparkSession, dir: String): DataFrame =
     repsCache.getOrElseUpdate(s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
-      fingerprints(spark, dir)
-        .withColumn("rep_id", min("doc_id").over(Window.partitionBy("fp")))
+      val fp = fingerprints(spark, dir)
+      fp.join(fp.groupBy("fp").agg(min("doc_id").as("rep_id")), Seq("fp"))
         .select("doc_id", "rep_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
@@ -711,11 +717,13 @@ object Dedup {
     // loop executes in a conf-ISOLATED cloned session (same context,
     // shared cache manager — the caller's persisted `sym` blocks are
     // visible) with AQE off and shuffle partitions sized from the
-    // measured vertex count: ~500k vertices per partition, capped at the
-    // session default — tiny graphs stop paying 32-task stages per
-    // round, billion-vertex rep graphs still get thousands of
-    // partitions. Cloning instead of set/restore keeps concurrent
-    // queries on the caller's session planning under their own conf.
+    // measured vertex count: ~500k vertices per partition, UNCAPPED
+    // above — tiny graphs stop paying 32-task stages per round, and a
+    // billion-vertex rep graph gets ~2000 partitions regardless of the
+    // session default (a cap at the default would pin large graphs to
+    // the deployment's default, e.g. 32 on local[32]). Cloning instead
+    // of set/restore keeps concurrent queries on the caller's session
+    // planning under their own conf.
     val base = sym0.sparkSession
     val sess = org.apache.spark.sql.GraftBridge.cloneSession(base)
     var labels = org.apache.spark.sql.GraftBridge.inSession(
@@ -723,9 +731,7 @@ object Dedup {
       .localCheckpoint()
     val sym = org.apache.spark.sql.GraftBridge.inSession(sym0, sess)
     val nVerts = labels.count()
-    val defaultParts = sess.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L, math.min(defaultParts.toLong,
-      (nVerts + 499999L) / 500000L)).toString
+    val loopParts = math.max(1L, (nVerts + 499999L) / 500000L).toString
     sess.conf.set("spark.sql.adaptive.enabled", "false")
     sess.conf.set("spark.sql.shuffle.partitions", loopParts)
     var converged = false

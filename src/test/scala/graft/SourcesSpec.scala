@@ -99,6 +99,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(graft.Pipeline.readSplit(spark, out, "train").count() === counts("train"))
   }
 
+  test("Pipeline.writeReferenceSinks round-trips the reference's three collections") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_trio").toString
+    val counts = graft.Pipeline.writeReferenceSinks(spark, TestSpark.Sf, out)
+    // each sunk collection round-trips equal to its query relation
+    // (q48 / q15 / q17 shapes — main.go:164, 174, 238)
+    val expect = Seq(
+      "wikibooks" -> graft.operators.TokenPipeline.wikibookRecords(spark, TestSpark.Sf),
+      "tokens" -> graft.operators.TokenPipeline.postings(spark, TestSpark.Sf),
+      "token_vectors" -> graft.operators.TokenPipeline.tokenVectorMap(spark, TestSpark.Sf))
+    expect.foreach { case (name, df) =>
+      val back = spark.read.parquet(s"$out/$name")
+      assert(counts(name) === df.count(), s"$name count")
+      // map-typed columns (token_vectors) aren't exceptAll-comparable;
+      // stringify the map deterministically before the set compare
+      def cmp(x: org.apache.spark.sql.DataFrame) = {
+        val mapCols = x.schema.filter(_.dataType.typeName == "map").map(_.name)
+        mapCols.foldLeft(x) { (d, c) =>
+          d.withColumn(c, map_entries(col(c)).cast("string")) }
+      }
+      assert(cmp(back).exceptAll(cmp(df)).count() === 0, s"$name contents")
+    }
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/manifest.json")), "UTF-8")
+    counts.foreach { case (n, c) => assert(manifest.contains(s""""$n":$c""")) }
+  }
+
   test("graft-words DSv2 source agrees with readWordList and splits per file") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2")
     java.nio.file.Files.writeString(tmp.resolve("a.txt"), "Alpha\nBETA\n\n gamma \n")

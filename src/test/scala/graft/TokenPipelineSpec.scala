@@ -80,6 +80,27 @@ class TokenPipelineSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("q101: reference-scale word-list files broadcast and match literal path") {
+    val (dict, stop) = graft.sources.WordListFixtures.ensure()
+    def lines(p: String) =
+      { val s = scala.io.Source.fromFile(p); try s.getLines().size finally s.close() }
+    // the generated files carry the reference's exact line counts
+    assert(lines(dict) === graft.sources.WordListFixtures.DictLines)
+    assert(lines(stop) === graft.sources.WordListFixtures.StopLines)
+    val df = TokenPipeline.docTokenCountsFromFiles(spark, sf, dict, stop)
+    // the semi-join must survive a 235,886-row build side as a broadcast —
+    // a few MB of strings, exactly the case the reference's in-memory
+    // dictionary map represents (main.go:108–118)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"no broadcast in plan:\n$plan")
+    // filler words (zzw/zzs prefixes) cannot hit the corpus, so the
+    // file-scale relation equals the literal-list relation exactly
+    val literal = TokenPipeline.docTokenCounts(spark, sf)
+    assert(df.count() === literal.count())
+    assert(df.join(literal, Seq("doc_id", "token", "qty"), "left_anti")
+      .count() === 0)
+  }
+
   test("tokenVectorString renders tokenVectorMap entry-for-entry") {
     val fromMap = TokenPipeline.tokenVectorMap(spark, sf)
       .select($"doc_id",
