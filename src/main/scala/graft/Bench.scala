@@ -60,17 +60,21 @@ object Bench {
       () => operators.Dedup.simhashSignature(spark, sfDir, 16).count(),
       () => operators.Dedup.simhashSignature(spark, sfDir, 32).count(),
       () => operators.Dedup.simhashSignature(spark, sfDir, 64).count())
-    // wave 3: q73/q74 first-touch pre-fill (round 10): these two queries
+    // wave 3: q73/q74/q90 first-touch pre-fill (rounds 10/12): q73/q74
     // alone carried 42 s of BENCH_r09's 163 s cold total — the BPE loop
     // JITs ~15 per-round window plans and SemDeDup JITs the embedding
-    // hash/rep + sign-LSH + propagation plans on first run. One full run
-    // each here moves that one-time codegen/cache fill into warmup_sec,
-    // so the cold map measures them against a steady floor and cold
-    // regressions elsewhere stop hiding behind their noise. Their memo
-    // caches are disjoint (mergeMemo vs embRep/cluster), so they overlap.
+    // hash/rep + sign-LSH + propagation plans on first run. q90 joined in
+    // round 12: BENCH_r11's driver cold run charged its slot 17.6 s of
+    // span/pair-plan first-touch (idle-host cold is 1.8 s) — one full run
+    // here moves that JIT into warmup_sec wherever it lands. All three
+    // memo caches are disjoint (mergeMemo vs embRep/cluster vs
+    // pairsCache), so they overlap safely; clearResultMemos below evicts
+    // what they computed, so the timed cold pass still re-pays every
+    // detection, minus only codegen/JIT.
     wave(
       () => SparkEntry.queries("q73_bpe_merges")(spark, sfDir).count(),
-      () => SparkEntry.queries("q74_semdedup_survivors")(spark, sfDir).count())
+      () => SparkEntry.queries("q74_semdedup_survivors")(spark, sfDir).count(),
+      () => SparkEntry.queries("q90_shared_spans")(spark, sfDir).count())
     // evict the result memos the pre-fill just created (BPE merges,
     // cluster labels): the timed cold pass must still do each query's
     // full per-query work, minus only the JIT/codegen warmup above

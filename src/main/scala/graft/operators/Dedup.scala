@@ -280,6 +280,20 @@ object Dedup {
     * All columns are integers except the error, rounded to 6 decimals
     * (n_agree/8 is an exact eighth; inter/uni is one double divide —
     * both engines compute them identically).
+    *
+    * Verbatim-duplicate collapse (round 12): identical texts have
+    * identical signatures AND identical shingle sets, so every member-
+    * level calibration row is DERIVABLE from its rep pair — cross-group
+    * pairs inherit the rep pair's (n_agree, inter, uni, est_err)
+    * verbatim, within-group pairs are the degenerate perfect-estimate row
+    * (all hashes agree, inter = uni = |shingles|, est_err = 0). The
+    * un-collapsed path computed exactly these values per member pair; the
+    * 100× replication smoke showed that form is quadratic-in-copies
+    * through the pair×shingle verify join (8 GiB heap exhausted by spill-
+    * reader buffers at ~27M candidate pairs × shingle expansion), so like
+    * q23/q90 the exact verify now runs on representatives only and the
+    * member rows are produced by expansion joins. Same relation, rep-
+    * level compute; dup-free corpora skip the machinery entirely.
     */
   /** Longest shared contiguous shingle run per verified near-dup pair
     * (q90) — the positional span signal of ExactSubstr-style dedup (Lee
@@ -469,7 +483,51 @@ object Dedup {
   }
 
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
+    val out =
+      if (!hasVerbatimDups(spark, dir)) calibrationRows(spark, dir, collapse = false)
+      else {
+        // rep-level exact calibration, expanded back to member pairs —
+        // identical texts ⇒ identical signatures and shingle sets, so
+        // cross-group members inherit their rep pair's row verbatim and
+        // within-group pairs are the perfect-estimate row (groups whose
+        // docs have no shingles have no signature, hence no collisions —
+        // the sizes join encodes that, matching the direct path)
+        val m = verbatimReps(spark, dir).select(col("doc_id").as("m_id"), col("rep_id"))
+        val repCal = calibrationRows(spark, dir, collapse = true)
+        val cross = repCal
+          .join(m.select(col("rep_id").as("doc_a"), col("m_id").as("ma")), Seq("doc_a"))
+          .join(m.select(col("rep_id").as("doc_b"), col("m_id").as("mb")), Seq("doc_b"))
+          .select(least(col("ma"), col("mb")).as("doc_a"),
+            greatest(col("ma"), col("mb")).as("doc_b"),
+            col("n_agree"), col("inter"), col("uni"), col("est_err"))
+        val sizes = shingles(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val within = m.as("x")
+          .join(m.as("y"),
+            col("x.rep_id") === col("y.rep_id") && col("x.m_id") < col("y.m_id"))
+          .join(sizes.select(col("doc_id").as("rid"), col("sz")),
+            col("x.rep_id") === col("rid"))
+          .select(col("x.m_id").as("doc_a"), col("y.m_id").as("doc_b"),
+            lit(MinhashHashes.toLong).as("n_agree"),
+            col("sz").as("inter"), col("sz").as("uni"), lit(0.0).as("est_err"))
+        cross.union(within)
+      }
+    out.orderBy("doc_a", "doc_b")
+  }
+
+  /** The member-level calibration computation (candidates → signature
+    * agreement → exact Jaccard) over the full corpus or, with `collapse`,
+    * over verbatim representatives only (minhashCalibration expands the
+    * rep rows back).
+    */
+  private def calibrationRows(spark: SparkSession, dir: String,
+      collapse: Boolean): DataFrame = {
+    val all = minhashBands(spark, dir)
+    val bands =
+      if (!collapse) all
+      else all.join(
+        verbatimReps(spark, dir)
+          .filter(col("doc_id") === col("rep_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -498,7 +556,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_agree"), col("inter"), col("uni"),
         round(col("n_agree").cast("double") / MinhashHashes -
           col("inter").cast("double") / col("uni"), 6).as("est_err"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Verified near-dup pairs from the LSH band-bucket candidate join +

@@ -135,6 +135,59 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 >= 8L || p._2 >= 8L))
   }
 
+  test("minhashCalibration: collapse ≡ direct member-level rows on planted copies") {
+    // same planted shape as the near-dup collapse test: hasVerbatimDups is
+    // true, so the calibration takes its r12 rep-collapse branch; the
+    // reference inlines the pre-collapse member-level computation
+    val base = "spark table scan filter join group order sort merge hash key value row column batch stream"
+    val near = base.replace("batch", "fast")
+    val other = "customer orders line part region nation supplier query window vector data big small slow"
+    val docs = Seq(
+      0L -> base, 1L -> near, 2L -> base, 3L -> base, 4L -> base, 5L -> base,
+      6L -> other, 7L -> other, 8L -> "tiny doc", 9L -> "tiny doc")
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.minhashCalibration(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val bands = Dedup.minhashBands(spark, dir)
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sigs = Dedup.minhashSignatures(spark, dir)
+    val agree = (0 until Dedup.MinhashHashes)
+      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val withAgree = cands
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+    val sh = Dedup.shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val want = withAgree
+      .join(sh.as("ja"), col("doc_a") === col("ja.doc_id"))
+      .join(sh.as("jb"),
+        col("doc_b") === col("jb.doc_id") && col("ja.shingle") === col("jb.shingle"))
+      .groupBy("doc_a", "doc_b", "n_agree").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("inter"), col("uni"),
+        round(col("n_agree").cast("double") / Dedup.MinhashHashes -
+          col("inter").cast("double") / col("uni"), 6).as("est_err"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // the within-group rows really are the perfect-estimate degenerate:
+    // copies of doc 0 pair at est_err 0 with full agreement
+    assert(got.exists(p => p._1 == 2L && p._2 == 3L &&
+      p._3 == Dedup.MinhashHashes.toLong && p._4 == p._5 && p._6 == 0.0))
+    // shingle-less verbatim copies (8/9) produce no calibration row
+    assert(!got.exists(p => p._1 >= 8L || p._2 >= 8L))
+  }
+
   test("embeddingNearDups: planted sign-stable pairs identical at 6 and 12 bits") {
     // Orthogonal sign patterns (Hadamard-style): near-dup pairs share a
     // pattern (cosine ≈ 1, every sign agrees ⇒ same bucket at ANY width);
