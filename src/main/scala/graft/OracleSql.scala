@@ -1431,7 +1431,93 @@ object OracleSql {
          |    AND token NOT IN (SELECT token FROM stopf)
          |  GROUP BY doc_id, token)
          |SELECT doc_id, token, qty FROM kept
-         |ORDER BY doc_id, token""".stripMargin)
+         |ORDER BY doc_id, token""".stripMargin) +
+    ("q102_bloom_decontamination" ->
+      s"""WITH $SplitCte, $ShinglesCte,
+         |tr AS (SELECT s.doc_id, s.shingle FROM shingles s
+         |       JOIN splits sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'),
+         |ev AS (SELECT DISTINCT s.shingle FROM shingles s
+         |       JOIN splits sp ON s.doc_id = sp.doc_id WHERE sp.split <> 'train'),
+         |evpos AS (SELECT DISTINCT pos
+         |          FROM (SELECT unnest([${bloomPosSql("shingle")}]) AS pos FROM ev)),
+         |trpos AS (SELECT doc_id, shingle, unnest([${bloomPosSql("shingle")}]) AS pos
+         |          FROM tr),
+         |hit AS (SELECT doc_id, shingle FROM trpos JOIN evpos USING (pos)
+         |        GROUP BY doc_id, shingle
+         |        HAVING COUNT(*) = ${graft.operators.Sketches.BloomK}),
+         |fl AS (SELECT doc_id, COUNT(*) AS n_flagged FROM hit GROUP BY doc_id),
+         |base AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id)
+         |SELECT sp.doc_id,
+         |       CAST(COALESCE(b.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |       CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged
+         |FROM (SELECT doc_id FROM splits WHERE split = 'train') sp
+         |LEFT JOIN base b ON sp.doc_id = b.doc_id
+         |LEFT JOIN fl f ON sp.doc_id = f.doc_id
+         |ORDER BY sp.doc_id""".stripMargin) +
+    ("q103_cms_heavy_hitters" -> {
+      val S = graft.operators.Sketches
+      val idxList = (0 until S.CmsDepth).mkString(", ")
+      val bucketList = (0 until S.CmsDepth)
+        .map(i => s"${hexValSql(s"'$i|' || shingle", 1, 5)} % ${S.CmsWidth}")
+        .mkString(", ")
+      // the two same-length unnest()s zip positionally (DuckDB semantics),
+      // pairing each hash row index with its bucket
+      s"""WITH $ShinglesCte,
+         |tot AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |        FROM shingles GROUP BY shingle),
+         |tb AS (SELECT shingle, n_exact, unnest([$idxList]) AS i,
+         |              unnest([$bucketList]) AS bucket
+         |       FROM tot),
+         |cells AS (SELECT i, bucket, SUM(n_exact) AS cell FROM tb GROUP BY i, bucket),
+         |est AS (SELECT shingle, MIN(cell) AS n_est
+         |        FROM tb JOIN cells USING (i, bucket) GROUP BY shingle)
+         |SELECT t.shingle, t.n_exact, CAST(e.n_est AS BIGINT) AS n_est,
+         |       CAST(e.n_est - t.n_exact AS BIGINT) AS overcount
+         |FROM tot t JOIN est e USING (shingle)
+         |ORDER BY t.n_exact DESC, t.shingle
+         |LIMIT ${S.TopHitters}""".stripMargin
+    }) +
+    ("q104_hll_registers" -> {
+      val S = graft.operators.Sketches
+      s"""WITH $ShinglesCte,
+         |ss AS (SELECT d.source, s.shingle FROM shingles s
+         |       JOIN documents d ON s.doc_id = d.doc_id),
+         |h AS (SELECT source,
+         |             ${hexValSql("shingle", 1, 2)} % ${S.HllBuckets} AS bucket,
+         |             ${hexValSql("shingle", 3, 13)} AS v
+         |      FROM ss),
+         |r AS (SELECT source, bucket,
+         |             CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END AS rho
+         |      FROM h),
+         |per AS (SELECT source, bucket, MAX(rho) AS register
+         |        FROM r GROUP BY source, bucket),
+         |allr AS (SELECT '__all__' AS source, bucket, MAX(register) AS register
+         |         FROM per GROUP BY bucket)
+         |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(register AS BIGINT) AS register FROM per
+         |UNION ALL
+         |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(register AS BIGINT) AS register FROM allr
+         |ORDER BY source, bucket""".stripMargin
+    })
+
+  /** Big-endian integer value of md5 hex nibbles [start, start+nibbles)
+    * of `sqlExpr` — the DuckDB mirror of Sketches.md5Val's conv() form
+    * (DuckDB has no conv(); the strpos-nibble chain is the established
+    * idiom, see simhashSumsSql).
+    */
+  private def hexValSql(sqlExpr: String, start: Int, nibbles: Int): String =
+    (0 until nibbles).map { j =>
+      s"(strpos('0123456789abcdef', substring(md5($sqlExpr), ${start + j}, 1)) - 1) * ${1L << (4 * (nibbles - 1 - j))}"
+    }.mkString("(", " + ", ")")
+
+  /** The k Bloom bit positions of `x`, comma-joined — mirrors
+    * Sketches.bloomPositions.
+    */
+  private def bloomPosSql(x: String): String =
+    (0 until graft.operators.Sketches.BloomK)
+      .map(i => s"${hexValSql(s"'$i|' || $x", 1, 5)} % ${graft.operators.Sketches.BloomBits}")
+      .mkString(", ")
 
   /** MinHash calibration (q78): band-collision candidates, signature
     * agreement count vs exact Jaccard — mirrors Dedup.minhashCalibration.

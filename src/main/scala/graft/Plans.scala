@@ -82,7 +82,11 @@ object Plans {
       "q100_time_to_convert" ->
         "time-to-convert: strict view→click→purchase resolved by three chained whole-partition window minima in ONE hashpartitioning(user_id) exchange (the q61 funnel device), then the constructed per-cohort median over day-grain groups",
       "q101_token_counts_filescale" ->
-        "reference-scale membership: the 235,886-line dictionary file survives as a BroadcastExchange feeding the left-semi BroadcastHashJoin (and the 668-line stop list its left-anti twin) — a few MB of strings, never a shuffled join over the corpus")
+        "reference-scale membership: the 235,886-line dictionary file survives as a BroadcastExchange feeding the left-semi BroadcastHashJoin (and the 668-line stop list its left-anti twin) — a few MB of strings, never a shuffled join over the corpus",
+      "q102_bloom_decontamination" ->
+        "bloom decontamination: the eval split's distinct bit-position set (≤2^18 rows by construction) survives as a BroadcastExchange feeding a left-semi BroadcastHashJoin over the train side's positions — the train corpus is checked map-side and never shuffled against eval data",
+      "q103_cms_heavy_hitters" ->
+        "CMS heavy hitters: the 4×8192 cell grid (one partial-aggregated groupBy of the cached shingle dfs) is broadcast back for the estimate join — BroadcastHashJoin on (i, bucket); the unbounded shingle universe keys exactly one exchange")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")
@@ -91,7 +95,9 @@ object Plans {
       df.collect() // run THIS DataFrame's queryExecution so AQE finalizes
       val plan = df.queryExecution.executedPlan.toString
       sb.append(s"\n## $name\n\n$why\n\n```\n")
-      sb.append(plan.linesIterator.take(60).mkString("\n"))
+      // 90 lines reaches the build-side branches of the deeper two-join
+      // plans (q102's pos-keyed semi-join sits below its doc-grain joins)
+      sb.append(plan.linesIterator.take(90).mkString("\n"))
       sb.append("\n```\n")
     }
     picks.foreach { case (name, why) =>

@@ -208,7 +208,18 @@ object SparkEntry {
       val (dict, stop) = graft.sources.WordListFixtures.ensure()
       TokenPipeline.docTokenCountsFromFiles(s, d, dict, stop)
         .orderBy("doc_id", "token")
-    }))
+    }),
+    // Bloom-filter decontamination: the eval split's shingles collapse to a
+    // bounded (≤2^18-row) bit-position set, broadcast; the train side is
+    // semi-joined map-side and never shuffled against eval data (q59's
+    // exact join, re-expressed the way 100 TB pipelines actually run it)
+    "q102_bloom_decontamination" -> ((s, d) => Sketches.bloomDecontamination(s, d)),
+    // Count-min-sketch heavy hitters: constant 4×1024 mergeable counter
+    // grid; estimate = min over rows, overcount provably ≥ 0
+    "q103_cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
+    // HyperLogLog distinct-shingle registers per source, merged `__all__`
+    // group by cell-wise MAX (the union-sketch property, relationally)
+    "q104_hll_registers" -> ((s, d) => Sketches.hllRegisters(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Fixed-size sketch operators — the primitives a 100 TB training-data
+  * pipeline uses when the exact relational form (a shuffle keyed on the
+  * full value universe) stops being affordable:
+  *
+  *  - Bloom-filter decontamination (`bloomDecontamination`): membership of
+  *    train-side n-grams in the eval split tested against a BOUNDED bit-set
+  *    relation — the broadcast side is capped at `BloomBits` rows no matter
+  *    how large the eval corpus grows, where q59's exact form shuffles
+  *    train shingles against eval shingles. This is how public pretraining
+  *    pipelines decontaminate at scale (a bitset per eval benchmark,
+  *    broadcast to every worker); Spark itself uses the same shape for its
+  *    runtime bloom-filter join pruning.
+  *  - Count-min-sketch heavy hitters (`cmsHeavyHitters`): token frequency
+  *    estimates from a d×w counter grid (Cormode–Muthukrishnan). The grid
+  *    is `CmsDepth·CmsWidth` cells TOTAL — mergeable across partitions by
+  *    cell-wise sum (here: one partial-aggregated groupBy on (i, bucket)),
+  *    so the sketch state is constant-size while the token universe is
+  *    unbounded. Estimates are min-over-rows and can only over-count.
+  *  - HyperLogLog registers (`hllRegisters`): per-source distinct-shingle
+  *    registers (Flajolet et al.) — bucket from md5 bits, register =
+  *    max rank-of-first-one-bit — mergeable by cell-wise MAX, demonstrated
+  *    by the `__all__` row-group which merges the per-source registers
+  *    relationally. Spark's own `approx_count_distinct` is the same
+  *    structure; this form keeps the registers as DATA (queryable,
+  *    unionable across corpus dumps) instead of an opaque aggregate, and
+  *    stays deterministic for the DuckDB oracle.
+  *
+  * Every hash is md5 over an explicit string (the repo-wide determinism
+  * rule), prefix nibbles converted big-endian — `conv(substring(md5(x),
+  * start, n), 16, 10)` here, the equivalent strpos-nibble chain in the
+  * oracle SQL. All three operators are single-shuffle aggregates over the
+  * already-persisted shingle/token-hub relations plus a broadcast of the
+  * fixed-size sketch itself.
+  */
+object Sketches {
+
+  /** Bloom hash functions (k) and bit-array size (m). m = 2^18 keeps the
+    * bit-set relation ≤ 262,144 rows — a few MB broadcast — while holding
+    * the false-positive rate ≈ (1−e^(−kn/m))^k ≈ 0.24% at n = 10k eval
+    * shingles; at 100 TB you size m to the eval benchmark (it is the EVAL
+    * side that bounds n, and eval benchmarks don't grow with the corpus).
+    */
+  val BloomK = 4
+  val BloomBits = 1 << 18
+
+  /** CMS grid: depth (independent hash rows) × width (counters per row).
+    * Error bound: overcount ≤ e·N/w with probability 1 − e^(−d).
+    */
+  val CmsDepth = 4
+  val CmsWidth = 8192
+
+  /** HLL register count m = 2^6; standard error ≈ 1.04/√m ≈ 13%. */
+  val HllBuckets = 64
+
+  /** Heavy-hitter report size. */
+  val TopHitters = 50
+
+  /** Big-endian value of md5 hex nibbles [1, nibbles] of `sqlExpr` —
+    * identical in any engine (the oracle rebuilds it nibble-by-nibble).
+    */
+  private def md5Val(sqlExpr: String, start: Int, nibbles: Int): Column =
+    expr(s"cast(conv(substring(md5($sqlExpr), $start, $nibbles), 16, 10) as bigint)")
+
+  /** The k Bloom bit positions of a shingle: pos_i = bits 0..19 of
+    * md5("i|" + shingle) mod m (2^20 mod 2^18 stays uniform).
+    */
+  private def bloomPositions: Column =
+    array((0 until BloomK).map(i =>
+      md5Val(s"concat('$i|', shingle)", 1, 5) % BloomBits): _*)
+
+  /** Per-train-doc contamination counts against a Bloom filter of the
+    * eval (val+test) split's 5-gram shingles: `n_flagged` = shingles whose
+    * k positions are ALL set in the eval bit-set (possible contamination,
+    * superset of the exact overlap — Bloom never false-negatives), next to
+    * the doc's total shingle count. Same split and shingle definitions as
+    * q56/q59. Scale shape: the eval side collapses to ≤ m DISTINCT bit
+    * positions (broadcast, constant-size); the train side — the 100 TB
+    * side — is touched once, map-side, by a broadcast semi-join + partial
+    * count, never shuffled against eval data.
+    */
+  def bloomDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
+    val sh = Dedup.shingles(spark, dir)
+    val trainDocs = splits.filter(col("split") === "train").select("doc_id")
+    val trainSh = sh.join(trainDocs, Seq("doc_id"), "left_semi")
+    val evalSh = sh.join(
+      splits.filter(col("split") =!= "train").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val bits = evalSh.select(explode(bloomPositions).as("pos")).distinct()
+    val flagged = trainSh
+      .select(col("doc_id"), col("shingle"), explode(bloomPositions).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === BloomK)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+    val base = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    trainDocs
+      .join(base, Seq("doc_id"), "left")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-shingle document frequencies with (i, bucket) CMS coordinates
+    * attached — shared by the cell build and the estimate lookup.
+    */
+  private def cmsTagged(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = array((0 until CmsDepth).map(i =>
+      md5Val(s"concat('$i|', shingle)", 1, 5) % CmsWidth): _*)
+    Dedup.shingles(spark, dir)
+      .groupBy("shingle").agg(count(lit(1)).as("n_exact"))
+      .select(col("shingle"), col("n_exact"),
+        posexplode(buckets).as(Seq("i", "bucket")))
+  }
+
+  /** Top-`TopHitters` 5-gram shingles by exact document frequency, with
+    * the count-min-sketch estimate and its overcount (provably ≥ 0)
+    * beside the exact count — the boilerplate pre-pass: at 100 TB the
+    * sketch names the heavy shingles (license headers, navigation chrome)
+    * that the dedup ladder's `maxShingleDf` skew hatch should drop,
+    * without keying a full shuffle on the unbounded shingle universe.
+    * The d×w cell grid is built by one partial-aggregated groupBy and
+    * broadcast back for the estimate join — constant sketch state while
+    * the shingle universe grows with the corpus.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = cmsTagged(spark, dir)
+    val cells = tagged.groupBy("i", "bucket").agg(sum("n_exact").as("cell"))
+    val est = tagged.join(broadcast(cells), Seq("i", "bucket"))
+      .groupBy("shingle").agg(min("cell").as("n_est"), max("n_exact").as("n_exact"))
+    est
+      .select(col("shingle"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("shingle"))
+      .limit(TopHitters)
+  }
+
+  /** Per-source HyperLogLog registers over distinct 5-gram shingles:
+    * bucket = md5 nibbles 1–2 mod m, rho = rank of the first 1-bit in the
+    * 52-bit value of nibbles 3–15 (53 − bit-length; 53 when zero),
+    * register = MAX(rho) — plus the `__all__` group merging every source's
+    * registers by cell-wise MAX (the union sketch, identical to sketching
+    * the union directly). MAX ignores duplicates, so the input needs no
+    * distinct shuffle; the whole operator is one partial-aggregated
+    * groupBy producing ≤ (sources+1)·m rows of queryable sketch state.
+    */
+  def hllRegisters(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Dedup.shingles(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"),
+        (md5Val("shingle", 1, 2) % HllBuckets).as("bucket"),
+        md5Val("shingle", 3, 13).as("v"))
+      .select(col("source"), col("bucket"),
+        when(col("v") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("v")))).cast("long").as("rho"))
+      .groupBy("source", "bucket").agg(max("rho").as("register"))
+    val merged = perSource.groupBy("bucket")
+      .agg(max("register").as("register"))
+      .select(lit("__all__").as("source"), col("bucket"), col("register"))
+    perSource.unionByName(merged)
+      .orderBy("source", "bucket")
+  }
+}

@@ -83,7 +83,7 @@ object TextAnalysis {
   /** UNSORTED split assignment — building-block form for internal joins
     * (splitContamination); q56 sorts at its edge via hashSplit.
     */
-  private def splitRaw(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def splitRaw(spark: SparkSession, dir: String): DataFrame = {
     val nib = (j: Int) =>
       expr(s"(instr('0123456789abcdef', substring(md5(text), $j, 1)) - 1)")
     val bucket = (nib(1) * 16 + nib(2)).cast("long")

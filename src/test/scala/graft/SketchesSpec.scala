@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sketches, TextAnalysis}
+
+/** Property tests for the fixed-size sketch operators: the guarantees the
+  * sketches are USED for (no false negatives, one-sided error, register
+  * mergeability, estimate accuracy) rather than re-deriving the per-row
+  * hashes the DuckDB oracle already pins.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.Sf
+
+  test("bloom decontamination never false-negatives vs the exact overlap") {
+    val splits = TextAnalysis.hashSplit(spark, sf).select("doc_id", "split")
+    val sh = Dedup.shingles(spark, sf)
+    val trainSh = sh.join(
+      splits.filter($"split" === "train").select("doc_id"), Seq("doc_id"), "left_semi")
+    val evalShingles = sh.join(
+      splits.filter($"split" =!= "train").select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("shingle").distinct()
+    val exact = trainSh.join(evalShingles, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    val bloom = Sketches.bloomDecontamination(spark, sf)
+    // a Bloom filter can only over-flag: n_exact ≤ n_flagged ≤ n_shingles
+    val falseNeg = bloom.join(exact, Seq("doc_id"), "left")
+      .filter($"n_flagged" < coalesce($"n_exact", lit(0L))).count()
+    assert(falseNeg === 0)
+    assert(bloom.filter($"n_flagged" > $"n_shingles").count() === 0)
+    // covers every train doc exactly once, including shingle-less ones
+    val nTrain = splits.filter($"split" === "train").count()
+    assert(bloom.count() === nTrain)
+  }
+
+  test("cms estimates never undercount and respect the e·N/w grid bound") {
+    val rows = Sketches.cmsHeavyHitters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("overcount") >= 0L))
+    // the classic CMS guarantee (loose at this scale, but it must hold):
+    // estimate ≤ exact + e·N/w where N is the total sketched mass
+    // (Σ document frequencies = the (doc, shingle) row count)
+    val totalN = Dedup.shingles(spark, sf).count()
+    val bound = math.ceil(math.E * totalN / Sketches.CmsWidth).toLong
+    assert(rows.forall(_.getAs[Long]("overcount") <= bound))
+    // the report is exact-descending with the shingle tie-break
+    val pairs = rows.map(r => (r.getAs[Long]("n_exact"), r.getAs[String]("shingle")))
+    assert(pairs.sameElements(pairs.sortBy { case (n, t) => (-n, t) }))
+  }
+
+  /** HLL estimator from a register map (missing buckets = 0), with the
+    * standard small-range linear-counting correction.
+    */
+  private def hllEstimate(regs: Map[Long, Long]): Double = {
+    val m = Sketches.HllBuckets
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val sum = (0L until m).map(b => math.pow(2.0, -regs.getOrElse(b, 0L).toDouble)).sum
+    val raw = alpha * m * m / sum
+    val zeros = (0L until m).count(b => regs.getOrElse(b, 0L) == 0L)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
+  test("hll: __all__ merges per-source registers and estimates track exact distincts") {
+    val out = Sketches.hllRegisters(spark, sf).collect()
+    val bySource = out.groupBy(_.getAs[String]("source")).map { case (s, rs) =>
+      s -> rs.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register")).toMap
+    }
+    val all = bySource("__all__")
+    // merge property: the union sketch is the cell-wise MAX of the parts
+    val expected = bySource.filter(_._1 != "__all__").values
+      .flatMap(_.toSeq).groupBy(_._1).map { case (b, vs) => b -> vs.map(_._2).max }
+    assert(all === expected)
+    // estimates: exact distinct shingles per source and globally
+    val exact = Dedup.shingles(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "shingle").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    val exactAll = Dedup.shingles(spark, sf).select("shingle").distinct().count()
+    // m=64 → standard error ≈ 13%, and raw HLL (no HLL++ bias table) has
+    // known mid-range bias, so individual sources can land ~3σ out; the
+    // honest deterministic assertion is mean error tight + per-source cap
+    val errs = for ((src, n) <- exact.toSeq if n >= 50)
+      yield math.abs(hllEstimate(bySource(src)) - n) / n
+    assert(errs.nonEmpty)
+    assert(errs.sum / errs.size <= 0.20,
+      s"mean relative error ${errs.sum / errs.size} above 20%")
+    assert(errs.forall(_ <= 0.60), s"a source exceeded 60% error: $errs")
+    val estAll = hllEstimate(all)
+    assert(math.abs(estAll - exactAll) <= 0.40 * exactAll,
+      s"__all__: est $estAll vs exact $exactAll out of tolerance")
+  }
+}
