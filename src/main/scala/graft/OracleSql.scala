@@ -1499,6 +1499,42 @@ object OracleSql {
          |SELECT source, CAST(bucket AS BIGINT) AS bucket,
          |       CAST(register AS BIGINT) AS register FROM allr
          |ORDER BY source, bucket""".stripMargin
+    }) +
+    ("q105_knn_pq" -> {
+      val S = graft.operators.Similarity
+      val M = S.PqSubspaces; val sub = S.PqSubDim; val ks = S.PqCodes
+      // sequential squared-L2 fold over one subspace — mirrors
+      // Similarity.sqDist's zip_with/aggregate left-to-right evaluation
+      val sqd = s"list_reduce(list_transform(range(1, ${sub + 1}), " +
+        "i -> (sub[i]-cent[i])*(sub[i]-cent[i])), (x, y) -> x + y)"
+      // DuckDB lists are 1-based (the Spark side's [] is 0-based)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |ms AS (SELECT unnest(range(0, $M)) AS m),
+         |cb AS (SELECT vec_id AS code, m, emb[(m*$sub+1):(m*$sub+$sub)] AS cent
+         |       FROM e CROSS JOIN ms WHERE vec_id < $ks),
+         |sv AS (SELECT vec_id, m, emb[(m*$sub+1):(m*$sub+$sub)] AS sub
+         |       FROM e CROSS JOIN ms),
+         |cd AS (SELECT vec_id, m, code, $sqd AS d2
+         |       FROM sv JOIN cb USING (m)),
+         |codes AS (SELECT vec_id, list(code ORDER BY m) AS codes
+         |          FROM (SELECT vec_id, m, code,
+         |                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |                                          ORDER BY d2, code) AS rn
+         |                FROM cd)
+         |          WHERE rn = 1 GROUP BY vec_id),
+         |tarr AS (SELECT vec_id AS query_id, list(d2 ORDER BY m * $ks + code) AS tab
+         |         FROM cd WHERE vec_id < ${S.QuerySetSize} GROUP BY vec_id),
+         |sc AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+         |         ROUND(list_reduce(list_transform(range(0, $M),
+         |                  m -> tab[m * $ks + codes[m + 1] + 1]),
+         |                (x, y) -> x + y), 6) AS pq_dist2
+         |       FROM codes c CROSS JOIN tarr t WHERE c.vec_id <> t.query_id)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, pq_dist2
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                   ORDER BY pq_dist2, neighbor_id) AS rnk
+         |      FROM sc)
+         |WHERE rnk <= ${S.K}
+         |ORDER BY query_id, rnk""".stripMargin
     })
 
   /** Big-endian integer value of md5 hex nibbles [start, start+nibbles)

@@ -86,7 +86,9 @@ object Plans {
       "q102_bloom_decontamination" ->
         "bloom decontamination: the eval split's distinct bit-position set (≤2^18 rows by construction) survives as a BroadcastExchange feeding a left-semi BroadcastHashJoin over the train side's positions — the train corpus is checked map-side and never shuffled against eval data",
       "q103_cms_heavy_hitters" ->
-        "CMS heavy hitters: the 4×8192 cell grid (one partial-aggregated groupBy of the cached shingle dfs) is broadcast back for the estimate join — BroadcastHashJoin on (i, bucket); the unbounded shingle universe keys exactly one exchange")
+        "CMS heavy hitters: the 4×8192 cell grid (one partial-aggregated groupBy of the cached shingle dfs) is broadcast back for the estimate join — BroadcastHashJoin on (i, bucket); the unbounded shingle universe keys exactly one exchange",
+      "q105_knn_pq" ->
+        "PQ ANN: the 128-row codebook and the 8-row per-query ADC table set are BroadcastExchanges; encoding is one corpus pass through the broadcast codebook join + min_by partial agg; the scan is a broadcast join against the table set with bounded top-k via native collect_top_k — no ranking window over the corpus, no unbounded shuffle key")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")

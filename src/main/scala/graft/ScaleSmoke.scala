@@ -115,7 +115,17 @@ object ScaleSmoke {
       "q99_cross_entropy",
       // round 9: conversion-latency cohort medians — one user-keyed window
       // pass + a per-(day) percentile over 10× users
-      "q100_time_to_convert")
+      "q100_time_to_convert",
+      // round 12: sketch + PQ rungs. Bloom decontamination streams the
+      // replicated train side against the eval bit-set broadcast (the
+      // bit-set is replication-INVARIANT — verbatim copies add no new
+      // shingles, so the broadcast side stays byte-identical while the
+      // probed side grows); CMS cells absorb 10× df mass into the same
+      // 4×8192 grid; HLL registers must come out BIT-IDENTICAL to 1×
+      // (register = max over distinct hashes — replication adds none);
+      // PQ encodes 10× vectors through the broadcast codebook join
+      "q102_bloom_decontamination", "q103_cms_heavy_hitters",
+      "q104_hll_registers", "q105_knn_pq")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -129,8 +139,19 @@ object ScaleSmoke {
       "q76_dup_span_coverage" -> 5000L, "q81_train_corpus" -> 5000L,
       "q82_dsir_weights" -> 5000L, "q91_doc_novelty" -> 5000L,
       "q92_token_entropy" -> 5000L, "q94_payload_energy" -> 5000L,
-      "q99_cross_entropy" -> 5000L
-    ).map { case (k, v) => k -> v * copies }
+      "q99_cross_entropy" -> 5000L,
+      // bloom output = one row per TRAIN doc (content-hash split is
+      // text-keyed, so every copy of a doc lands in the same split:
+      // 3,973 train docs per sf0.1 copy)
+      "q102_bloom_decontamination" -> 3973L
+    ).map { case (k, v) => k -> v * copies } ++
+      // replication-INVARIANT outputs: fixed-size sketch reports must not
+      // scale with copies at all (q103 top-50; q104 (sources+1)·64
+      // register rows — identical registers, since verbatim copies add no
+      // distinct shingles; q105 8 queries × top-5)
+      Map("q103_cms_heavy_hitters" -> 50L,
+        "q104_hll_registers" -> 1344L,
+        "q105_knn_pq" -> 40L)
     var bad = 0
     heavy.filter(n => only.isEmpty || only(n)).foreach { name =>
       val t0 = System.nanoTime()

@@ -219,7 +219,11 @@ object SparkEntry {
     "q103_cms_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     // HyperLogLog distinct-shingle registers per source, merged `__all__`
     // group by cell-wise MAX (the union-sketch property, relationally)
-    "q104_hll_registers" -> ((s, d) => Sketches.hllRegisters(s, d)))
+    "q104_hll_registers" -> ((s, d) => Sketches.hllRegisters(s, d)),
+    // Product-quantized ANN: 8×8-dim subspaces, 16 codewords each (4-byte
+    // codes = 64× less scan bandwidth than float32), ADC table lookups
+    // summed sequentially, bounded top-k via native CollectTopK
+    "q105_knn_pq" -> ((s, d) => Similarity.knnPq(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

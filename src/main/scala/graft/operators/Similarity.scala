@@ -458,4 +458,85 @@ object Similarity {
       .select(col("label"), col("vec_id"), col("rnk"), round(col("d"), 6).as("dist"))
       .orderBy("label", "rnk")
   }
+
+  /** PQ geometry: M subspaces × PqSubDim dims (M·PqSubDim = the embedding
+    * dimension), Ks codewords per subspace — codes pack into M·log₂(Ks) =
+    * 32 bits per vector, a 64× cut from the float32 embedding (512× from
+    * the working doubles).
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+
+  /** Sequential squared-L2 fold between two equal-length slices — the
+    * zip_with/aggregate form both engines evaluate left-to-right, so the
+    * doubles are bit-identical to DuckDB's list_reduce mirror.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantized ANN (q105) — the compression rung of the ANN
+    * ladder (brute q28 → IVF q29/q55 → int8 q77 → PQ): split each
+    * embedding into M=8 subspaces of 8 dims, quantize every subvector to
+    * its nearest of Ks=16 per-subspace codewords (codebook = the first Ks
+    * vectors' subvectors — the q83 RNG-free seeding device), and rank
+    * neighbors by the asymmetric-distance (ADC) estimate: each query
+    * precomputes its M·Ks-entry (m, code) → squared-distance table, and a
+    * vector's estimated distance is the SEQUENTIAL sum of its M table
+    * lookups — exactly the squared distance to the vector's
+    * reconstruction (property-tested). At 100 TB this is how similarity
+    * search actually ships: 4-byte codes scan 64× less bandwidth than
+    * float32, the codebook and per-query tables are broadcast (KBs), and
+    * the exact rerank (q28's shape) runs only on this shortlist. One
+    * corpus pass encodes; the scan is a crossJoin against the
+    * QuerySetSize-row broadcast table set with bounded top-k (native
+    * CollectTopK) — no ranking window over the corpus, no shuffle keyed
+    * on anything unbounded.
+    */
+  def knnPq(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val e = vectors(spark, dir)
+    val slices = array((0 until PqSubspaces).map(m =>
+      slice(col("emb"), m * PqSubDim + 1, PqSubDim)): _*)
+    val codebook = e.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").cast("int").as("code"),
+        posexplode(slices).as(Seq("m", "cent")))
+    val subv = e.select(col("vec_id"), posexplode(slices).as(Seq("m", "sv")))
+    // every (vector, subspace, codeword) distance — the code assignment
+    // and the query tables both read THIS one relation, so they can
+    // never disagree on a distance
+    val scoredCodes = subv.join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        sqDist(col("sv"), col("cent")).as("d2"))
+    val codes = scoredCodes
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    val qtab = scoredCodes.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"),
+        (col("m") * PqCodes + col("code")).as("idx"), col("d2"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d2")))),
+        s => s.getField("d2")).as("tab"))
+    val scored = codes.crossJoin(broadcast(qtab))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        // [] is 0-based in Spark SQL (the DuckDB mirror adds its +1s)
+        round(expr(s"aggregate(sequence(0, ${PqSubspaces - 1}), " +
+          "cast(0.0 as double), " +
+          s"(acc, m) -> acc + tab[m * $PqCodes + codes[m]])"), 6)
+          .as("pq_dist2"))
+    scored.groupBy("query_id")
+      // native CollectTopK on struct(pq_dist2, neighbor_id): smallest-k
+      // ascending == (dist asc, id asc) — the q97 min-k device
+      .agg(org.apache.spark.sql.GraftBridge.collectTopK(
+        struct(col("pq_dist2"), col("neighbor_id")), k, reverse = true).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.pq_dist2").as("pq_dist2"))
+      .orderBy("query_id", "rnk")
+  }
 }

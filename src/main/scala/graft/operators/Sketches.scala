@@ -110,17 +110,28 @@ object Sketches {
       .orderBy("doc_id")
   }
 
+  /** The CmsDepth bucket columns of a `shingle` column — ONE definition
+    * shared by the batch grid and the streaming twin
+    * (StreamingOps.cmsCells), so the hash mapping cannot drift.
+    */
+  private[graft] def cmsBucketArray: Column =
+    array((0 until CmsDepth).map(i =>
+      md5Val(s"concat('$i|', shingle)", 1, 5) % CmsWidth): _*)
+
   /** Per-shingle document frequencies with (i, bucket) CMS coordinates
     * attached — shared by the cell build and the estimate lookup.
     */
-  private def cmsTagged(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = array((0 until CmsDepth).map(i =>
-      md5Val(s"concat('$i|', shingle)", 1, 5) % CmsWidth): _*)
+  private def cmsTagged(spark: SparkSession, dir: String): DataFrame =
     Dedup.shingles(spark, dir)
       .groupBy("shingle").agg(count(lit(1)).as("n_exact"))
       .select(col("shingle"), col("n_exact"),
-        posexplode(buckets).as(Seq("i", "bucket")))
-  }
+        posexplode(cmsBucketArray).as(Seq("i", "bucket")))
+
+  /** The d×w cell grid as a relation — q103's sketch state, also the
+    * batch side of the streaming twin's cell-for-cell parity test.
+    */
+  def cmsCells(spark: SparkSession, dir: String): DataFrame =
+    cmsTagged(spark, dir).groupBy("i", "bucket").agg(sum("n_exact").as("cell"))
 
   /** Top-`TopHitters` 5-gram shingles by exact document frequency, with
     * the count-min-sketch estimate and its overcount (provably ≥ 0)
@@ -134,8 +145,7 @@ object Sketches {
     */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val tagged = cmsTagged(spark, dir)
-    val cells = tagged.groupBy("i", "bucket").agg(sum("n_exact").as("cell"))
-    val est = tagged.join(broadcast(cells), Seq("i", "bucket"))
+    val est = tagged.join(broadcast(cmsCells(spark, dir)), Seq("i", "bucket"))
       .groupBy("shingle").agg(min("cell").as("n_est"), max("n_exact").as("n_exact"))
     est
       .select(col("shingle"), col("n_exact"), col("n_est"),

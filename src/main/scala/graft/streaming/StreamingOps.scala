@@ -67,6 +67,28 @@ object StreamingOps {
             coalesce(element_at(wmap, b), lit(defaultW))), 6).as("score"))
   }
 
+  /** Streaming CMS grid build — the streaming twin of q103's cell
+    * relation (Sketches.cmsCells): each arriving document contributes its
+    * DISTINCT 5-gram shingles (array_distinct per row — document
+    * frequency needs no cross-row state), each mapped to its CmsDepth
+    * (i, bucket) cells through the SAME shared bucket definition
+    * (Sketches.cmsBucketArray), and one running groupBy-count holds the
+    * constant d×w grid in complete mode. This is the sketch shape made
+    * for ingest: state is 4×8192 counters no matter how many documents
+    * stream past, each micro-batch merges by cell-wise sum (exactly what
+    * the incremental aggregation does), and StreamingSpec pins the result
+    * cell-for-cell to the batch grid over the identical corpus.
+    */
+  def cmsCells(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(array_distinct(
+        graft.functions.TextFns.shingleArray(
+          graft.functions.TextFns.tokenize(col("text")),
+          graft.operators.Dedup.ShingleSize))).as("shingle"))
+      .select(posexplode(graft.operators.Sketches.cmsBucketArray)
+        .as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cell"))
+
   /** Watermarked hourly tumbling counts per event type — the streaming twin
     * of operators.Events.hourlyByType.
     */

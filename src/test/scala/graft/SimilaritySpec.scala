@@ -162,4 +162,41 @@ class SimilaritySpec extends AnyFunSuite {
     asg.unpersist()
     ()
   }
+
+  test("q105 PQ: ADC distance equals distance to the reconstructed vector") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.knnPq(spark, sf).collect()
+    assert(out.length === Similarity.QuerySetSize * Similarity.K)
+    // per query: rnk 1..K with pq_dist2 non-decreasing
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ===
+        (1L to Similarity.K.toLong))
+      val d = sorted.map(_.getAs[Double]("pq_dist2")).toSeq
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+    }
+    // the ADC identity, recomputed independently with plain Scala doubles:
+    // Σ_m table[m][code_v(m)] IS ||q − reconstruct(v)||² where
+    // reconstruct(v) concatenates v's chosen codewords
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val m0 = Similarity.PqSubspaces; val sd = Similarity.PqSubDim
+    val ks = Similarity.PqCodes
+    def subv(v: Array[Double], m: Int): Array[Double] = v.slice(m * sd, m * sd + sd)
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    def code(v: Array[Double], m: Int): Int =
+      (0 until ks).minBy(c => (sq(subv(v, m), subv(emb(c.toLong), m)), c))
+    for (r <- out) {
+      val q = emb(r.getAs[Long]("query_id"))
+      val n = emb(r.getAs[Long]("neighbor_id"))
+      val adc = (0 until m0).foldLeft(0.0) { (acc, m) =>
+        acc + sq(subv(q, m), subv(emb(code(n, m).toLong), m))
+      }
+      assert(math.abs(adc - r.getAs[Double]("pq_dist2")) < 1e-6,
+        s"ADC mismatch for (${r.getAs[Long]("query_id")}, ${r.getAs[Long]("neighbor_id")})")
+    }
+  }
 }

@@ -70,6 +70,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("streaming CMS grid equals the batch q103 cells, cell for cell") {
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("cms_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir.toString)
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.cmsCells(stream), "cms_test", mode = "complete")
+    val want = graft.operators.Sketches.cmsCells(spark, sf)
+    // EXACT cell-for-cell equality: same shingle set (array_distinct per
+    // doc == the batch relation's distinct (doc, shingle)), same shared
+    // bucket hashes, integer counts
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("gopherKeep admits exactly the q75 keep-set (batch-checked on the corpus)") {
     val kept = StreamingOps.gopherKeep(
       Tables.documents(spark, sf).select("doc_id", "text"))
