@@ -56,6 +56,7 @@ object Bench {
       () => operators.TokenPipeline.tokenDictionary(spark, sfDir).count(),
       () => operators.TokenPipeline.docAggregates(spark, sfDir).count(),
       () => operators.TextAnalysis.tfidfRaw(spark, sfDir).count(),
+      () => operators.Dedup.shingleDf(spark, sfDir).count(),
       () => operators.Dedup.minhashSignatures(spark, sfDir).count(),
       () => operators.Dedup.simhashSignature(spark, sfDir, 16).count(),
       () => operators.Dedup.simhashSignature(spark, sfDir, 32).count(),

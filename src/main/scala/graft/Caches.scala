@@ -12,7 +12,7 @@ object Caches {
   private def maps = Seq(
     operators.TokenPipeline.cache, operators.TokenPipeline.dictCache,
     operators.TokenPipeline.statsCache,
-    operators.Dedup.cache, operators.Dedup.sigCache,
+    operators.Dedup.cache, operators.Dedup.dfCache, operators.Dedup.sigCache,
     operators.Dedup.clusterCache, operators.Dedup.repsCache,
     operators.Dedup.fpCache, operators.Dedup.cappedCache,
     operators.Dedup.pairsCache, operators.Dedup.simhashSigCache,

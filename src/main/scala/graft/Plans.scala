@@ -50,7 +50,7 @@ object Plans {
       "q74_semdedup_survivors" ->
         "SemDeDup survivors: verbatim vectors collapse via an md5-keyed groupBy with map-side partial min (no full-embedding shuffle keys), the narrow (vec_id, rep) membership localCheckpoint-materialized, then one left join against the checkpoint-truncated component labels (edges from q27's bucketed sign-LSH equi-join)",
       "q76_dup_span_coverage" ->
-        "duplicated-span coverage: per-shingle df aggregate joined back to the cached shingle relation, then a per-doc aggregate — the inverted index costed, never doc pairs",
+        "duplicated-span coverage: the CACHED per-shingle df index artifact (round 12, shared with q103) joined back to the cached shingle relation, then a per-doc aggregate — the inverted index costed, never doc pairs",
       "q77_knn_quantized" ->
         "int8-quantized ANN: codegen transform to integer codes, 8-row quantized query set broadcast, integer-dot ranking — the 4×-narrower first-pass scan",
       "q78_minhash_calibration" ->
@@ -86,7 +86,7 @@ object Plans {
       "q102_bloom_decontamination" ->
         "bloom decontamination: the eval split's distinct bit-position set (≤2^18 rows by construction) survives as a BroadcastExchange feeding a left-semi BroadcastHashJoin over the train side's positions — the train corpus is checked map-side and never shuffled against eval data",
       "q103_cms_heavy_hitters" ->
-        "CMS heavy hitters: the 4×8192 cell grid (one partial-aggregated groupBy of the cached shingle dfs) is broadcast back for the estimate join — BroadcastHashJoin on (i, bucket); the unbounded shingle universe keys exactly one exchange",
+        "CMS heavy hitters: the report set comes from a distributed TakeOrdered over the CACHED df index artifact (50 rows), the 4×8192 cell grid from one partial-aggregated groupBy over the same relation, broadcast back for the 50-row estimate join — estimates are table probes, not a universe-wide aggregate",
       "q105_knn_pq" ->
         "PQ ANN: the 128-row codebook and the 8-row per-query ADC table set are BroadcastExchanges; encoding is one corpus pass through the broadcast codebook join + min_by partial agg; the scan is a broadcast join against the table set with bounded top-k via native collect_top_k — no ranking window over the corpus, no unbounded shuffle key")
 

@@ -118,13 +118,12 @@ object Sketches {
     array((0 until CmsDepth).map(i =>
       md5Val(s"concat('$i|', shingle)", 1, 5) % CmsWidth): _*)
 
-  /** Per-shingle document frequencies with (i, bucket) CMS coordinates
-    * attached — shared by the cell build and the estimate lookup.
+  /** Per-shingle document frequencies (the cached index artifact) with
+    * (i, bucket) CMS coordinates attached — the grid build's input.
     */
   private def cmsTagged(spark: SparkSession, dir: String): DataFrame =
-    Dedup.shingles(spark, dir)
-      .groupBy("shingle").agg(count(lit(1)).as("n_exact"))
-      .select(col("shingle"), col("n_exact"),
+    Dedup.shingleDf(spark, dir)
+      .select(col("shingle"), col("df").as("n_exact"),
         posexplode(cmsBucketArray).as(Seq("i", "bucket")))
 
   /** The d×w cell grid as a relation — q103's sketch state, also the
@@ -144,14 +143,23 @@ object Sketches {
     * the shingle universe grows with the corpus.
     */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val tagged = cmsTagged(spark, dir)
-    val est = tagged.join(broadcast(cmsCells(spark, dir)), Seq("i", "bucket"))
+    // the report set first (TakeOrdered, 50 rows), THEN the estimate
+    // lookup — estimates are per-row table probes of the finished grid,
+    // so only the reported shingles pay the join (the r12 first cut
+    // estimated all ~|universe| shingles and made q103 the second most
+    // expensive warm query in the suite; result is identical)
+    val top = Dedup.shingleDf(spark, dir)
+      .select(col("shingle"), col("df").as("n_exact"))
+      .orderBy(col("n_exact").desc, col("shingle"))
+      .limit(TopHitters)
+    top
+      .select(col("shingle"), col("n_exact"),
+        posexplode(cmsBucketArray).as(Seq("i", "bucket")))
+      .join(broadcast(cmsCells(spark, dir)), Seq("i", "bucket"))
       .groupBy("shingle").agg(min("cell").as("n_est"), max("n_exact").as("n_exact"))
-    est
       .select(col("shingle"), col("n_exact"), col("n_est"),
         (col("n_est") - col("n_exact")).as("overcount"))
       .orderBy(col("n_exact").desc, col("shingle"))
-      .limit(TopHitters)
   }
 
   /** Per-source HyperLogLog registers over distinct 5-gram shingles:

@@ -964,7 +964,7 @@ object TextAnalysis {
     */
   def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(spark, dir)
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val df = Dedup.shingleDf(spark, dir)
     sh.join(df, Seq("shingle"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),

@@ -137,12 +137,14 @@ class TokenPipelineSpec extends AnyFunSuite {
     Similarity.vectorIndex(spark, sf).count()
     TokenPipeline.docAggregates(spark, sf).count()
     Dedup.embeddingRepMap(spark, sf).count()
+    Dedup.shingleDf(spark, sf).count() // round-12 index cache
     val prefix = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#"
     val maps = Seq[(String, scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame])](
       "simhashSigCache" -> Dedup.simhashSigCache,
       "idxCache" -> Similarity.idxCache,
       "statsCache" -> TokenPipeline.statsCache,
-      "embRepCache" -> Dedup.embRepCache)
+      "embRepCache" -> Dedup.embRepCache,
+      "dfCache" -> Dedup.dfCache)
     maps.foreach { case (n, m) =>
       assert(m.keys.exists(_.startsWith(prefix)), s"$n not populated") }
     Caches.clear(spark)
