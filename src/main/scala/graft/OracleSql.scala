@@ -35,6 +35,37 @@ object OracleSql {
        |  WHERE token <> '' AND token IN $Dict AND token NOT IN $Stop
        |  GROUP BY doc_id, token)""".stripMargin
 
+  /** Chunking geometry (q106/q107) — read from the SAME constants
+    * TextAnalysis.docChunks defaults to, so the DuckDB window math can
+    * never desync from the Spark side.
+    */
+  private val ChunkWidth = graft.operators.TextAnalysis.ChunkWidth
+  private val ChunkOverlap = graft.operators.TextAnalysis.ChunkOverlap
+  private val ChunkStride = ChunkWidth - ChunkOverlap
+
+  /** 1-based inclusive slice of one `ChunkWidth`-token window — DuckDB's
+    * list_slice twin of Spark's slice(toks, start + 1, width).
+    */
+  private val ChunkSliceSql =
+    s"list_slice(toks, start + 1, start + $ChunkWidth)"
+
+  /** Ordered-token chunk window starts (q106/q107): tokenize mirror in
+    * list form, then one start per `ChunkStride` advance up to
+    * max(n − overlap − 1, 0) — DuckDB's end-exclusive range(a, b, step)
+    * matches Spark's inclusive sequence(0, bound, step) via b = bound + 1.
+    * Empty docs produce no chunks.
+    */
+  val ChunkStartsCte: String =
+    s"""toksarr AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
+       |                     t -> t <> '') AS toks
+       |  FROM documents),
+       |starts AS (
+       |  SELECT doc_id, toks,
+       |         unnest(range(0, greatest(len(toks) - ${ChunkOverlap + 1}, 0) + 1, $ChunkStride)) AS start
+       |  FROM toksarr WHERE len(toks) > 0)""".stripMargin
+
   /** Dense-id token dictionary CTE (row_number − 1 = Ids.withDenseId). */
   val DictCte: String =
     s"""dict AS (
@@ -1535,6 +1566,33 @@ object OracleSql {
          |      FROM sc)
          |WHERE rnk <= ${S.K}
          |ORDER BY query_id, rnk""".stripMargin
+    }) +
+    ("q106_doc_chunks" ->
+      s"""WITH $ChunkStartsCte
+         |SELECT doc_id,
+         |       CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+         |       CAST(start AS BIGINT) AS start_pos,
+         |       CAST(len($ChunkSliceSql) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string($ChunkSliceSql, ' ')) AS chunk_hash
+         |FROM starts
+         |ORDER BY doc_id, chunk_id""".stripMargin) +
+    ("q107_chunk_dedup" -> {
+      val B = graft.operators.TextAnalysis.ChunkPackBase
+      s"""WITH $ChunkStartsCte,
+         |chunks AS (
+         |  SELECT doc_id, CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+         |         md5(array_to_string($ChunkSliceSql, ' ')) AS chunk_hash
+         |  FROM starts),
+         |g AS (
+         |  SELECT chunk_hash, COUNT(*) AS n_occurrences,
+         |         COUNT(DISTINCT doc_id) AS n_docs,
+         |         MIN(doc_id * $B + chunk_id) AS keeper_key
+         |  FROM chunks GROUP BY chunk_hash HAVING COUNT(*) > 1)
+         |SELECT chunk_hash, n_occurrences, n_docs,
+         |       CAST(keeper_key // $B AS BIGINT) AS keeper_doc_id,
+         |       CAST(keeper_key % $B AS BIGINT) AS keeper_chunk_id
+         |FROM g
+         |ORDER BY n_occurrences DESC, chunk_hash""".stripMargin
     })
 
   /** Big-endian integer value of md5 hex nibbles [start, start+nibbles)

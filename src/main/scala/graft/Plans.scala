@@ -88,7 +88,11 @@ object Plans {
       "q103_cms_heavy_hitters" ->
         "CMS heavy hitters: the report set comes from a distributed TakeOrdered over the CACHED df index artifact (50 rows), the 4×8192 cell grid from one partial-aggregated groupBy over the same relation, broadcast back for the 50-row estimate join — estimates are table probes, not a universe-wide aggregate",
       "q105_knn_pq" ->
-        "PQ ANN: the 128-row codebook and the 8-row per-query ADC table set are BroadcastExchanges; encoding is one corpus pass through the broadcast codebook join + min_by partial agg; the scan is a broadcast join against the table set with bounded top-k via native collect_top_k — no ranking window over the corpus, no unbounded shuffle key")
+        "PQ ANN: the 128-row codebook and the 8-row per-query ADC table set are BroadcastExchanges; encoding is one corpus pass through the broadcast codebook join + min_by partial agg; the scan is a broadcast join against the table set with bounded top-k via native collect_top_k — no ranking window over the corpus, no unbounded shuffle key",
+      "q106_doc_chunks" ->
+        "fixed-window chunking: one Generate (posexplode of the window-start sequence) + codegen'd slice/md5 projection over the cached ordered-token relation — no join, no aggregate; the only exchange is the report ORDER BY, so 100 TB chunks per-partition independently",
+      "q107_chunk_dedup" ->
+        "chunk-hash dedup: one partial/final hash aggregate keyed on the 32-char chunk hash over the q106 projection — the shuffle carries md5 strings + packed longs, never chunk text; the duplicate filter runs post-aggregate on group counts")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")

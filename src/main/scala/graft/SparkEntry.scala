@@ -223,7 +223,15 @@ object SparkEntry {
     // Product-quantized ANN: 8×8-dim subspaces, 16 codewords each (4-byte
     // codes = 64× less scan bandwidth than float32), ADC table lookups
     // summed sequentially, bounded top-k via native CollectTopK
-    "q105_knn_pq" -> ((s, d) => Similarity.knnPq(s, d)))
+    "q105_knn_pq" -> ((s, d) => Similarity.knnPq(s, d)),
+    // Fixed-window chunking with overlap: the embedding/RAG prep cut —
+    // 64-token windows advancing by 48, md5 chunk identity; map-side
+    // posexplode + slice over the cached ordered-token relation
+    "q106_doc_chunks" -> ((s, d) => TextAnalysis.docChunks(s, d)),
+    // Chunk-grain duplicate report (the CCNet paragraph-hash dedup
+    // shape): groups of identical chunks with their canonical keeper —
+    // the shuffle carries hashes + packed keys, never text
+    "q107_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDuplicates(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -1014,4 +1014,79 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars_seen"))
       .orderBy("doc_id")
   }
+
+  /** Fixed-window document chunking with overlap (q106) — the
+    * embedding/RAG prep step every retrieval corpus runs: each doc's
+    * ordered token stream cut into `width`-token windows advancing by
+    * `width − overlap`, so consecutive chunks share `overlap` tokens and
+    * no boundary sentence is lost to a cut. Window starts are
+    * 0, stride, 2·stride, … up to max(n − overlap − 1, 0): a window is
+    * opened only while it contributes ≥1 token that is not pure overlap
+    * of its predecessor, so a doc shorter than `width` yields exactly one
+    * chunk and an empty doc yields none. Per chunk: position ids, token
+    * count (the final chunk may run short), and an md5 over the
+    * space-joined tokens — the identity a chunk store keys on.
+    *
+    * Scale shape: one narrow posexplode + codegen'd array slice over the
+    * CACHED ordered-token relation (rawTokens — the same single tokenize
+    * pass q70/q84 read); no join, no aggregate, the only exchange is the
+    * report ORDER BY. Output is bounded by width/(width−overlap) ≈ 1.33×
+    * corpus tokens, so 100 TB chunks exactly like 100 MB — per partition,
+    * independently.
+    */
+  /** q106/q107 chunking geometry — read by OracleSql so the DuckDB mirror
+    * can never desync from the Spark side.
+    */
+  val ChunkWidth = 64
+  val ChunkOverlap = 16
+  /** Packed-key base for the q107 keeper MIN; chunk_id < PackBase for any
+    * real document (chunks per doc ≈ tokens / stride).
+    */
+  val ChunkPackBase = 1000000L
+
+  def docChunks(spark: SparkSession, dir: String,
+      width: Int = ChunkWidth, overlap: Int = ChunkOverlap): DataFrame = {
+    require(width > overlap && overlap >= 0, "need width > overlap >= 0")
+    val stride = width - overlap
+    val lastStart = greatest(size(col("toks")) - overlap - 1, lit(0))
+    rawTokens(spark, dir)
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), lastStart, lit(stride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_pos"),
+        slice(col("toks"), col("col") + 1, lit(width)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_pos"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Chunk-grain duplicate report (q107) — the CCNet paragraph-hash dedup
+    * shape: group the q106 chunks by content hash, keep groups seen more
+    * than once, and name each group's canonical keeper (the minimum
+    * (doc_id, chunk_id), packed into one 64-bit key so MIN is a plain
+    * numeric aggregate in both engines — no min_by tie ambiguity). This
+    * is sub-document dedup as a pipeline would ship it: at 100 TB the
+    * shuffle carries 16-byte hashes + two longs per chunk, never text,
+    * and the duplicate report is the filter a training run applies to
+    * drop repeated boilerplate paragraphs while keeping their first
+    * occurrence.
+    */
+  def chunkDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    val PackBase = ChunkPackBase
+    docChunks(spark, dir)
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * PackBase + col("chunk_id")).as("keeper_key"))
+      .where(col("n_occurrences") > 1)
+      .select(col("chunk_hash"), col("n_occurrences"), col("n_docs"),
+        // subtract the remainder first so the division is over an exact
+        // multiple of PackBase — integer-exact through the double path
+        ((col("keeper_key") - col("keeper_key") % PackBase) / PackBase)
+          .cast("long").as("keeper_doc_id"),
+        (col("keeper_key") % PackBase).cast("long").as("keeper_chunk_id"))
+      .orderBy(col("n_occurrences").desc, col("chunk_hash"))
+  }
 }

@@ -535,4 +535,68 @@ class TextAnalysisSpec extends AnyFunSuite {
     tc.unpersist()
     ()
   }
+
+  test("docChunks: window geometry at every boundary case (W=64, O=16, S=48)") {
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> words(70),  // starts 0,48 → 64 + 22 tokens
+      2L -> words(64),  // exactly one window (bound 47 < stride)
+      3L -> words(65),  // second window carries exactly 1 non-overlap token
+      4L -> words(16),  // shorter than overlap → still one chunk
+      5L -> "",         // empty → no chunks
+      6L -> words(1))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunks").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.docChunks(spark, dir)
+      .select("doc_id", "chunk_id", "start_pos", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 64L), (1L, 1L, 48L, 22L),
+      (2L, 0L, 0L, 64L),
+      (3L, 0L, 0L, 64L), (3L, 1L, 48L, 17L),
+      (4L, 0L, 0L, 16L),
+      (6L, 0L, 0L, 1L)))
+  }
+
+  test("docChunks: chunks cover every token and agree with a direct slice") {
+    import org.apache.spark.sql.functions._
+    // reconstruction property on the real sf0.001 corpus: chunk 0 plus the
+    // non-overlap tail of every later chunk re-concatenates to the doc's
+    // token stream — no token lost to a cut, none double-counted
+    val stride = TextAnalysis.ChunkWidth - TextAnalysis.ChunkOverlap
+    val chunks = TextAnalysis.docChunks(spark, sf)
+    val rebuilt = chunks.groupBy("doc_id").agg(
+      sum(when(col("chunk_id") === 0, col("n_tokens"))
+        .otherwise(col("n_tokens") - lit(TextAnalysis.ChunkOverlap)))
+        .as("n_rebuilt"),
+      count(lit(1)).as("n_chunks"),
+      max(col("start_pos")).as("last_start"))
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokenize(col("text"))).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+    val joined = rebuilt.join(toks, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("n_rebuilt") =!= col("n_toks")).count() === 0)
+    // start positions advance by exactly stride: last_start = (k−1)·stride
+    assert(joined
+      .filter(col("last_start") =!= (col("n_chunks") - 1) * stride)
+      .count() === 0)
+  }
+
+  test("chunkDuplicates: verbatim doc copies share every chunk; keeper is the minimum") {
+    def words(a: Int, b: Int): String = (a to b).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      10L -> words(1, 70),   // two chunks
+      11L -> words(1, 70),   // verbatim copy → both chunks duplicated
+      12L -> words(500, 590) // unrelated → no duplicate groups
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunkdup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.chunkDuplicates(spark, dir)
+      .select("n_occurrences", "n_docs", "keeper_doc_id", "keeper_chunk_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((2L, 2L, 10L, 0L), (2L, 2L, 10L, 1L)))
+  }
 }
