@@ -125,7 +125,14 @@ object ScaleSmoke {
       // (register = max over distinct hashes — replication adds none);
       // PQ encodes 10× vectors through the broadcast codebook join
       "q102_bloom_decontamination", "q103_cms_heavy_hitters",
-      "q104_hll_registers", "q105_knn_pq")
+      "q104_hll_registers", "q105_knn_pq",
+      // round 12b: chunking rungs. q106 is pure map-side, so rows scale
+      // exactly linearly (chunk count is a function of each doc's text);
+      // q107 is the inverse stress — verbatim replication makes EVERY
+      // distinct chunk a duplicate group, so the report saturates at the
+      // base corpus's distinct-chunk-hash count and the aggregate eats
+      // copies× occurrences into a fixed-size output
+      "q106_doc_chunks", "q107_chunk_dedup")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -143,7 +150,9 @@ object ScaleSmoke {
       // bloom output = one row per TRAIN doc (content-hash split is
       // text-keyed, so every copy of a doc lands in the same split:
       // 3,973 train docs per sf0.1 copy)
-      "q102_bloom_decontamination" -> 3973L
+      "q102_bloom_decontamination" -> 3973L,
+      // one chunk row per (doc, window): 6,923 per sf0.1 copy
+      "q106_doc_chunks" -> 6923L
     ).map { case (k, v) => k -> v * copies } ++
       // replication-INVARIANT outputs: fixed-size sketch reports must not
       // scale with copies at all (q103 top-50; q104 (sources+1)·64
@@ -151,7 +160,11 @@ object ScaleSmoke {
       // distinct shingles; q105 8 queries × top-5)
       Map("q103_cms_heavy_hitters" -> 50L,
         "q104_hll_registers" -> 1344L,
-        "q105_knn_pq" -> 40L)
+        "q105_knn_pq" -> 40L) ++
+      // for copies ≥ 2 every one of the base corpus's 6,824 distinct
+      // chunk hashes appears `copies` times, so the duplicate report is
+      // exactly the distinct-chunk relation — saturated, not scaling
+      (if (copies >= 2) Map("q107_chunk_dedup" -> 6824L) else Map.empty)
     var bad = 0
     heavy.filter(n => only.isEmpty || only(n)).foreach { name =>
       val t0 = System.nanoTime()

@@ -1045,11 +1045,22 @@ object TextAnalysis {
   val ChunkPackBase = 1000000L
 
   def docChunks(spark: SparkSession, dir: String,
+      width: Int = ChunkWidth, overlap: Int = ChunkOverlap): DataFrame =
+    chunksOf(rawTokens(spark, dir), width, overlap)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Chunk rows from a free-standing (doc_id, toks) relation — THE single
+    * definition of the chunk geometry (the shinglesOf pattern), shared by
+    * the dir-cached batch path above and the streaming chunk-dedup
+    * ingest, so the two can never drift apart. Unordered; stateless and
+    * streaming-safe (one Generate + codegen'd slice/md5 projection).
+    */
+  private[graft] def chunksOf(toksDf: DataFrame,
       width: Int = ChunkWidth, overlap: Int = ChunkOverlap): DataFrame = {
     require(width > overlap && overlap >= 0, "need width > overlap >= 0")
     val stride = width - overlap
     val lastStart = greatest(size(col("toks")) - overlap - 1, lit(0))
-    rawTokens(spark, dir)
+    toksDf
       .where(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(0), lastStart, lit(stride))))
@@ -1059,7 +1070,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_id"), col("start_pos"),
         size(col("chunk")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Chunk-grain duplicate report (q107) — the CCNet paragraph-hash dedup

@@ -522,6 +522,58 @@ object StreamingOps {
       .start()
   }
 
+  case class ChunkRow(doc_id: Long, chunk_id: Long, start_pos: Long,
+    n_tokens: Long, chunk_hash: String)
+
+  /** Chunk-grain streaming dedup ingest — the q106/q107 geometry run
+    * incrementally: each arriving doc explodes into its overlapping
+    * fixed-width chunks STATELESSLY (the exact chunksOf projection batch
+    * q106 uses, so the geometry can never drift), then one survivor per
+    * chunk hash lands STATEFULLY across micro-batches — CCNet-style
+    * paragraph dedup as a continuous process, the sub-document
+    * complement of dedupedIngest's whole-doc fingerprint. Within a
+    * micro-batch the minimum (doc_id, chunk_id) wins (the q107 keeper
+    * rule); across batches the first-arriving hash wins by design — an
+    * already-landed chunk cannot be un-written. State per distinct chunk
+    * is one boolean keyed by the 32-char hash, sharded across executors
+    * by the state store — the same bounded-by-content set a batch
+    * shuffle would key on. Input contract: (doc_id long, text string).
+    */
+  def chunkDedupIngest(docs: DataFrame, path: String,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    requireCleanStore(spark, options, Seq(path))
+    require(docs.columns.toSet == Set("doc_id", "text"),
+      s"chunkDedupIngest lands chunk rows derived from (doc_id, text); " +
+        s"project the input first — got (${docs.columns.mkString(", ")})")
+    val chunks = graft.operators.TextAnalysis.chunksOf(
+      docs.select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.TextFns.tokenize(col("text")).as("toks")))
+      .as[ChunkRow]
+    val survivors = chunks
+      .groupByKey(_.chunk_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[ChunkRow], seen: GroupState[Boolean]) =>
+          if (seen.exists) Iterator.empty
+          else {
+            seen.update(true)
+            Iterator.single(rows.minBy(r => (r.doc_id, r.chunk_id)))
+          }
+      }
+    survivors.toDF()
+      .writeStream
+      // idempotent per-batch landing (the dedupedIngest contract): a
+      // retried micro-batch overwrites its own batch=N directory
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .outputMode("append")
+      .options(options) // pass checkpointLocation here for restartable state
+      .start()
+  }
+
   /** Quality-gated ingest: the Gopher rule bundle (q75) evaluated
     * stream-side as a stateless per-row projection, feeding the stateful
     * exact-dedup landing — the streaming composition of the pipeline's

@@ -149,6 +149,48 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chunkDedupIngest: q107 keeper within a batch, first-wins across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_chunk_ingest")
+      .resolve("chunks").toString
+    def words(a: Int, b: Int): String = (a to b).map(i => s"c$i").mkString(" ")
+    val dup = words(1, 70)      // two chunks (W=64, S=48)
+    val uniq = words(200, 230)  // one chunk
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.chunkDedupIngest(
+      input.toDS().toDF("doc_id", "text"), out)
+    try {
+      // docs 5 and 3 share text: every chunk group's keeper must be the
+      // MINIMUM (doc_id, chunk_id) — the q107 rule — not arrival order
+      input.addData((5L, dup), (3L, dup), (9L, uniq))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+        .select("doc_id", "chunk_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(landed === Seq((3L, 0L), (3L, 1L), (9L, 0L)))
+      // the landed set is exactly one survivor per distinct chunk hash of
+      // the corpus seen so far (the batch q106-distinct relation)
+      val expectHashes = graft.operators.TextAnalysis.chunksOf(
+        Seq(3L -> dup, 5L -> dup, 9L -> uniq).toDF("doc_id", "text")
+          .select(col("doc_id"),
+            graft.functions.TextFns.tokenize(col("text")).as("toks")))
+        .select("chunk_hash").distinct().as[String].collect().sorted.toSeq
+      assert(spark.read.parquet(out).select("chunk_hash").as[String]
+        .collect().sorted.toSeq === expectHashes)
+      // cross-batch: an already-landed chunk hash cannot be un-written by
+      // a later, lower doc_id (first-arriving wins by design); genuinely
+      // new chunks from the same doc still land
+      input.addData((1L, dup + " " + words(300, 340)))
+      q.processAllAvailable()
+      val after = spark.read.parquet(out)
+        .select("doc_id", "chunk_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(after.count(_._1 == 1L) > 0, "doc 1's novel chunks must land")
+      assert(after.filter(t => t._1 == 3L || t._1 == 9L) === landed,
+        "previously landed survivors must be untouched")
+    } finally q.stop()
+  }
+
   test("ingest fails fast on stale batch dirs unless resuming a real checkpoint") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
