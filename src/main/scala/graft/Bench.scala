@@ -56,6 +56,9 @@ object Bench {
       () => operators.TokenPipeline.tokenDictionary(spark, sfDir).count(),
       () => operators.TokenPipeline.docAggregates(spark, sfDir).count(),
       () => operators.TextAnalysis.tfidfRaw(spark, sfDir).count(),
+      // ordered-token relation (q70/q84/q106/q107 share it; q106 sorts
+      // first in a pass and would otherwise absorb the fill in cold)
+      () => operators.TextAnalysis.rawTokens(spark, sfDir).count(),
       () => operators.Dedup.shingleDf(spark, sfDir).count(),
       () => operators.Dedup.minhashSignatures(spark, sfDir).count(),
       () => operators.Dedup.simhashSignature(spark, sfDir, 16).count(),

@@ -309,7 +309,7 @@ object TextAnalysis {
     * once per (session, dir), not once per branch that needs token
     * order.
     */
-  private def rawTokens(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def rawTokens(spark: SparkSession, dir: String): DataFrame =
     rawTokCache.getOrElseUpdate(
       s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
         withTokens(spark, dir).select("doc_id", "toks")
