@@ -1140,36 +1140,8 @@ object OracleSql {
          |WHERE r.rnk <= 3
          |ORDER BY source, rnk""".stripMargin) +
     ("q82_dsir_weights" ->
-      s"""WITH $ArrCte,
-         |bg AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(range(1, greatest(len(arr), 1)),
-         |                i -> array_to_string(arr[i:i+1], ' '))) AS b
-         |  FROM base),
-         |db AS (
-         |  SELECT doc_id,
-         |         CAST((strpos('0123456789abcdef', substring(md5(b), 1, 1)) - 1) * 16
-         |            + (strpos('0123456789abcdef', substring(md5(b), 2, 1)) - 1) AS BIGINT) AS bucket,
-         |         COUNT(*) AS n
-         |  FROM bg GROUP BY 1, 2),
-         |raw AS (SELECT bucket, SUM(n) AS raw_n FROM db GROUP BY bucket),
-         |tgt AS (SELECT bucket, SUM(n) AS tgt_n FROM db
-         |        JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bucket),
-         |tr AS (SELECT SUM(raw_n) AS rt FROM raw),
-         |tt AS (SELECT SUM(tgt_n) AS tt FROM tgt),
-         |wt AS (
-         |  SELECT bucket,
-         |         ROUND(ln(CAST(COALESCE(tgt_n, 0) + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
-         |             - ln(CAST(raw_n + 1 AS DOUBLE) / CAST(rt + 256 AS DOUBLE)), 6) AS w
-         |  FROM raw LEFT JOIN tgt USING (bucket), tr, tt),
-         |sc AS (
-         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
-         |         ROUND(list_reduce(list(n * w ORDER BY bucket), (a, b) -> a + b), 6) AS score
-         |  FROM db JOIN wt USING (bucket) GROUP BY doc_id)
-         |SELECT d.doc_id AS doc_id,
-         |       COALESCE(n_bigrams, 0) AS n_bigrams,
-         |       COALESCE(score, 0.0) AS score
-         |FROM documents d LEFT JOIN sc USING (doc_id)
+      s"""$DsirScoreCtes
+         |SELECT doc_id, n_bigrams, score FROM scored
          |ORDER BY doc_id""".stripMargin) +
     ("q83_kmeans_step" ->
       s"""WITH $KmeansAsgCtes,
@@ -1593,6 +1565,48 @@ object OracleSql {
          |       CAST(keeper_key % $B AS BIGINT) AS keeper_chunk_id
          |FROM g
          |ORDER BY n_occurrences DESC, chunk_hash""".stripMargin
+    }) +
+    ("q108_histogram_quantiles" -> {
+      val S = graft.operators.Sketches
+      val W = S.QBinWidth
+      def estSql(p: Int) =
+        s"CAST(MIN(CASE WHEN cum >= ((n - 1) * $p) // 100 + 1 " +
+          s"THEN (bin + 1) * $W - 1 END) AS BIGINT)"
+      s"""WITH $ArrCte,
+         |c AS (
+         |  SELECT d.source AS source,
+         |         CAST(least(len(b.arr) // $W, ${S.QBins - 1}) AS BIGINT) AS bin
+         |  FROM base b JOIN documents d ON b.doc_id = d.doc_id),
+         |hist AS (SELECT source, bin, COUNT(*) AS c FROM c GROUP BY source, bin),
+         |cum AS (
+         |  SELECT source, bin, c,
+         |         SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         |         SUM(c) OVER (PARTITION BY source) AS n
+         |  FROM hist)
+         |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+         |       ${estSql(10)} AS est_p10,
+         |       ${estSql(50)} AS est_p50,
+         |       ${estSql(90)} AS est_p90
+         |FROM cum GROUP BY source
+         |ORDER BY source""".stripMargin
+    }) +
+    ("q109_dsir_select" -> {
+      // u = (first 52 md5 bits + 0.5) / 2^52 — exact in double in both
+      // engines (power-of-two divisor); g = −ln(−ln u), the Gumbel draw
+      val uSql = s"(${hexValSql("'dsir|' || CAST(doc_id AS VARCHAR)", 1, 13)}" +
+        " + 0.5) / 4503599627370496.0"
+      s"""$DsirScoreCtes,
+         |keyed AS (
+         |  SELECT doc_id, score,
+         |         ROUND(score - ln(-ln($uSql)), 6) AS gkey
+         |  FROM scored),
+         |r AS (
+         |  SELECT doc_id, score, gkey,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM keyed)
+         |SELECT rnk, doc_id, score, gkey FROM r
+         |WHERE rnk <= 200
+         |ORDER BY rnk""".stripMargin
     })
 
   /** Big-endian integer value of md5 hex nibbles [start, start+nibbles)
@@ -1745,6 +1759,43 @@ object OracleSql {
       |         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
       |                     x -> x <> '') AS arr
       |  FROM documents)""".stripMargin
+
+  /** Full WITH head producing `scored` (doc_id, n_bigrams, score) —
+    * mirrors TextAnalysis.dsirWeights; shared by q82 (the weight report)
+    * and q109 (the Gumbel-top-k selection over the same scores).
+    */
+  private lazy val DsirScoreCtes: String =
+    s"""WITH $ArrCte,
+       |bg AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(arr), 1)),
+       |                i -> array_to_string(arr[i:i+1], ' '))) AS b
+       |  FROM base),
+       |db AS (
+       |  SELECT doc_id,
+       |         CAST((strpos('0123456789abcdef', substring(md5(b), 1, 1)) - 1) * 16
+       |            + (strpos('0123456789abcdef', substring(md5(b), 2, 1)) - 1) AS BIGINT) AS bucket,
+       |         COUNT(*) AS n
+       |  FROM bg GROUP BY 1, 2),
+       |raw AS (SELECT bucket, SUM(n) AS raw_n FROM db GROUP BY bucket),
+       |tgt AS (SELECT bucket, SUM(n) AS tgt_n FROM db
+       |        JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bucket),
+       |tr AS (SELECT SUM(raw_n) AS rt FROM raw),
+       |tt AS (SELECT SUM(tgt_n) AS tt FROM tgt),
+       |wt AS (
+       |  SELECT bucket,
+       |         ROUND(ln(CAST(COALESCE(tgt_n, 0) + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+       |             - ln(CAST(raw_n + 1 AS DOUBLE) / CAST(rt + 256 AS DOUBLE)), 6) AS w
+       |  FROM raw LEFT JOIN tgt USING (bucket), tr, tt),
+       |sc AS (
+       |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       |         ROUND(list_reduce(list(n * w ORDER BY bucket), (a, b) -> a + b), 6) AS score
+       |  FROM db JOIN wt USING (bucket) GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id AS doc_id,
+       |         COALESCE(n_bigrams, 0) AS n_bigrams,
+       |         COALESCE(score, 0.0) AS score
+       |  FROM documents d LEFT JOIN sc USING (doc_id))""".stripMargin
 
   /** Full WITH head + per-document verdict CTE shared by q81 (sorted
     * edge) and q86 (per-source aggregate); mirrors

@@ -92,7 +92,11 @@ object Plans {
       "q106_doc_chunks" ->
         "fixed-window chunking: one Generate (posexplode of the window-start sequence) + codegen'd slice/md5 projection over the cached ordered-token relation — no join, no aggregate; the only exchange is the report ORDER BY, so 100 TB chunks per-partition independently",
       "q107_chunk_dedup" ->
-        "chunk-hash dedup: one partial/final hash aggregate keyed on the 32-char chunk hash over the q106 projection — the shuffle carries md5 strings + packed longs, never chunk text; the duplicate filter runs post-aggregate on group counts")
+        "chunk-hash dedup: one partial/final hash aggregate keyed on the 32-char chunk hash over the q106 projection — the shuffle carries md5 strings + packed longs, never chunk text; the duplicate filter runs post-aggregate on group counts",
+      "q108_histogram_quantiles" ->
+        "histogram quantiles: map-side bin projection, partial/final hash aggregate to the ≤256-cell-per-source grid, windows ONLY over the grid rows — no per-source ranking window over documents (q89's exact form), the mergeable-sketch shape",
+      "q109_dsir_select" ->
+        "DSIR Gumbel draw: map-side key projection over the q82 score relation, then TakeOrderedAndProject (per-partition top-k heaps — k rows per partition travel, no global sort); the ranking window runs over the 200-row result only")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")

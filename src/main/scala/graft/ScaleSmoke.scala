@@ -132,7 +132,11 @@ object ScaleSmoke {
       // distinct chunk a duplicate group, so the report saturates at the
       // base corpus's distinct-chunk-hash count and the aggregate eats
       // copies× occurrences into a fixed-size output
-      "q106_doc_chunks", "q107_chunk_dedup")
+      "q106_doc_chunks", "q107_chunk_dedup",
+      // round 12c: histogram quantiles (the ≤256-cell-per-source grid
+      // absorbs copies× docs into the same fixed report) and the DSIR
+      // Gumbel draw (TakeOrdered over copies× keyed docs, 200 rows out)
+      "q108_histogram_quantiles", "q109_dsir_select")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -164,7 +168,10 @@ object ScaleSmoke {
       // for copies ≥ 2 every one of the base corpus's 6,824 distinct
       // chunk hashes appears `copies` times, so the duplicate report is
       // exactly the distinct-chunk relation — saturated, not scaling
-      (if (copies >= 2) Map("q107_chunk_dedup" -> 6824L) else Map.empty)
+      (if (copies >= 2) Map("q107_chunk_dedup" -> 6824L) else Map.empty) ++
+      // q108: one row per source (20 at sf0.1) whatever the corpus size;
+      // q109: the draw is exactly k = 200 rows by construction
+      Map("q108_histogram_quantiles" -> 20L, "q109_dsir_select" -> 200L)
     var bad = 0
     heavy.filter(n => only.isEmpty || only(n)).foreach { name =>
       val t0 = System.nanoTime()

@@ -231,7 +231,15 @@ object SparkEntry {
     // Chunk-grain duplicate report (the CCNet paragraph-hash dedup
     // shape): groups of identical chunks with their canonical keeper —
     // the shuffle carries hashes + packed keys, never text
-    "q107_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDuplicates(s, d)))
+    "q107_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDuplicates(s, d)),
+    // Histogram-quantile sketch: per-source length p10/p50/p90 from a
+    // constant ≤256-cell counting histogram (the quantile member of the
+    // sketch quartet); estimate − exact(q89) ∈ [0, binWidth) provably
+    "q108_histogram_quantiles" -> ((s, d) => Sketches.histogramQuantiles(s, d)),
+    // DSIR selection: Gumbel-top-k resampling ∝ exp(q82 score) with
+    // hash-derandomized noise — the deterministic draw of the docs a
+    // targeted selection run keeps; distributed TakeOrdered, no sort
+    "q109_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

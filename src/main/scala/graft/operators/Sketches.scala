@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -186,5 +187,48 @@ object Sketches {
       .select(lit("__all__").as("source"), col("bucket"), col("register"))
     perSource.unionByName(merged)
       .orderBy("source", "bucket")
+  }
+
+  /** Histogram-quantile geometry (q108) — bins × width bounds the value
+    * range [0, QBins·QBinWidth); token counts above it clamp into the
+    * last bin (none do at our SFs).
+    */
+  val QBins = 256
+  val QBinWidth = 32
+
+  /** Fixed-bin histogram quantiles (q108) — the quantile member of the
+    * sketch quartet (Bloom / CMS / HLL / histogram): per-source token-
+    * length p10/p50/p90 estimated from a CONSTANT ≤256-cell counting
+    * histogram instead of q89's exact per-source ranking window. The
+    * estimate picks the bin holding q89's exact rank index (rank =
+    * (n−1)·p div 100 + 1 over ascending counts — the identical index
+    * arithmetic) and reports the bin's inclusive upper edge, so
+    * estimate − exact ∈ [0, QBinWidth) by construction — the bound
+    * SketchesSpec asserts against q89 directly. Scale shape: the only
+    * per-document work is one map-side bin projection; the shuffle
+    * carries (source, bin) partial counts — at most 256 cells per source
+    * per partition, the mergeable sketch state — and every window runs
+    * over the ≤256-row histogram, never over documents. At 100 TB this
+    * is the difference between shipping 2 KB per source per executor and
+    * globally sorting a corpus.
+    */
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val counts = TextAnalysis.rawTokens(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"),
+        expr(s"cast(least(size(toks) div $QBinWidth, ${QBins - 1}) as bigint)")
+          .as("bin"))
+    val hist = counts.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("source").orderBy("bin")
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+    def est(p: Int) =
+      min(when(col("cum") >= expr(s"((n - 1) * $p) div 100 + 1"),
+        (col("bin") + 1) * QBinWidth - 1))
+    cum.groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+        est(10).as("est_p10"), est(50).as("est_p50"), est(90).as("est_p90"))
+      .orderBy("source")
   }
 }

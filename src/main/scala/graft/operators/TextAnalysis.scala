@@ -1083,6 +1083,35 @@ object TextAnalysis {
     * drop repeated boilerplate paragraphs while keeping their first
     * occurrence.
     */
+  /** DSIR selection (q109) — the resampling step that closes the q82
+    * score→select loop: draw the k documents a targeted data-selection
+    * run would keep, sampling WITHOUT replacement proportionally to
+    * exp(score) via the Gumbel-top-k identity (top-k of score + Gumbel
+    * noise ~ sequential softmax draws). The noise is DERANDOMIZED the
+    * repo's standard way: u = (md5("dsir|" + doc_id) first 52 bits
+    * + 0.5) / 2^52 — exact in both engines since 2^52 is a power of
+    * two — and g = −ln(−ln u); keys round to 6 decimals (the q82 score
+    * idiom) with doc_id as the total-order tie-break, so the draw is
+    * reproducible across engines, reruns, and repartitioning. Scale
+    * shape: one map-side key projection over the q82 relation, then
+    * distributed TakeOrdered (per-partition top-k heaps — k rows per
+    * partition travel, no global sort); the ranking window runs over the
+    * k-row result only (the q80 device).
+    */
+  def dsirSelect(spark: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    val u = (expr("cast(conv(substring(md5(concat('dsir|', cast(doc_id as string))), 1, 13), 16, 10) as bigint)")
+      .cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val keyed = dsirWeights(spark, dir)
+      .select(col("doc_id"), col("score"),
+        round(col("score") - log(-log(u)), 6).as("gkey"))
+    keyed.orderBy(col("gkey").desc, col("doc_id")).limit(k)
+      .select(
+        row_number().over(Window.orderBy(col("gkey").desc, col("doc_id")))
+          .cast("long").as("rnk"),
+        col("doc_id"), col("score"), col("gkey"))
+      .orderBy("rnk")
+  }
+
   def chunkDuplicates(spark: SparkSession, dir: String): DataFrame = {
     val PackBase = ChunkPackBase
     docChunks(spark, dir)

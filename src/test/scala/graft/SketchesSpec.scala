@@ -93,4 +93,38 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(estAll - exactAll) <= 0.40 * exactAll,
       s"__all__: est $estAll vs exact $exactAll out of tolerance")
   }
+
+  test("histogram quantiles bound the exact q89 values within one bin width") {
+    // the construction guarantee: the estimate is the inclusive upper
+    // edge of the bin holding q89's exact rank index, so for every
+    // source and percentile 0 ≤ estimate − exact < QBinWidth
+    val exact = TextAnalysis.lengthQuantiles(spark, sf)
+      .select("source", "p10", "p50", "p90")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val est = Sketches.histogramQuantiles(spark, sf)
+      .select("source", "est_p10", "est_p50", "est_p90")
+      .as[(String, Long, Long, Long)].collect()
+    assert(est.nonEmpty && est.length === exact.size)
+    est.foreach { case (src, e10, e50, e90) =>
+      val (_, x10, x50, x90) = exact(src)
+      for (((e, x), p) <- Seq(e10 -> x10, e50 -> x50, e90 -> x90)
+             .zip(Seq(10, 50, 90))) {
+        assert(e >= x && e - x < Sketches.QBinWidth,
+          s"$src p$p: est $e vs exact $x breaks the [0, binWidth) bound")
+      }
+    }
+  }
+
+  test("histogram sketch state is bounded: at most QBins cells per source") {
+    // the 100 TB claim — per-source state never exceeds the grid size
+    // regardless of corpus cardinality (the mergeable-sketch property)
+    val cells = TextAnalysis.rawTokens(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select("doc_id", "source"), Seq("doc_id"))
+      .select($"source",
+        expr(s"least(size(toks) div ${Sketches.QBinWidth}, ${Sketches.QBins - 1})").as("bin"))
+      .groupBy("source", "bin").count()
+      .groupBy("source").count()
+      .as[(String, Long)].collect()
+    assert(cells.nonEmpty && cells.forall(_._2 <= Sketches.QBins))
+  }
 }

@@ -536,6 +536,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     ()
   }
 
+  test("dsirSelect equals the brute-force Gumbel-top-k over all scored docs") {
+    // recompute every doc's key independently (JVM md5 + the same
+    // u/g/rounding arithmetic) and take the top 200 by (gkey desc,
+    // doc_id): the operator's distributed TakeOrdered must return
+    // exactly that set in exactly that order
+    val scores = TextAnalysis.dsirWeights(spark, sf)
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = scores.map { case (id, sc) =>
+      val v = java.lang.Long.parseLong(md5hex(s"dsir|$id").take(13), 16)
+      val u = (v.toDouble + 0.5) / 4503599627370496.0
+      val gkey = BigDecimal(sc - math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, sc, gkey)
+    }.sortBy { case (id, _, gkey) => (-gkey, id) }.take(200).toSeq
+    val got = TextAnalysis.dsirSelect(spark, sf)
+      .select("doc_id", "score", "gkey")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("docChunks: window geometry at every boundary case (W=64, O=16, S=48)") {
     def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
     val docs = Seq(
