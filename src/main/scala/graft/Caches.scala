@@ -18,7 +18,8 @@ object Caches {
     operators.Dedup.pairsCache, operators.Dedup.simhashSigCache,
     operators.Dedup.embRepCache, operators.Similarity.idxCache,
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache,
-    operators.TextAnalysis.tfidfCache)
+    operators.TextAnalysis.tfidfCache, operators.TextAnalysis.dsirCache,
+    operators.TextAnalysis.dsirWtCache)
 
   /** Unpersist and drop every cached relation belonging to `spark`
     * (other sessions' entries are untouched).

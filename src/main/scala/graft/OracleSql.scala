@@ -1789,7 +1789,7 @@ object OracleSql {
        |  FROM raw LEFT JOIN tgt USING (bucket), tr, tt),
        |sc AS (
        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
-       |         ROUND(list_reduce(list(n * w ORDER BY bucket), (a, b) -> a + b), 6) AS score
+       |         ROUND(CAST(SUM(n * CAST(ROUND(w * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS score
        |  FROM db JOIN wt USING (bucket) GROUP BY doc_id),
        |scored AS (
        |  SELECT d.doc_id AS doc_id,

@@ -52,7 +52,14 @@ object StreamingOps {
     */
   def dsirScore(docs: DataFrame, weights: Map[Long, Double],
       defaultW: Double = 0.0): DataFrame = {
-    val wmap = typedlit(weights)
+    // the batch scorer sums n·round(w·10⁶) in scaled 64-bit integers
+    // (order-independent; TextAnalysis.dsirWeights) — quantize the
+    // shipped map the same way, with BigDecimal HALF_UP matching Spark's
+    // round() exactly (w is 6-decimal by construction, so the product
+    // sits within an ulp of the integer and every rounding mode agrees)
+    def q6(v: Double): Long =
+      BigDecimal(v * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val wmap = typedlit(weights.map { case (k, v) => k -> q6(v) })
     val bks = expr(
       "transform(graft_bigrams, b -> cast(conv(substring(md5(b), 1, 2), 16, 10) as bigint))")
     docs
@@ -62,9 +69,10 @@ object StreamingOps {
       .withColumn("graft_buckets", bks)
       .select(col("doc_id"),
         size(col("graft_bigrams")).cast("long").as("n_bigrams"),
-        round(aggregate(array_sort(array_distinct(col("graft_buckets"))), lit(0.0),
-          (acc, b) => acc + size(filter(col("graft_buckets"), x => x === b)) *
-            coalesce(element_at(wmap, b), lit(defaultW))), 6).as("score"))
+        round(aggregate(array_sort(array_distinct(col("graft_buckets"))), lit(0L),
+          (acc, b) => acc + size(filter(col("graft_buckets"), x => x === b)).cast("long") *
+            coalesce(element_at(wmap, b), lit(q6(defaultW)))).cast("double")
+          / 1000000.0, 6).as("score"))
   }
 
   /** Streaming CMS grid build — the streaming twin of q103's cell

@@ -138,13 +138,17 @@ class TokenPipelineSpec extends AnyFunSuite {
     TokenPipeline.docAggregates(spark, sf).count()
     Dedup.embeddingRepMap(spark, sf).count()
     Dedup.shingleDf(spark, sf).count() // round-12 index cache
+    graft.operators.TextAnalysis.dsirDocBuckets(spark, sf).count() // round-12 index cache
+    graft.operators.TextAnalysis.dsirWeightTable(spark, sf).count() // round-12 index cache
     val prefix = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#"
     val maps = Seq[(String, scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame])](
       "simhashSigCache" -> Dedup.simhashSigCache,
       "idxCache" -> Similarity.idxCache,
       "statsCache" -> TokenPipeline.statsCache,
       "embRepCache" -> Dedup.embRepCache,
-      "dfCache" -> Dedup.dfCache)
+      "dfCache" -> Dedup.dfCache,
+      "dsirCache" -> graft.operators.TextAnalysis.dsirCache,
+      "dsirWtCache" -> graft.operators.TextAnalysis.dsirWtCache)
     maps.foreach { case (n, m) =>
       assert(m.keys.exists(_.startsWith(prefix)), s"$n not populated") }
     Caches.clear(spark)
