@@ -62,7 +62,7 @@ object Plans {
       "q81_train_corpus" ->
         "end-to-end corpus verdict: the four stage relations (split, survivors, gopher flags, contamination) assembled by doc_id-keyed joins; contamination candidates from the shingle equi-join between split-filtered semi-joins — no stage recomputed, no all-pairs",
       "q82_dsir_weights" ->
-        "DSIR weights: two hash-aggregates over the hashed-bigram stream, the 256-row weight table broadcast back, per-doc score a bucket-ordered fold inside one ObjectHashAggregate",
+        "DSIR weights: the CACHED bucket-vector relation joined to the CACHED 256-row learned weight table (both index artifacts, round 12), per-doc score an order-independent scaled-integer SUM inside a codegen'd hash aggregate — no ObjectHashAggregate, no sorted fold",
       "q83_kmeans_step" ->
         "k-means step: broadcast seed centroids cross-joined map-side, partial min_by collapses k candidates to 1 BEFORE the exchange (n rows shuffle, not n·k; sort-based agg locally — struct ordering isn't hash-aggregable), then the two-level (cluster,pos,chunk)→(cluster,pos) fold with ≤4096-element buffers",
       "q84_token_pagerank" ->
