@@ -93,11 +93,24 @@ object Bench {
     val warmup = (System.nanoTime() - w0) / 1e9
     // deterministic name order; a failed query reports -1 (not its wall
     // time) so breakage can never masquerade as a speedup; failure count is
-    // surfaced in the JSON
+    // surfaced in the JSON.
+    // PROTOCOL v2 (round 12): each query materializes EVERY output column
+    // through the noop sink instead of count(). A count() terminal lets
+    // Catalyst prune the final projection — and sometimes the whole join
+    // tree — so projection-heavy queries were priced at a fraction of
+    // their real cost (q82 measured 0.3 s counted vs ~2.5 s materialized;
+    // q102 0.24 vs 2.47; q79 0.16 vs 1.81 — the round-12 audit in
+    // BASELINE-notes). The noop sink consumes full rows with no I/O and
+    // no type restrictions, pricing the query a consumer actually pays
+    // for. The declared denominator and the driver's measurement both run
+    // this same protocol, so the gate comparison stays apples-to-apples.
     def onePass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        val ok = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          true
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false

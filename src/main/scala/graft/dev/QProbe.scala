@@ -34,14 +34,19 @@ object QProbe {
         s"unknown query '$name'; known: " +
           graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     }
-    // warm-up sweep: scans, codegen, building-block cache fills
-    qs.foreach { case (_, fn) => fn(spark, sfDir).count() }
+    // warm-up sweep: scans, codegen, building-block cache fills (noop so
+    // the timed passes JIT nothing the sweep didn't)
+    qs.foreach { case (_, fn) =>
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
     (1 to 3).foreach { i =>
       graft.Caches.clearResultMemos(spark)
       qs.foreach { case (name, fn) =>
+        // protocol v2 (round 12): full-column materialization via the
+        // noop sink, matching Bench — count() would let Catalyst prune
+        // the final projection and under-price projection-heavy queries
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"QPROBE $name pass$i ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        println(f"QPROBE $name pass$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
     spark.stop()

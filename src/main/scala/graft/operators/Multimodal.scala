@@ -82,15 +82,39 @@ object Multimodal {
     */
   def payloadEnergy(spark: SparkSession, dir: String,
       window: Int = Multimodal.EnergyWindow): DataFrame = {
-    // Per-ROW nested fold, no explode: a byte-grain posexplode shuffles
-    // one row per payload byte (17.5M rows at sf0.1×10 — measured 4.5 s);
-    // energy gating is embarrassingly parallel per payload, so the whole
-    // computation stays inside one projection and the only exchange is
-    // the edge sort. Integer sums are order-free, so the oracle's
-    // explode-form SQL stays valid verbatim.
-    // byte_len = 0 must not reach sequence(): Spark's sequence(0, -1)
-    // auto-steps DOWNWARD ([0, -1]) instead of yielding empty — the
-    // domain already excludes empty payloads, so filter them out.
+    // Per-ROW window energies, no explode: a byte-grain posexplode
+    // shuffles one row per payload byte (17.5M rows at sf0.1×10 —
+    // measured 4.5 s); energy gating is embarrassingly parallel per
+    // payload, so the whole computation stays inside one projection and
+    // the only exchange is the edge sort. The window array comes from
+    // the native codegen ByteWindowEnergy over the raw binary — see that
+    // expression's scaladoc for why the composable hex+conv HOF forms
+    // lose (lambda bodies re-decode per reference; CollapseProject
+    // inlines any "decode once" helper column back into the lambdas).
+    // Integer sums are order-free, so the oracle's explode-form SQL
+    // stays valid verbatim; payloadEnergyHof keeps the composable
+    // reference for the differential test.
+    binaryPayloads(spark, dir)
+      .filter(col("byte_len") > 0)
+      .select(col("doc_id"), col("payload"), col("byte_len"))
+      .withColumn("es", graft.plans.ByteWindowEnergy(col("payload"), window))
+      .select(col("doc_id"), col("byte_len").as("n_bytes"),
+        size(col("es")).cast("long").as("n_windows"),
+        aggregate(col("es"), lit(0L), (acc, e) => acc + e).as("total_energy"),
+        array_max(col("es")).as("peak_energy"))
+      .orderBy("doc_id")
+  }
+
+  /** Composable higher-order-function reference for payloadEnergy's
+    * window array (hex + conv + nested folds) — kept ONLY as the
+    * differential-test twin of plans.ByteWindowEnergy (the
+    * ShingleGenerator pattern: the native Expression must stay
+    * provably equal to the form any Spark user could write).
+    * byte_len = 0 must not reach sequence(): Spark's sequence(0, -1)
+    * auto-steps DOWNWARD, so callers filter empties first.
+    */
+  private[graft] def payloadEnergyHof(spark: SparkSession, dir: String,
+      window: Int = Multimodal.EnergyWindow): DataFrame = {
     val wins = expr(
       s"""transform(
          |  sequence(0, cast((byte_len + ${window - 1}) div $window as int) - 1),

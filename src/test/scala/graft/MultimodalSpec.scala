@@ -53,4 +53,18 @@ class MultimodalSpec extends AnyFunSuite {
     // 'x' = 120 → (120-128)² = 64 per byte; windows of 64 and 36 bytes
     assert(g2 === ((1L, 100L, 2L, 6400L, 4096L)))
   }
+
+  test("native ByteWindowEnergy equals the composable hex+conv HOF form") {
+    // the ShingleGenerator pattern: the codegen Expression must stay
+    // provably equal to the form any Spark user could compose — over the
+    // real corpus (every payload, every window boundary), all columns
+    val sf = TestSpark.Sf
+    val native = Multimodal.payloadEnergy(spark, sf)
+    val hof = Multimodal.payloadEnergyHof(spark, sf)
+    assert(native.count() > 0)
+    assert(native.count() === hof.count())
+    assert(native.join(hof,
+      Seq("doc_id", "n_bytes", "n_windows", "total_energy", "peak_energy"),
+      "left_anti").count() === 0)
+  }
 }
