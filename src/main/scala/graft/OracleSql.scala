@@ -1624,7 +1624,7 @@ object OracleSql {
     */
   private def bloomPosSql(x: String): String =
     (0 until graft.operators.Sketches.BloomK)
-      .map(i => s"${hexValSql(s"'$i|' || $x", 1, 5)} % ${graft.operators.Sketches.BloomBits}")
+      .map(i => s"${hexValSql(x, 1 + 5 * i, 5)} % ${graft.operators.Sketches.BloomBits}")
       .mkString(", ")
 
   /** MinHash calibration (q78): band-collision candidates, signature

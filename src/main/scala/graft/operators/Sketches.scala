@@ -69,12 +69,18 @@ object Sketches {
   private def md5Val(sqlExpr: String, start: Int, nibbles: Int): Column =
     expr(s"cast(conv(substring(md5($sqlExpr), $start, $nibbles), 16, 10) as bigint)")
 
-  /** The k Bloom bit positions of a shingle: pos_i = bits 0..19 of
-    * md5("i|" + shingle) mod m (2^20 mod 2^18 stays uniform).
+  /** The k Bloom bit positions of a shingle: pos_i = 20-bit value of md5
+    * nibbles [5i, 5i+5) mod m (2^20 mod 2^18 stays uniform). All k
+    * positions derive from ONE md5 over disjoint bit ranges (the HLL
+    * device) — the previous per-i md5("i|"+shingle) form paid k hash
+    * computations per shingle; here the k references to md5(shingle) are
+    * common-subexpression-eliminated inside whole-stage codegen, leaving
+    * one md5 + k cheap nibble extractions. 4×20 = 80 bits of the 128
+    * used, ranges disjoint, so positions stay pairwise independent.
     */
   private def bloomPositions: Column =
     array((0 until BloomK).map(i =>
-      md5Val(s"concat('$i|', shingle)", 1, 5) % BloomBits): _*)
+      md5Val("shingle", 1 + 5 * i, 5) % BloomBits): _*)
 
   /** Per-train-doc contamination counts against a Bloom filter of the
     * eval (val+test) split's 5-gram shingles: `n_flagged` = shingles whose
