@@ -1607,7 +1607,110 @@ object OracleSql {
          |SELECT rnk, doc_id, score, gkey FROM r
          |WHERE rnk <= 200
          |ORDER BY rnk""".stripMargin
-    })
+    }) +
+    ("q110_pii_redaction" -> PiiRedactionSql) +
+    ("q111_chunk_purge" -> ChunkPurgeSql) +
+    ("q112_cluster_keepers" -> ClusterKeepersSql)
+
+  /** PII scrub mirror (q110) — injection expression, patterns, and
+    * redaction order all read from / matched to TextAnalysis.piiRedaction
+    * (patterns are shared constants; the Java-regex/RE2 common subset
+    * guarantees identical matches).
+    */
+  private lazy val PiiRedactionSql: String = {
+    val T = graft.operators.TextAnalysis
+    val ptxt =
+      "text" +
+        " || CASE WHEN doc_id % 3 <> 2 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com' ELSE '' END" +
+        " || CASE WHEN doc_id % 6 = 0 THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@backup.example.org' ELSE '' END" +
+        " || CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || CAST(doc_id % 240 AS VARCHAR) || '.' || CAST((doc_id * 7) % 240 AS VARCHAR) || '.12' ELSE '' END" +
+        " || CASE WHEN doc_id % 4 = 0 THEN ' and 10.9.' || CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END" +
+        " || CASE WHEN doc_id % 5 < 2 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    s"""WITH p AS (
+       |  SELECT doc_id, $ptxt AS ptxt FROM documents),
+       |r AS (
+       |  SELECT doc_id, ptxt,
+       |         regexp_replace(regexp_replace(regexp_replace(ptxt,
+       |           '${T.EmailRe}', '<EMAIL>', 'g'),
+       |           '${T.Ipv4Re}', '<IP>', 'g'),
+       |           '${T.PhoneRe}', '<PHONE>', 'g') AS red
+       |  FROM p)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(ptxt, '${T.EmailRe}')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(ptxt, '${T.Ipv4Re}')) AS BIGINT) AS n_ips,
+       |       CAST(len(regexp_extract_all(ptxt, '${T.PhoneRe}')) AS BIGINT) AS n_phones,
+       |       CAST(length(red) AS BIGINT) AS n_red_chars,
+       |       md5(red) AS red_hash
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Chunk-purge mirror (q111) — non-overlapping ChunkWidth windows
+    * (stride = width, bound = len − 1: TextAnalysis.chunkPurge's overlap-0
+    * geometry), q107's packed-MIN keeper rule, and the per-doc in-order
+    * reassembly of the survivors.
+    */
+  private lazy val ChunkPurgeSql: String = {
+    val W = ChunkWidth
+    val B = graft.operators.TextAnalysis.ChunkPackBase
+    val slice = s"list_slice(toks, start + 1, start + $W)"
+    s"""WITH toksarr AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
+       |                     t -> t <> '') AS toks
+       |  FROM documents),
+       |pstarts AS (
+       |  SELECT doc_id, toks,
+       |         unnest(range(0, greatest(len(toks) - 1, 0) + 1, $W)) AS start
+       |  FROM toksarr WHERE len(toks) > 0),
+       |pchunks AS (
+       |  SELECT doc_id, CAST(start // $W AS BIGINT) AS chunk_id,
+       |         array_to_string($slice, ' ') AS txt,
+       |         len($slice) AS nt,
+       |         md5(array_to_string($slice, ' ')) AS h
+       |  FROM pstarts),
+       |dups AS (
+       |  SELECT h, MIN(doc_id * $B + chunk_id) AS keeper_key
+       |  FROM pchunks GROUP BY h HAVING COUNT(*) > 1),
+       |flagged AS (
+       |  SELECT c.doc_id, c.chunk_id, c.txt, c.nt,
+       |         (d.h IS NULL OR c.doc_id * $B + c.chunk_id = d.keeper_key) AS kept
+       |  FROM pchunks c LEFT JOIN dups d ON c.h = d.h),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_chunks,
+       |         SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+       |         SUM(CASE WHEN kept THEN nt ELSE 0 END) AS n_kept_tokens,
+       |         md5(COALESCE(string_agg(CASE WHEN kept THEN txt END, ' ' ORDER BY chunk_id), '')) AS retained_hash
+       |  FROM flagged GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+       |       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |       CAST(COALESCE(a.n_chunks, 0) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+       |       CAST(COALESCE(a.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+       |       COALESCE(a.retained_hash, md5('')) AS retained_hash
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Quality-keeper mirror (q112) — q52's cluster labels joined to
+    * n_chars, keeper = packed MAX(n_chars·B − doc_id) (max length, then
+    * min doc_id), n_chars recovered by exact ceil-division.
+    */
+  private lazy val ClusterKeepersSql: String = {
+    val B = graft.operators.Dedup.KeeperPack
+    s"""$DupClustersCtes,
+       |comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
+       |k AS (
+       |  SELECT component_id, COUNT(*) AS n_members,
+       |         MAX(d.n_chars * $B - d.doc_id) AS pk
+       |  FROM comp JOIN documents d USING (doc_id)
+       |  GROUP BY component_id)
+       |SELECT component_id, CAST(n_members AS BIGINT) AS n_members,
+       |       CAST(((pk + $B - 1) // $B) * $B - pk AS BIGINT) AS keeper_doc_id,
+       |       CAST((pk + $B - 1) // $B AS BIGINT) AS keeper_n_chars
+       |FROM k
+       |ORDER BY component_id""".stripMargin
+  }
 
   /** Big-endian integer value of md5 hex nibbles [start, start+nibbles)
     * of `sqlExpr` — the DuckDB mirror of Sketches.md5Val's conv() form

@@ -239,7 +239,20 @@ object SparkEntry {
     // DSIR selection: Gumbel-top-k resampling ∝ exp(q82 score) with
     // hash-derandomized noise — the deterministic draw of the docs a
     // targeted selection run keeps; distributed TakeOrdered, no sort
-    "q109_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)))
+    "q109_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
+    // PII detect + redact: deterministic injected positives (the SURVEY §6
+    // fixture idiom), per-type match counts, typed placeholders, md5 of
+    // the scrubbed text; pure per-row codegen'd regex — no shuffle
+    "q110_pii_redaction" -> ((s, d) => TextAnalysis.piiRedaction(s, d)),
+    // Chunk-grain corpus purge: APPLY the q107 keeper rule and rebuild
+    // each doc from its surviving non-overlapping windows — keeper
+    // adjudication shuffles 16-byte hashes, drop lists broadcast back,
+    // text itself never moves
+    "q111_chunk_purge" -> ((s, d) => TextAnalysis.chunkPurge(s, d)),
+    // Quality-aware canonical selection: per near-dup cluster keep the
+    // LONGEST member (tie: min doc_id) via one packed 64-bit MAX over the
+    // cached q52 label relation
+    "q112_cluster_keepers" -> ((s, d) => Dedup.clusterKeepers(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

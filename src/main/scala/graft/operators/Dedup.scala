@@ -936,6 +936,48 @@ object Dedup {
         (coalesce(col("component_id"), col("doc_id")) === col("doc_id"))
           .as("kept"))
 
+  /** Packed-key base for the q112 quality-keeper MAX; doc_id < KeeperPack
+    * for any corpus this runs on (10⁹ documents per shard — the pack is
+    * per-key arithmetic, so a larger deployment just widens the base).
+    * key = n_chars·KeeperPack − doc_id stays ≪ 2⁵² for any real n_chars,
+    * so even a double-typed fold is exact.
+    */
+  val KeeperPack = 1000000000L
+
+  /** Quality-aware canonical selection (q112) — which document to KEEP in
+    * each near-dup cluster. q52/q54 keep the minimum doc_id; a real
+    * pipeline keeps the best member — here the LONGEST (max n_chars, the
+    * standard keep-the-superset rule for near-dups, where members differ
+    * by truncation/boilerplate), tie-broken by minimum doc_id. Both
+    * criteria ride one packed 64-bit MAX (n_chars·B − doc_id), so the
+    * aggregate is a plain numeric max in both engines — no max_by tie
+    * ambiguity, no second pass.
+    *
+    * Scale shape: one hash aggregate over the cached cluster-label
+    * relation joined to the narrow (doc_id, n_chars) projection — the
+    * join key is doc_id on two co-typed child relations, the groupBy
+    * shuffles one long per clustered doc, and unclustered docs never
+    * enter (they keep themselves trivially, q54's coalesce).
+    */
+  def clusterKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val B = KeeperPack
+    val key = col("n_chars") * B - col("doc_id")
+    // ceil(key/B) recovers n_chars (0 ≤ doc_id < B ⇒ key ∈ ((n−1)B, nB]);
+    // subtract-the-remainder keeps the division integer-exact through the
+    // double path (the q107 idiom)
+    val k2 = col("k") + (B - 1)
+    val nChars = ((k2 - k2 % B) / B).cast("long")
+    dupClusterLabels(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars")), Seq("doc_id"))
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"), max(key).as("k"))
+      .select(col("component_id"), col("n_members"),
+        (nChars * B - col("k")).cast("long").as("keeper_doc_id"),
+        nChars.as("keeper_n_chars"))
+      .orderBy("component_id")
+  }
+
   /** Per-distinct-token hash bits, packed: nibble j of md5(token) maps
     * LSB-first to signature bits 4j..4j+3, so `nibbles` consecutive md5
     * hex chars, reversed, ARE the packed little-endian value — one conv()

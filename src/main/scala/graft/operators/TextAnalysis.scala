@@ -1164,4 +1164,136 @@ object TextAnalysis {
         (col("keeper_key") % PackBase).cast("long").as("keeper_chunk_id"))
       .orderBy(col("n_occurrences").desc, col("chunk_hash"))
   }
+
+  /** q110 PII patterns — read by OracleSql so the DuckDB mirror can never
+    * desync from the Spark side. Restricted to the Java-regex/RE2 common
+    * subset (explicit char classes, bounded quantifiers; no `\d`, no
+    * anchors, no lookaround) so both engines match identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** PII detection + redaction (q110) — the scrub stage every pretraining
+    * pipeline runs before anything else sees the text (emails, IPs, phone
+    * numbers → typed placeholders). The synthetic corpus carries no PII,
+    * so deterministic positives are INJECTED from real columns first
+    * (`user<doc_id>@<source>.example.com`, a dotted quad and a 555-line
+    * keyed off doc_id, each gated by a doc_id residue so every zero /
+    * one / many count path is exercised) — the established fixture idiom
+    * (SURVEY §6's synthesized URL column). Output per doc: pre-redaction
+    * match counts per type, redacted length, and the md5 of the redacted
+    * text. Redaction order is fixed (email → IP → phone) and mirrored in
+    * the oracle.
+    *
+    * Scale shape: pure per-row codegen'd regex projection — no join, no
+    * aggregate, no shuffle beyond the edge sort; 100 TB scrubs exactly
+    * like 100 MB, partition by partition.
+    */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The scrub projection on a free-standing (doc_id, text, source)
+    * relation — THE single definition of q110's semantics, shared by the
+    * dir-backed batch query above and the streaming scrub twin, so the
+    * two can never drift apart. Stateless (no aggregate, no window):
+    * streaming-safe as-is.
+    */
+  private[graft] def piiScrub(docs: DataFrame): DataFrame = {
+    val ptxt = piiInjected(col("doc_id"), col("text"), col("source"))
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(ptxt, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(ptxt, lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(ptxt, lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(ptxt, lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      length(red).cast("long").as("n_red_chars"),
+      md5(red).as("red_hash"))
+  }
+
+  /** The injected-PII text column — free-standing (doc_id, text, source)
+    * form shared by the batch query above and the streaming scrub twin,
+    * so the two can never drift apart.
+    */
+  private[graft] def piiInjected(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val email = concat(lit(" contact user"), s(docId), lit("@"),
+      source, lit(".example.com"))
+    val ip = concat(lit(" from 10."), s(docId % 240), lit("."),
+      s((docId * 7) % 240), lit(".12"))
+    val phone = concat(lit(" call 555-"), lpad(s(docId % 10000), 4, "0"))
+    val email2 = concat(lit(" cc admin"), s(docId), lit("@backup.example.org"))
+    val ip2 = concat(lit(" and 10.9."), s(docId % 250), lit(".7"))
+    concat(text,
+      when(docId % 3 =!= 2, email).otherwise(lit("")),
+      when(docId % 6 === 0, email2).otherwise(lit("")),
+      when(docId % 2 === 0, ip).otherwise(lit("")),
+      when(docId % 4 === 0, ip2).otherwise(lit("")),
+      when(docId % 5 < 2, phone).otherwise(lit("")))
+  }
+
+  /** Chunk-grain corpus purge (q111) — APPLIES the q107-style dedup and
+    * reconstructs the retained corpus, the step that actually writes the
+    * training set: cut each doc into non-overlapping `width`-token
+    * windows (overlap must be 0 so the windows partition the token
+    * stream and the survivors re-concatenate losslessly), keep each
+    * distinct window's first occurrence (minimum packed (doc_id,
+    * chunk_id), the q107 keeper rule) and every singleton, drop the rest,
+    * and rebuild each doc from its surviving windows in order. Output per
+    * doc: window counts kept/dropped, retained token count, and the md5
+    * of the retained text (identical to md5 of the full token stream for
+    * untouched docs).
+    *
+    * Scale shape: the text never shuffles. The keeper adjudication runs
+    * on the NARROW chunk relation (doc_id, chunk_id, 16-byte hash — the
+    * q107 shuffle); the resulting per-doc drop lists are tiny (only docs
+    * that lose a window appear, carrying int arrays), so AQE broadcasts
+    * them back onto the token relation, and the rebuild is a map-side
+    * array transform over each doc's own row. At 100 TB the corpus is
+    * read once and moved zero times.
+    */
+  def chunkPurge(spark: SparkSession, dir: String,
+      width: Int = ChunkWidth): DataFrame = {
+    val B = ChunkPackBase
+    val toks = rawTokens(spark, dir)
+    val narrow = chunksOf(toks, width, 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_hash"))
+    val packed = col("doc_id") * B + col("chunk_id")
+    val dups = narrow.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occ"), min(packed).as("keeper_key"))
+      .where(col("n_occ") > 1)
+      .select("chunk_hash", "keeper_key")
+    val drops = narrow.join(dups, "chunk_hash")
+      .where(packed =!= col("keeper_key"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("chunk_id"))).as("drop_ids"))
+    val starts = when(size(col("toks")) === 0,
+      array().cast("array<int>"))
+      .otherwise(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+        lit(width)))
+    val slices = transform(starts, st => slice(col("toks"), st + 1, lit(width)))
+    val kept = filter(col("slices"),
+      (_, i) => !array_contains(col("drop_ids"), i.cast("long")))
+    toks.join(drops, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("drop_ids"), array().cast("array<bigint>")).as("drop_ids"))
+      .withColumn("slices", slices)
+      .withColumn("kept", kept)
+      .select(col("doc_id"),
+        size(col("slices")).cast("long").as("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("slices")) - size(col("kept"))).cast("long").as("n_dropped"),
+        aggregate(col("kept"), lit(0L), (a, sl) => a + size(sl))
+          .as("n_kept_tokens"),
+        md5(concat_ws(" ", flatten(col("kept")))).as("retained_hash"))
+      .orderBy("doc_id")
+  }
 }

@@ -38,6 +38,20 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Stream-side PII scrub — the streaming twin of q110: the
+    * scrub-before-anything stage of a corpus intake, applied per
+    * micro-batch. Delegates to TextAnalysis.piiScrub, THE single
+    * definition of the injection/patterns/redaction-order semantics, so
+    * stream and batch can never drift apart; a pure stateless per-row
+    * regex projection (no aggregate, no watermark, append-safe) and
+    * BIT-IDENTICAL to batch q110 on the same rows (StreamingSpec asserts
+    * exact equality).
+    */
+  def piiScrubStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.piiScrub(
+      docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("text"), col("source")))
+
   /** Stream-side DSIR scoring — the streaming twin of q82's scorer with
     * the learning pass factored OUT: the 256-bucket weight table is
     * learned in batch (TextAnalysis.dsirWeightTable), collected, and

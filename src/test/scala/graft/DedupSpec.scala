@@ -574,6 +574,43 @@ class DedupSpec extends AnyFunSuite {
     assert(gotSpans.nonEmpty && gotSpans === gotSpans.sorted)
   }
 
+  test("clusterKeepers: the LONGEST member wins, not the minimum id") {
+    // doc 31 = doc 30 + one extra word → 5-gram Jaccard (n−4)/(n−3) ≥ 0.5
+    // → a verified {30, 31} cluster where the HIGHER id is longer
+    val base = (1 to 40).map(i => s"k$i").mkString(" ")
+    val docs = Seq(
+      (30L, base),
+      (31L, base + " extra"),
+      (32L, "unrelated words entirely disjoint from the cluster pair"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_keepers").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.clusterKeepers(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((30L, 2L, 31L, (base + " extra").length.toLong)))
+  }
+
+  test("clusterKeepers: corpus keeper is a true argmax member of its cluster") {
+    val keepers = Dedup.clusterKeepers(spark, sf)
+    assert(keepers.count() > 0)
+    // recompute the argmax independently (max_by over the labeled join)
+    // and diff — also proves keeper_n_chars is the keeper's real n_chars
+    val labeled = Dedup.dupClusters(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars")), Seq("doc_id"))
+    val want = labeled.groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(col("n_chars")).as("keeper_n_chars"))
+    val byMax = labeled.join(want, "component_id")
+      .filter(col("n_chars") === col("keeper_n_chars"))
+      .groupBy("component_id", "n_members", "keeper_n_chars")
+      .agg(min(col("doc_id")).as("keeper_doc_id"))
+      .select("component_id", "n_members", "keeper_doc_id", "keeper_n_chars")
+    assert(keepers.exceptAll(byMax).count() === 0)
+    assert(byMax.exceptAll(keepers).count() === 0)
+  }
+
   test("propagation's loop-local conf never touches the caller's session") {
     // the loop runs AQE-off at graph-sized shuffle partitions in a CLONED
     // session; the caller's conf must be byte-identical before and after

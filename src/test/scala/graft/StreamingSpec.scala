@@ -70,6 +70,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("streaming PII scrub is bit-identical to batch q110 on the same corpus") {
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("docs_pii_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir.toString)
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.piiScrubStream(stream), "pii_test", mode = "append")
+    val want = graft.operators.TextAnalysis.piiRedaction(spark, sf)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("streaming CMS grid equals the batch q103 cells, cell for cell") {
     import org.apache.spark.sql.types._
     val docSchema = StructType(Seq(

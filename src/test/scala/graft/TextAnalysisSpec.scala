@@ -622,4 +622,93 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq.sorted
     assert(got === Seq((2L, 2L, 10L, 0L), (2L, 2L, 10L, 1L)))
   }
+
+  private def md5Hex(s: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(s.getBytes("UTF-8"))
+    .map("%02x".format(_)).mkString
+
+  test("piiRedaction: hand-computed counts and redacted hash per residue path") {
+    val docs = Seq(
+      (0L, "hello world", "srcX"), // all five injections fire → 2,2,1
+      (7L, "plain body", "srcY"),  // email only → 1,0,0
+      (2L, "other text", "srcZ"))  // ip only (%3=2 kills email, %2=0) → 0,1,0
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.piiRedaction(spark, dir)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    val red0 = "hello world contact <EMAIL> cc <EMAIL>" +
+      " from <IP> and <IP> call <PHONE>"
+    val red7 = "plain body contact <EMAIL>"
+    val red2 = "other text from <IP>"
+    assert(got === Seq(
+      (0L, 2L, 2L, 1L, red0.length.toLong, md5Hex(red0)),
+      (2L, 0L, 1L, 0L, red2.length.toLong, md5Hex(red2)),
+      (7L, 1L, 0L, 0L, red7.length.toLong, md5Hex(red7))))
+  }
+
+  test("piiRedaction: scrub is complete — no pattern survives on the corpus") {
+    import org.apache.spark.sql.functions._
+    // rebuild the redacted TEXT (not just the hash) via the shared
+    // projection pieces and re-run all three detectors over it: zero hits
+    val ptxt = TextAnalysis.piiInjected(col("doc_id"), col("text"), col("source"))
+    val red = regexp_replace(regexp_replace(regexp_replace(ptxt,
+      TextAnalysis.EmailRe, "<EMAIL>"),
+      TextAnalysis.Ipv4Re, "<IP>"),
+      TextAnalysis.PhoneRe, "<PHONE>")
+    val residue = Tables.documents(spark, sf)
+      .select((size(regexp_extract_all(red, lit(TextAnalysis.EmailRe), lit(0)))
+        + size(regexp_extract_all(red, lit(TextAnalysis.Ipv4Re), lit(0)))
+        + size(regexp_extract_all(red, lit(TextAnalysis.PhoneRe), lit(0))))
+        .as("hits"))
+    assert(residue.agg(sum(col("hits"))).as[Long].head() === 0L)
+    // and the counts the query reports are non-trivial on the corpus
+    val q = TextAnalysis.piiRedaction(spark, sf)
+    assert(q.agg(sum(col("n_emails")) + sum(col("n_ips"))
+      + sum(col("n_phones"))).as[Long].head() > 0L)
+  }
+
+  test("chunkPurge: verbatim copy loses every window; keeper doc keeps all") {
+    def words(a: Int, b: Int): String = (a to b).map(i => s"p$i").mkString(" ")
+    val full = words(1, 130) // 3 windows: 64 + 64 + 2
+    val docs = Seq(
+      20L -> full,
+      21L -> full,            // verbatim copy → all 3 windows dropped
+      22L -> words(500, 560), // unique → untouched
+      23L -> "")              // empty → zero windows, md5("") retained
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_purge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.chunkPurge(spark, dir)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (20L, 3L, 3L, 0L, 130L, md5Hex(full)),
+      (21L, 3L, 0L, 3L, 0L, md5Hex("")),
+      (22L, 1L, 1L, 0L, 61L, md5Hex(words(500, 560))),
+      (23L, 0L, 0L, 0L, 0L, md5Hex(""))))
+  }
+
+  test("chunkPurge: corpus invariants — keeper accounting and lossless untouched docs") {
+    import org.apache.spark.sql.functions._
+    val purge = TextAnalysis.chunkPurge(spark, sf)
+    // every distinct window keeps exactly one occurrence corpus-wide
+    val distinctChunks = TextAnalysis.chunksOf(
+      TextAnalysis.rawTokens(spark, sf), TextAnalysis.ChunkWidth, 0)
+      .select("chunk_hash").distinct().count()
+    assert(purge.agg(sum("n_kept")).as[Long].head() === distinctChunks)
+    // kept + dropped = total, everywhere
+    assert(purge.filter(col("n_kept") + col("n_dropped") =!= col("n_chunks"))
+      .count() === 0)
+    // something was actually dropped on the corpus (verbatim dups exist)
+    assert(purge.agg(sum("n_dropped")).as[Long].head() > 0L)
+    // untouched docs reconstruct losslessly: retained md5 = md5 of the
+    // full space-joined token stream
+    val fullHash = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(concat_ws(" ",
+        graft.functions.TextFns.tokenize(col("text")))).as("full_hash"))
+    val mismatches = purge.filter(col("n_dropped") === 0)
+      .join(fullHash, "doc_id")
+      .filter(col("retained_hash") =!= col("full_hash"))
+    assert(mismatches.count() === 0)
+  }
 }
