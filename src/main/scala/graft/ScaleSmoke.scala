@@ -136,7 +136,16 @@ object ScaleSmoke {
       // round 12c: histogram quantiles (the ≤256-cell-per-source grid
       // absorbs copies× docs into the same fixed report) and the DSIR
       // Gumbel draw (TakeOrdered over copies× keyed docs, 200 rows out)
-      "q108_histogram_quantiles", "q109_dsir_select")
+      "q108_histogram_quantiles", "q109_dsir_select",
+      // round 12d (this session's operators). q110 is pure map-side regex —
+      // linear by construction. q111 is the purge's worst case: verbatim
+      // replication makes EVERY window of copies 2..N a duplicate of copy
+      // 1's, so the drop lists cover almost the whole corpus (the
+      // drop-nearly-everything regime) while n_kept saturates at the base
+      // distinct-window count. q112 rides the same widened propagation as
+      // q52, then argmaxes over clusters that are copies× wider — and
+      // every former singleton becomes a cluster of its own copies
+      "q110_pii_redaction", "q111_chunk_purge", "q112_cluster_keepers")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -156,7 +165,9 @@ object ScaleSmoke {
       // 3,973 train docs per sf0.1 copy)
       "q102_bloom_decontamination" -> 3973L,
       // one chunk row per (doc, window): 6,923 per sf0.1 copy
-      "q106_doc_chunks" -> 6923L
+      "q106_doc_chunks" -> 6923L,
+      // one scrub / purge row per document
+      "q110_pii_redaction" -> 5000L, "q111_chunk_purge" -> 5000L
     ).map { case (k, v) => k -> v * copies } ++
       // replication-INVARIANT outputs: fixed-size sketch reports must not
       // scale with copies at all (q103 top-50; q104 (sources+1)·64
@@ -169,6 +180,11 @@ object ScaleSmoke {
       // chunk hashes appears `copies` times, so the duplicate report is
       // exactly the distinct-chunk relation — saturated, not scaling
       (if (copies >= 2) Map("q107_chunk_dedup" -> 6824L) else Map.empty) ++
+      // q112 at copies ≥ 2: verbatim copies weld each base component's
+      // copies together and turn every former singleton into a cluster of
+      // its own copies, so components = base components (233 at sf0.1)
+      // + base unclustered docs (5,000 − 477) — invariant in `copies`
+      (if (copies >= 2) Map("q112_cluster_keepers" -> 4756L) else Map.empty) ++
       // q108: one row per source (20 at sf0.1) whatever the corpus size;
       // q109: the draw is exactly k = 200 rows by construction
       Map("q108_histogram_quantiles" -> 20L, "q109_dsir_select" -> 200L)
