@@ -96,7 +96,13 @@ object Plans {
       "q108_histogram_quantiles" ->
         "histogram quantiles: map-side bin projection, partial/final hash aggregate to the ≤256-cell-per-source grid, windows ONLY over the grid rows — no per-source ranking window over documents (q89's exact form), the mergeable-sketch shape",
       "q109_dsir_select" ->
-        "DSIR Gumbel draw: map-side key projection over the q82 score relation, then TakeOrderedAndProject (per-partition top-k heaps — k rows per partition travel, no global sort); the ranking window runs over the 200-row result only")
+        "DSIR Gumbel draw: map-side key projection over the q82 score relation, then TakeOrderedAndProject (per-partition top-k heaps — k rows per partition travel, no global sort); the ranking window runs over the 200-row result only",
+      "q110_pii_redaction" ->
+        "PII scrub: ONE map-side Project carrying all six regex outputs over the parquet scan — no join, no aggregate, no exchange below the edge sort; 100 TB scrubs partition by partition",
+      "q111_chunk_purge" ->
+        "chunk purge: keeper adjudication on the NARROW (doc_id, chunk_id, hash) explode — two hash aggregates whose shuffles carry md5 strings + packed longs; the per-doc drop lists join back onto the token relation as the AQE-broadcast side, and the rebuild (slice/filter/flatten/md5) is a map-side array transform — the corpus text appears in no Exchange",
+      "q112_cluster_keepers" ->
+        "quality keepers: the cached component-label relation joined to the narrow (doc_id, n_chars) projection, then ONE partial/final hash aggregate computing the packed 64-bit MAX — length-argmax without max_by, windows, or a second pass")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")
