@@ -16,6 +16,14 @@ class PropertySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("every query has an oracle and every oracle has a query (CLAUDE.md invariant)") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+    // qNN prefixes unique: Bench's short-key JSON maps would silently
+    // drop a timing on collision
+    val prefixes = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
+    assert(prefixes.distinct.size === prefixes.size)
+  }
+
   private val weird: Gen[String] = Gen.listOf(Gen.oneOf(
     Gen.alphaNumChar, Gen.const(' '), Gen.const('é'), Gen.const('!'),
     Gen.const('_'), Gen.const('中'))).map(_.mkString)
