@@ -31,6 +31,47 @@ class PropertySpec extends AnyFunSuite {
   private def sample[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  /** Adversarial PII-shaped strings: fragments that can chain into (or
+    * almost into) emails / dotted quads / 555-lines, plus pre-existing
+    * placeholders and separators that stress leftmost-match boundaries.
+    */
+  private val piiish: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.const("a"), Gen.const("5"), Gen.const("@"), Gen.const("."),
+    Gen.const("-"), Gen.const(" "), Gen.const("555-"), Gen.const("1.2.3.4"),
+    Gen.const("x@y.co"), Gen.const("example.com"), Gen.const("<EMAIL>"),
+    Gen.const("12"), Gen.const("bb"))).map(_.mkString)
+
+  test("PII scrub leaves zero residual matches on 300 adversarial strings") {
+    import graft.operators.TextAnalysis
+    val inputs = sample(piiish, 300)
+    val red = inputs.toDF("s").select(
+      regexp_replace(regexp_replace(regexp_replace($"s",
+        TextAnalysis.EmailRe, "<EMAIL>"),
+        TextAnalysis.Ipv4Re, "<IP>"),
+        TextAnalysis.PhoneRe, "<PHONE>").as("red"))
+      .as[String].collect().toSeq
+    val pats = Seq(TextAnalysis.EmailRe, TextAnalysis.Ipv4Re,
+      TextAnalysis.PhoneRe).map(_.r)
+    inputs.zip(red).foreach { case (in, r) =>
+      pats.foreach { p =>
+        assert(p.findFirstIn(r).isEmpty,
+          s"residual ${p.regex.take(20)}… in redaction of ${in.take(60)}")
+      }
+    }
+    // and the Spark-side match COUNTS equal driver-side java.util.regex
+    // counts on the originals (same leftmost-non-overlapping semantics)
+    val counts = inputs.toDF("s").select(
+      size(regexp_extract_all($"s", lit(TextAnalysis.EmailRe), lit(0))),
+      size(regexp_extract_all($"s", lit(TextAnalysis.Ipv4Re), lit(0))),
+      size(regexp_extract_all($"s", lit(TextAnalysis.PhoneRe), lit(0))))
+      .as[(Int, Int, Int)].collect().toSeq
+    inputs.zip(counts).foreach { case (in, (e, i, ph)) =>
+      assert(e === pats(0).findAllIn(in).size, s"email count on ${in.take(60)}")
+      assert(i === pats(1).findAllIn(in).size, s"ip count on ${in.take(60)}")
+      assert(ph === pats(2).findAllIn(in).size, s"phone count on ${in.take(60)}")
+    }
+  }
+
   test("clean+tokenize agrees with reference string semantics on 200 random strings") {
     val inputs = sample(weird, 200)
     val got = inputs.toDF("s")
