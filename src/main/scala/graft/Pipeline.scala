@@ -58,6 +58,73 @@ object Pipeline {
   def readSplit(spark: SparkSession, outPath: String, split: String): DataFrame =
     spark.read.parquet(s"$outPath/corpus").filter(col("split") === split)
 
+  /** The clean-corpus run — the CCNet/Dolma-shaped composition that
+    * actually TRANSFORMS the text, in pipeline order, and writes the
+    * result a tokenizer job consumes:
+    *
+    *  1. **Scrub** (the q110 redaction, no fixture injection — the corpus
+    *     as-is): emails/IPs/phone lines → typed placeholders, so nothing
+    *     downstream ever sees raw PII;
+    *  2. **Window purge** (the q111 keeper rule over the SCRUBBED token
+    *     stream): every duplicate non-overlapping window drops, first
+    *     occurrence corpus-wide survives;
+    *  3. **Survivor filter** (the q81 verdict): train keeps only deduped
+    *     + quality-passed + decontaminated docs; val/test keep full
+    *     hash-split membership (eval sets are sacred);
+    *  4. **Write** partitioned by (split, source) with a stage-level
+    *     manifest: docs in/out, PII hits redacted, windows dropped,
+    *     tokens written — the numbers a data card reports.
+    *
+    * Output text is the canonical tokenized form (lowercased, cleaned,
+    * space-joined — what the purge grain is defined over and what a
+    * tokenizer consumes); docs whose every window was a duplicate write
+    * an empty text rather than vanish, so corpus accounting stays
+    * one-row-per-surviving-doc. Scale shape: the scrub is map-side; the
+    * purge moves hashes + drop lists, not text (TextAnalysis.purgeCore);
+    * the verdict join is doc_id-keyed; text is written once.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String, outPath: String): Map[String, Long] = {
+    val scrubbed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.piiRedactCol(col("text")).as("text"),
+        TextAnalysis.piiHitsCol(col("text")).as("pii_hits"))
+    val toks = scrubbed.select(col("doc_id"),
+      graft.functions.TextFns.tokenize(col("text")).as("toks"))
+    val purged = TextAnalysis.purgeCore(toks)
+      .select(col("doc_id"),
+        concat_ws(" ", flatten(col("kept"))).as("clean_text"),
+        aggregate(col("kept"), lit(0L), (a, sl) => a + size(sl))
+          .as("n_tokens"),
+        (size(col("slices")) - size(col("kept"))).cast("long")
+          .as("windows_dropped"))
+    val verdict = TextAnalysis.trainCorpus(spark, dir)
+      .select("doc_id", "split", "train_ok")
+    val keep = verdict.filter(
+      (col("split") === "train" && col("train_ok") === 1L) ||
+        col("split") =!= "train")
+    val out = scrubbed.drop("text")
+      .join(purged, Seq("doc_id"))
+      .join(keep, Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text"), col("lang"), col("n_tokens"),
+        col("pii_hits"), col("windows_dropped"), col("split"), col("source"))
+    sources.Sources.writeParquet(out, s"$outPath/corpus",
+      partitionCols = Seq("split", "source"))
+    // stage-level counts from what was actually WRITTEN
+    val w = spark.read.parquet(s"$outPath/corpus")
+    val Seq(nDocs, nTok, nPii, nWin) = w.agg(count(lit(1)),
+      sum("n_tokens"), sum("pii_hits"), sum("windows_dropped"))
+      .collect().head.toSeq.map(v => v.asInstanceOf[Long]).toSeq
+    val counts = Map(
+      "docs_in" -> Tables.documents(spark, dir).count(),
+      "docs_written" -> nDocs, "tokens_written" -> nTok,
+      "pii_hits_redacted" -> nPii, "windows_dropped" -> nWin)
+    val manifest = counts.toSeq.sortBy(_._1)
+      .map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
+    Files.write(Paths.get(s"$outPath/manifest.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    counts
+  }
+
   /** The reference's ACTUAL program as one library call: materialize the
     * three collections it bulk-writes to MongoDB — enriched wikibook
     * records (main.go:164), the token inverted index (main.go:174), and

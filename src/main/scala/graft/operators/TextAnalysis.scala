@@ -1199,13 +1199,29 @@ object TextAnalysis {
     * two can never drift apart. Stateless (no aggregate, no window):
     * streaming-safe as-is.
     */
-  private[graft] def piiScrub(docs: DataFrame): DataFrame = {
-    val ptxt = piiInjected(col("doc_id"), col("text"), col("source"))
-    val red = regexp_replace(
+  /** The redaction itself on ANY text column — email → IP → phone, the
+    * fixed order q110 and its oracle share. Free-standing so the q110
+    * query (which scrubs the injected-fixture text) and Pipeline
+    * .cleanCorpus (which scrubs the corpus as-is) can never drift.
+    */
+  private[graft] def piiRedactCol(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(ptxt, EmailRe, "<EMAIL>"),
+        regexp_replace(text, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
+
+  /** Total pre-redaction PII hits on ANY text column (all three types). */
+  private[graft] def piiHitsCol(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+      + size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+      + size(regexp_extract_all(text, lit(PhoneRe), lit(0)))).cast("long")
+
+  private[graft] def piiScrub(docs: DataFrame): DataFrame = {
+    val ptxt = piiInjected(col("doc_id"), col("text"), col("source"))
+    val red = piiRedactCol(ptxt)
     docs.select(col("doc_id"),
       size(regexp_extract_all(ptxt, lit(EmailRe), lit(0)))
         .cast("long").as("n_emails"),
@@ -1261,9 +1277,28 @@ object TextAnalysis {
     * read once and moved zero times.
     */
   def chunkPurge(spark: SparkSession, dir: String,
+      width: Int = ChunkWidth): DataFrame =
+    purgeCore(rawTokens(spark, dir), width)
+      .select(col("doc_id"),
+        size(col("slices")).cast("long").as("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("slices")) - size(col("kept"))).cast("long").as("n_dropped"),
+        aggregate(col("kept"), lit(0L), (a, sl) => a + size(sl))
+          .as("n_kept_tokens"),
+        md5(concat_ws(" ", flatten(col("kept")))).as("retained_hash"))
+      .orderBy("doc_id")
+
+  /** The purge itself over ANY free-standing (doc_id, toks) relation —
+    * THE single definition of the q111 keeper adjudication + map-side
+    * rebuild, shared by the dir-backed query above (which reports
+    * metrics + the retained md5) and Pipeline.cleanCorpus (which writes
+    * the retained text). Returns one row per input doc with the window
+    * arrays still in columnar form: (doc_id, toks, drop_ids, slices,
+    * kept) — callers pick their projection.
+    */
+  private[graft] def purgeCore(toks: DataFrame,
       width: Int = ChunkWidth): DataFrame = {
     val B = ChunkPackBase
-    val toks = rawTokens(spark, dir)
     val narrow = chunksOf(toks, width, 0)
       .select(col("doc_id"), col("chunk_id"), col("chunk_hash"))
     val packed = col("doc_id") * B + col("chunk_id")
@@ -1287,13 +1322,5 @@ object TextAnalysis {
         coalesce(col("drop_ids"), array().cast("array<bigint>")).as("drop_ids"))
       .withColumn("slices", slices)
       .withColumn("kept", kept)
-      .select(col("doc_id"),
-        size(col("slices")).cast("long").as("n_chunks"),
-        size(col("kept")).cast("long").as("n_kept"),
-        (size(col("slices")) - size(col("kept"))).cast("long").as("n_dropped"),
-        aggregate(col("kept"), lit(0L), (a, sl) => a + size(sl))
-          .as("n_kept_tokens"),
-        md5(concat_ws(" ", flatten(col("kept")))).as("retained_hash"))
-      .orderBy("doc_id")
   }
 }

@@ -99,6 +99,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(graft.Pipeline.readSplit(spark, out, "train").count() === counts("train"))
   }
 
+  test("Pipeline.cleanCorpus: scrubbed, purged, survivor-filtered, manifest-consistent") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_clean").toString
+    val counts = graft.Pipeline.cleanCorpus(spark, TestSpark.Sf, out)
+    val w = spark.read.parquet(s"$out/corpus").persist()
+    // survivor membership: train keeps only train_ok docs, eval splits full
+    val verdict = graft.operators.TextAnalysis.trainCorpus(spark, TestSpark.Sf)
+    val expectDocs = verdict.filter(
+      (col("split") === "train" && col("train_ok") === 1L) ||
+        col("split") =!= "train").count()
+    assert(counts("docs_written") === expectDocs)
+    assert(counts("docs_in") === 500L)
+    // no PII pattern survives in the written text
+    val T = graft.operators.TextAnalysis
+    assert(w.agg(sum(T.piiHitsCol(col("clean_text")))).head.getLong(0) === 0L)
+    // the scrub is a no-op on this corpus (no real PII), so the written
+    // per-doc token counts must equal q111's kept-token accounting —
+    // cross-relation consistency of the whole purge path
+    val q111 = T.chunkPurge(spark, TestSpark.Sf)
+      .select(col("doc_id"), col("n_kept_tokens"), col("n_dropped"))
+    assert(w.join(q111, "doc_id")
+      .filter(col("n_tokens") =!= col("n_kept_tokens")).count() === 0)
+    assert(w.join(q111, "doc_id")
+      .filter(col("windows_dropped") =!= col("n_dropped")).count() === 0)
+    assert(counts("windows_dropped") > 0L) // the corpus has verbatim dups
+    // manifest mirrors the data
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/manifest.json")), "UTF-8")
+    counts.foreach { case (s, n) => assert(manifest.contains(s""""$s":$n""")) }
+    w.unpersist()
+    ()
+  }
+
   test("Pipeline.writeReferenceSinks round-trips the reference's three collections") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_trio").toString
