@@ -610,6 +610,24 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     dedupedIngest(gopherKeep(docs).select("doc_id", "text"), path, options)
 
+  /** The full clean intake — Pipeline.cleanCorpus's streaming mirror, in
+    * the same pipeline order: PII scrub FIRST (nothing downstream —
+    * including the dedup state store — ever holds raw PII), then the
+    * Gopher quality gate, then the stateful cross-batch exact-dedup
+    * landing. Scrub and gate are stateless projections (the shared
+    * TextAnalysis.piiRedactCol / gopherKeep definitions); only the
+    * landing keeps state. Note the scrub runs BEFORE fingerprinting, so
+    * two docs equal after redaction dedup together — the batch q21
+    * semantics a privacy-first intake wants.
+    */
+  def cleanIngest(docs: DataFrame, path: String,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    qualityGatedIngest(
+      docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.piiRedactCol(col("text")).as("text")),
+      path, options)
+
   /** Stream-side Gopher keep-filter (stateless; shareable with batch). */
   def gopherKeep(docs: DataFrame): DataFrame = {
     val stopList = graft.operators.TokenPipeline.StopWords

@@ -149,6 +149,31 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cleanIngest scrubs before dedup: redaction-equal docs land once, clean") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_c")
+      .resolve("corpus").toString
+    val base = "the quick brown fox jumps over the lazy dog while many " +
+      "other animals watch from their warm dens under bright evening skies"
+    // two docs equal ONLY after redaction (different raw emails) must
+    // dedup to the min doc_id; the landed text must carry the placeholder
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.cleanIngest(
+      input.toDS().toDF("doc_id", "text"), out)
+    try {
+      input.addData(
+        (5L, base + " mail me at alice@a.example.com now"),
+        (3L, base + " mail me at bob9@b.example.org now"),
+        (9L, "too short to pass the gate a@b.co"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      assert(landed.map(_._1) === Seq(3L)) // min id of the redaction-dup pair
+      assert(landed.head._2 === base + " mail me at <EMAIL> now")
+    } finally q.stop()
+  }
+
   test("chunkDedupIngest: q107 keeper within a batch, first-wins across batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
