@@ -1610,7 +1610,8 @@ object OracleSql {
     }) +
     ("q110_pii_redaction" -> PiiRedactionSql) +
     ("q111_chunk_purge" -> ChunkPurgeSql) +
-    ("q112_cluster_keepers" -> ClusterKeepersSql)
+    ("q112_cluster_keepers" -> ClusterKeepersSql) +
+    ("q113_cross_corpus_purge" -> CrossCorpusPurgeSql)
 
   /** PII scrub mirror (q110) — injection expression, patterns, and
     * redaction order all read from / matched to TextAnalysis.piiRedaction
@@ -1689,6 +1690,62 @@ object OracleSql {
        |       CAST(COALESCE(a.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
        |       COALESCE(a.retained_hash, md5('')) AS retained_hash
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Cross-corpus purge mirror (q113) — q111's window geometry over the
+    * parity split (odd = incoming dump, even = corpus): corpus-known
+    * hashes drop every incoming occurrence; corpus-new hashes follow the
+    * within-dump keeper rule.
+    */
+  private lazy val CrossCorpusPurgeSql: String = {
+    val W = ChunkWidth
+    val B = graft.operators.TextAnalysis.ChunkPackBase
+    val slice = s"list_slice(toks, start + 1, start + $W)"
+    s"""WITH toksarr AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
+       |                     t -> t <> '') AS toks
+       |  FROM documents),
+       |pstarts AS (
+       |  SELECT doc_id, toks,
+       |         unnest(range(0, greatest(len(toks) - 1, 0) + 1, $W)) AS start
+       |  FROM toksarr WHERE len(toks) > 0),
+       |pchunks AS (
+       |  SELECT doc_id, CAST(start // $W AS BIGINT) AS chunk_id,
+       |         array_to_string($slice, ' ') AS txt,
+       |         len($slice) AS nt,
+       |         md5(array_to_string($slice, ' ')) AS h
+       |  FROM pstarts),
+       |inc AS (SELECT * FROM pchunks WHERE doc_id % 2 = 1),
+       |corp AS (SELECT DISTINCT h FROM pchunks WHERE doc_id % 2 = 0),
+       |wdup AS (
+       |  SELECT h, MIN(doc_id * $B + chunk_id) AS keeper_key
+       |  FROM inc GROUP BY h HAVING COUNT(*) > 1),
+       |flagged AS (
+       |  SELECT i.doc_id, i.chunk_id, i.txt, i.nt,
+       |         (c.h IS NOT NULL) AS in_corpus,
+       |         (w.h IS NOT NULL AND i.doc_id * $B + i.chunk_id <> w.keeper_key) AS within_drop
+       |  FROM inc i
+       |  LEFT JOIN corp c ON i.h = c.h
+       |  LEFT JOIN wdup w ON i.h = w.h),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_chunks,
+       |         SUM(CASE WHEN NOT in_corpus AND NOT within_drop THEN 1 ELSE 0 END) AS n_kept,
+       |         SUM(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS n_dropped_corpus,
+       |         SUM(CASE WHEN NOT in_corpus AND within_drop THEN 1 ELSE 0 END) AS n_dropped_within,
+       |         SUM(CASE WHEN NOT in_corpus AND NOT within_drop THEN nt ELSE 0 END) AS n_kept_tokens,
+       |         md5(COALESCE(string_agg(CASE WHEN NOT in_corpus AND NOT within_drop THEN txt END, ' ' ORDER BY chunk_id), '')) AS retained_hash
+       |  FROM flagged GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+       |       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |       CAST(COALESCE(a.n_dropped_corpus, 0) AS BIGINT) AS n_dropped_corpus,
+       |       CAST(COALESCE(a.n_dropped_within, 0) AS BIGINT) AS n_dropped_within,
+       |       CAST(COALESCE(a.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+       |       COALESCE(a.retained_hash, md5('')) AS retained_hash
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |WHERE d.doc_id % 2 = 1
        |ORDER BY d.doc_id""".stripMargin
   }
 

@@ -145,7 +145,12 @@ object ScaleSmoke {
       // distinct-window count. q112 rides the same widened propagation as
       // q52, then argmaxes over clusters that are copies× wider — and
       // every former singleton becomes a cluster of its own copies
-      "q110_pii_redaction", "q111_chunk_purge", "q112_cluster_keepers")
+      "q110_pii_redaction", "q111_chunk_purge", "q112_cluster_keepers",
+      // q113 under replication: the 1e6 id offset is even, so parity is
+      // preserved — the dump side is 2,500 odd docs × copies, every copy
+      // of an odd doc a within-dump dup family, every even-side window a
+      // corpus kill; kept saturates at the base dump's corpus-new set
+      "q113_cross_corpus_purge")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -167,7 +172,9 @@ object ScaleSmoke {
       // one chunk row per (doc, window): 6,923 per sf0.1 copy
       "q106_doc_chunks" -> 6923L,
       // one scrub / purge row per document
-      "q110_pii_redaction" -> 5000L, "q111_chunk_purge" -> 5000L
+      "q110_pii_redaction" -> 5000L, "q111_chunk_purge" -> 5000L,
+      // one row per INCOMING (odd doc_id) document
+      "q113_cross_corpus_purge" -> 2500L
     ).map { case (k, v) => k -> v * copies } ++
       // replication-INVARIANT outputs: fixed-size sketch reports must not
       // scale with copies at all (q103 top-50; q104 (sources+1)·64

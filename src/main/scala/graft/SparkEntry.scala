@@ -252,7 +252,11 @@ object SparkEntry {
     // Quality-aware canonical selection: per near-dup cluster keep the
     // LONGEST member (tie: min doc_id) via one packed 64-bit MAX over the
     // cached q52 label relation
-    "q112_cluster_keepers" -> ((s, d) => Dedup.clusterKeepers(s, d)))
+    "q112_cluster_keepers" -> ((s, d) => Dedup.clusterKeepers(s, d)),
+    // Cross-corpus purge: the per-dump q111 (odd docs = incoming dump,
+    // even = corpus): corpus-known windows drop everywhere, corpus-new
+    // follow the within-dump keeper rule; drops attributed by reason
+    "q113_cross_corpus_purge" -> ((s, d) => TextAnalysis.crossCorpusChunkPurge(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -1310,6 +1310,18 @@ object TextAnalysis {
       .where(packed =!= col("keeper_key"))
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("chunk_id"))).as("drop_ids"))
+    rebuildFromDrops(toks, drops, width)
+  }
+
+  /** The map-side rebuild shared by purgeCore and the cross-corpus purge:
+    * left-join per-doc `drop_ids` onto the token relation (tiny drop
+    * lists — the AQE-broadcast side in the common case) and re-derive
+    * each doc's windows as arrays, keeping the ones not named. Any extra
+    * columns on `drops` ride through the join (nullable for docs with no
+    * drop row — callers coalesce).
+    */
+  private def rebuildFromDrops(toks: DataFrame, drops: DataFrame,
+      width: Int): DataFrame = {
     val starts = when(size(col("toks")) === 0,
       array().cast("array<int>"))
       .otherwise(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
@@ -1318,9 +1330,67 @@ object TextAnalysis {
     val kept = filter(col("slices"),
       (_, i) => !array_contains(col("drop_ids"), i.cast("long")))
     toks.join(drops, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("toks"),
-        coalesce(col("drop_ids"), array().cast("array<bigint>")).as("drop_ids"))
+      .withColumn("drop_ids",
+        coalesce(col("drop_ids"), array().cast("array<bigint>")))
       .withColumn("slices", slices)
       .withColumn("kept", kept)
+  }
+
+  /** Cross-corpus chunk purge (q113) — the per-dump production shape of
+    * q111 (CCNet's: yesterday's corpus is already indexed; today's dump
+    * is purged against it AND against itself): odd doc_ids play the
+    * incoming dump, even the existing corpus (the q62 parity device,
+    * both sides one cached tokenize pass). A window drops if the corpus
+    * already has its hash (EVERY occurrence drops — the corpus copy
+    * survives elsewhere) or, for corpus-new hashes, by q107's keeper
+    * rule within the dump (first occurrence survives). Per incoming doc:
+    * window count, kept count, drops attributed by reason
+    * (corpus-hit vs within-dump dup), kept tokens, and the md5 of the
+    * rebuilt retained text.
+    *
+    * Scale shape: the corpus side collapses to a distinct-hash relation
+    * (16-byte rows — the persisted index a deployment keeps per dump);
+    * adjudication joins narrow hash relations only; the dump's text
+    * never shuffles (same rebuild as q111).
+    */
+  def crossCorpusChunkPurge(spark: SparkSession, dir: String,
+      width: Int = ChunkWidth): DataFrame = {
+    val B = ChunkPackBase
+    val all = rawTokens(spark, dir)
+    val inc = all.where(col("doc_id") % 2 === 1)
+    val narrowInc = chunksOf(inc, width, 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_hash"))
+    val corpusSet = chunksOf(all.where(col("doc_id") % 2 === 0), width, 0)
+      .select("chunk_hash").distinct()
+    val packed = col("doc_id") * B + col("chunk_id")
+    val wdup = narrowInc.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occ"), min(packed).as("keeper_key"))
+      .where(col("n_occ") > 1)
+      .select("chunk_hash", "keeper_key")
+    val reasons = narrowInc
+      .join(corpusSet.withColumn("in_corpus", lit(true)), Seq("chunk_hash"), "left_outer")
+      .join(wdup, Seq("chunk_hash"), "left_outer")
+      .select(col("doc_id"), col("chunk_id"),
+        coalesce(col("in_corpus"), lit(false)).as("in_corpus"),
+        (col("keeper_key").isNotNull && packed =!= col("keeper_key"))
+          .as("within_drop"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("in_corpus"), 1L).otherwise(0L)).as("n_dropped_corpus"),
+        sum(when(!col("in_corpus") && col("within_drop"), 1L).otherwise(0L))
+          .as("n_dropped_within"),
+        sort_array(collect_list(
+          when(col("in_corpus") || col("within_drop"), col("chunk_id"))))
+          .as("drop_ids"))
+    rebuildFromDrops(inc, reasons, width)
+      .select(col("doc_id"),
+        size(col("slices")).cast("long").as("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        coalesce(col("n_dropped_corpus"), lit(0L)).as("n_dropped_corpus"),
+        coalesce(col("n_dropped_within"), lit(0L)).as("n_dropped_within"),
+        aggregate(col("kept"), lit(0L), (a, sl) => a + size(sl))
+          .as("n_kept_tokens"),
+        md5(concat_ws(" ", flatten(col("kept")))).as("retained_hash"))
+      .orderBy("doc_id")
   }
 }

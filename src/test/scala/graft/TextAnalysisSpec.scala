@@ -688,6 +688,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       (23L, 0L, 0L, 0L, 0L, md5Hex(""))))
   }
 
+  test("crossCorpusChunkPurge: corpus hits drop everywhere, dump dups keep first") {
+    def words(a: Int, b: Int): String = (a to b).map(i => s"x$i").mkString(" ")
+    val shared = words(1, 130)   // 3 windows, known to the corpus side
+    val dumpDup = words(300, 430) // 3 windows, duplicated WITHIN the dump
+    val uniq = words(600, 660)    // 1 window, new
+    val docs = Seq(
+      1L -> shared,  // incoming; every window already in corpus (doc 2)
+      2L -> shared,  // corpus
+      3L -> dumpDup, // incoming; keeper of the within-dump pair
+      5L -> dumpDup, // incoming; loses all 3 to doc 3
+      7L -> uniq,    // incoming; untouched
+      9L -> "")      // incoming; no windows
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_xpurge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.crossCorpusChunkPurge(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 0L, 3L, 0L, 0L, md5Hex("")),
+      (3L, 3L, 3L, 0L, 0L, 131L, md5Hex(dumpDup)),
+      (5L, 3L, 0L, 0L, 3L, 0L, md5Hex("")),
+      (7L, 1L, 1L, 0L, 0L, 61L, md5Hex(uniq)),
+      (9L, 0L, 0L, 0L, 0L, 0L, md5Hex(""))))
+  }
+
   test("chunkPurge: corpus invariants — keeper accounting and lossless untouched docs") {
     import org.apache.spark.sql.functions._
     val purge = TextAnalysis.chunkPurge(spark, sf)
