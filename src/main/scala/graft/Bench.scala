@@ -163,7 +163,21 @@ object Bench {
           math.round(v * ticksPerSec) }
         .mkString("{", ",", "}")
     }
-    println(s"""{"bench_cold_pass_ds":${fmtShort(cold, 10)}}""")
+    // The driver archives only the LAST 2000 chars of output; at 113
+    // queries the three JSON lines totalled 1,976 — 24 chars of margin,
+    // and the next added query would push the cold map's head out of the
+    // window. The cold map is diagnostic and cold ≈ warm for most
+    // queries, so emit it SPARSE: only entries whose cold is ≥ 2× warm
+    // or ≥ 0.5 s above it (the first-touch/JIT signal the cold pass
+    // exists to surface) plus failures. Warm — the declared metric —
+    // stays complete. ~15 sparse entries ≈ 200 chars leaves room for
+    // ~100 more queries before this needs revisiting.
+    val warmByName = results.toMap
+    val coldSparse = cold.filter { case (k, v) =>
+      val w = warmByName.getOrElse(k, 0.0)
+      v < 0 || w < 0 || v >= 2 * w || v - w >= 0.5
+    }
+    println(s"""{"bench_cold_sparse_ds":${fmtShort(coldSparse, 10)}}""")
     println(s"""{"bench_warm_pass_cs":${fmtShort(results, 100)}}""")
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"sf":"$sfDir"}""")
     spark.stop()
