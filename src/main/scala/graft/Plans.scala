@@ -102,7 +102,9 @@ object Plans {
       "q111_chunk_purge" ->
         "chunk purge: keeper adjudication on the NARROW (doc_id, chunk_id, hash) explode — two hash aggregates whose shuffles carry md5 strings + packed longs; the per-doc drop lists join back onto the token relation as the AQE-broadcast side, and the rebuild (slice/filter/flatten/md5) is a map-side array transform — the corpus text appears in no Exchange",
       "q112_cluster_keepers" ->
-        "quality keepers: the cached component-label relation joined to the narrow (doc_id, n_chars) projection, then ONE partial/final hash aggregate computing the packed 64-bit MAX — length-argmax without max_by, windows, or a second pass")
+        "quality keepers: the cached component-label relation joined to the narrow (doc_id, n_chars) projection, then ONE partial/final hash aggregate computing the packed 64-bit MAX — length-argmax without max_by, windows, or a second pass",
+      "q113_cross_corpus_purge" ->
+        "cross-corpus purge: the corpus side collapses to a distinct-hash aggregate; both adjudication joins run on narrow (hash, packed-long) relations; the per-doc reason aggregate joins back onto the dump's token relation as the AQE-broadcast side — dump text in no Exchange")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")
