@@ -1651,11 +1651,15 @@ object OracleSql {
     * geometry), q107's packed-MIN keeper rule, and the per-doc in-order
     * reassembly of the survivors.
     */
-  private lazy val ChunkPurgeSql: String = {
+  /** Shared tokenize → non-overlapping-window → (txt, nt, h) CTE prefix
+    * of the two purge mirrors (review finding: was duplicated verbatim).
+    * Geometry mirrors TextAnalysis.purgeCore: stride = width, bound =
+    * len − 1, empty docs produce no windows.
+    */
+  private lazy val PurgeChunkCtes: String = {
     val W = ChunkWidth
-    val B = graft.operators.TextAnalysis.ChunkPackBase
     val slice = s"list_slice(toks, start + 1, start + $W)"
-    s"""WITH toksarr AS (
+    s"""toksarr AS (
        |  SELECT doc_id,
        |         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
        |                     t -> t <> '') AS toks
@@ -1669,7 +1673,12 @@ object OracleSql {
        |         array_to_string($slice, ' ') AS txt,
        |         len($slice) AS nt,
        |         md5(array_to_string($slice, ' ')) AS h
-       |  FROM pstarts),
+       |  FROM pstarts)""".stripMargin
+  }
+
+  private lazy val ChunkPurgeSql: String = {
+    val B = graft.operators.TextAnalysis.ChunkPackBase
+    s"""WITH $PurgeChunkCtes,
        |dups AS (
        |  SELECT h, MIN(doc_id * $B + chunk_id) AS keeper_key
        |  FROM pchunks GROUP BY h HAVING COUNT(*) > 1),
@@ -1699,24 +1708,8 @@ object OracleSql {
     * within-dump keeper rule.
     */
   private lazy val CrossCorpusPurgeSql: String = {
-    val W = ChunkWidth
     val B = graft.operators.TextAnalysis.ChunkPackBase
-    val slice = s"list_slice(toks, start + 1, start + $W)"
-    s"""WITH toksarr AS (
-       |  SELECT doc_id,
-       |         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ' '),
-       |                     t -> t <> '') AS toks
-       |  FROM documents),
-       |pstarts AS (
-       |  SELECT doc_id, toks,
-       |         unnest(range(0, greatest(len(toks) - 1, 0) + 1, $W)) AS start
-       |  FROM toksarr WHERE len(toks) > 0),
-       |pchunks AS (
-       |  SELECT doc_id, CAST(start // $W AS BIGINT) AS chunk_id,
-       |         array_to_string($slice, ' ') AS txt,
-       |         len($slice) AS nt,
-       |         md5(array_to_string($slice, ' ')) AS h
-       |  FROM pstarts),
+    s"""WITH $PurgeChunkCtes,
        |inc AS (SELECT * FROM pchunks WHERE doc_id % 2 = 1),
        |corp AS (SELECT DISTINCT h FROM pchunks WHERE doc_id % 2 = 0),
        |wdup AS (

@@ -84,12 +84,19 @@ object Pipeline {
     * the verdict join is doc_id-keyed; text is written once.
     */
   def cleanCorpus(spark: SparkSession, dir: String, outPath: String): Map[String, Long] = {
+    // persisted once (the rawTokens idiom): the scrub regexes and the
+    // tokenize each run ONE corpus pass — purgeCore reads toks twice
+    // (window explode + rebuild join) and the final join reads the
+    // scrubbed metadata again, all off the materialized relations
+    // (review finding: unpersisted, the 6-regex scrub re-ran 3-4×)
     val scrubbed = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         TextAnalysis.piiRedactCol(col("text")).as("text"),
         TextAnalysis.piiHitsCol(col("text")).as("pii_hits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = scrubbed.select(col("doc_id"),
       graft.functions.TextFns.tokenize(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val purged = TextAnalysis.purgeCore(toks)
       .select(col("doc_id"),
         concat_ws(" ", flatten(col("kept"))).as("clean_text"),
@@ -115,13 +122,15 @@ object Pipeline {
       sum("n_tokens"), sum("pii_hits"), sum("windows_dropped"))
       .collect().head.toSeq.map(v => v.asInstanceOf[Long]).toSeq
     val counts = Map(
-      "docs_in" -> Tables.documents(spark, dir).count(),
+      "docs_in" -> scrubbed.count(),
       "docs_written" -> nDocs, "tokens_written" -> nTok,
       "pii_hits_redacted" -> nPii, "windows_dropped" -> nWin)
     val manifest = counts.toSeq.sortBy(_._1)
       .map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
     Files.write(Paths.get(s"$outPath/manifest.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
+    toks.unpersist()
+    scrubbed.unpersist()
     counts
   }
 

@@ -963,10 +963,10 @@ object Dedup {
     val B = KeeperPack
     val key = col("n_chars") * B - col("doc_id")
     // ceil(key/B) recovers n_chars (0 ≤ doc_id < B ⇒ key ∈ ((n−1)B, nB]);
-    // subtract-the-remainder keeps the division integer-exact through the
-    // double path (the q107 idiom)
-    val k2 = col("k") + (B - 1)
-    val nChars = ((k2 - k2 % B) / B).cast("long")
+    // `div` is INTEGER division on longs — exact for any packed value,
+    // no 2^53 double cliff (review finding: the subtract-remainder /
+    // double-division idiom would silently round for n_chars > ~9e6)
+    val nChars = expr(s"(k + ${B - 1}L) div ${B}L")
     dupClusterLabels(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"),
         col("n_chars").cast("long").as("n_chars")), Seq("doc_id"))

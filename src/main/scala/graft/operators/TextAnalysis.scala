@@ -1298,20 +1298,27 @@ object TextAnalysis {
     */
   private[graft] def purgeCore(toks: DataFrame,
       width: Int = ChunkWidth): DataFrame = {
-    val B = ChunkPackBase
     val narrow = chunksOf(toks, width, 0)
       .select(col("doc_id"), col("chunk_id"), col("chunk_hash"))
-    val packed = col("doc_id") * B + col("chunk_id")
-    val dups = narrow.groupBy("chunk_hash")
-      .agg(count(lit(1)).as("n_occ"), min(packed).as("keeper_key"))
-      .where(col("n_occ") > 1)
-      .select("chunk_hash", "keeper_key")
-    val drops = narrow.join(dups, "chunk_hash")
+    val packed = col("doc_id") * ChunkPackBase + col("chunk_id")
+    val drops = narrow.join(windowKeepers(narrow), "chunk_hash")
       .where(packed =!= col("keeper_key"))
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("chunk_id"))).as("drop_ids"))
     rebuildFromDrops(toks, drops, width)
   }
+
+  /** q107's keeper adjudication over a narrow (doc_id, chunk_id,
+    * chunk_hash) relation — duplicated hashes with their packed-MIN
+    * keeper. THE single definition, shared by purgeCore and the
+    * cross-corpus purge (review finding: was duplicated).
+    */
+  private def windowKeepers(narrow: DataFrame): DataFrame =
+    narrow.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("doc_id") * ChunkPackBase + col("chunk_id")).as("keeper_key"))
+      .where(col("n_occ") > 1)
+      .select("chunk_hash", "keeper_key")
 
   /** The map-side rebuild shared by purgeCore and the cross-corpus purge:
     * left-join per-doc `drop_ids` onto the token relation (tiny drop
@@ -1363,10 +1370,7 @@ object TextAnalysis {
     val corpusSet = chunksOf(all.where(col("doc_id") % 2 === 0), width, 0)
       .select("chunk_hash").distinct()
     val packed = col("doc_id") * B + col("chunk_id")
-    val wdup = narrowInc.groupBy("chunk_hash")
-      .agg(count(lit(1)).as("n_occ"), min(packed).as("keeper_key"))
-      .where(col("n_occ") > 1)
-      .select("chunk_hash", "keeper_key")
+    val wdup = windowKeepers(narrowInc)
     val reasons = narrowInc
       .join(corpusSet.withColumn("in_corpus", lit(true)), Seq("chunk_hash"), "left_outer")
       .join(wdup, Seq("chunk_hash"), "left_outer")

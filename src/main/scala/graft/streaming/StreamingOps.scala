@@ -610,15 +610,24 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     dedupedIngest(gopherKeep(docs).select("doc_id", "text"), path, options)
 
-  /** The full clean intake — Pipeline.cleanCorpus's streaming mirror, in
-    * the same pipeline order: PII scrub FIRST (nothing downstream —
-    * including the dedup state store — ever holds raw PII), then the
-    * Gopher quality gate, then the stateful cross-batch exact-dedup
-    * landing. Scrub and gate are stateless projections (the shared
-    * TextAnalysis.piiRedactCol / gopherKeep definitions); only the
-    * landing keeps state. Note the scrub runs BEFORE fingerprinting, so
-    * two docs equal after redaction dedup together — the batch q21
-    * semantics a privacy-first intake wants.
+  /** The full clean intake — the streaming counterpart of
+    * Pipeline.cleanCorpus's stage ORDER: PII scrub FIRST (nothing
+    * downstream — including the dedup state store — ever holds raw
+    * PII), then the Gopher quality gate, then the stateful cross-batch
+    * exact-dedup landing. Scrub and gate are stateless projections (the
+    * shared TextAnalysis.piiRedactCol / gopherKeep definitions); only
+    * the landing keeps state.
+    *
+    * DELIBERATE divergence from the batch composition (do not expect
+    * row-identical admission): here the gate and the dedup fingerprint
+    * both read the SCRUBBED text — privacy-first, so redaction-equal
+    * docs dedup together and no PII ever reaches state — while batch
+    * cleanCorpus filters by the q81 verdict, whose quality/dedup
+    * relations are computed over the raw corpus. A doc sitting exactly
+    * on a Gopher threshold can be admitted by one and rejected by the
+    * other; the shared guarantees are the stage order and the scrub
+    * semantics, not bit-identical keep-sets (contrast piiScrubStream,
+    * whose batch equality IS exact and tested).
     */
   def cleanIngest(docs: DataFrame, path: String,
       options: Map[String, String] = Map.empty)
