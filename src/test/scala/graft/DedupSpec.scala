@@ -340,12 +340,20 @@ class DedupSpec extends AnyFunSuite {
 
   test("empty corpus: dedup ladder returns empty, no NPE in the cost probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
-    Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // full documents schema: the round-12 ops also read source/n_chars
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(Dedup.exactDedup(spark, dir).count() === 0)
     assert(Dedup.minhashNearDups(spark, dir).count() === 0)
     assert(Dedup.ngramJaccardDups(spark, dir).count() === 0)
     assert(Dedup.dupClusters(spark, dir).count() === 0)
+    // round-12 additions are total on the empty corpus too
+    assert(Dedup.clusterKeepers(spark, dir).count() === 0)
+    assert(graft.operators.TextAnalysis.chunkPurge(spark, dir).count() === 0)
+    assert(graft.operators.TextAnalysis
+      .crossCorpusChunkPurge(spark, dir).count() === 0)
+    assert(graft.operators.TextAnalysis.piiRedaction(spark, dir).count() === 0)
   }
 
   test("crossCorpusParityDups matches the two-DataFrame form on the corpus") {
