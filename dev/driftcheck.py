@@ -8,46 +8,91 @@ Usage: python3 dev/driftcheck.py BENCH_r13.json [--ratio 2.0]
 
 Reading rules (BASELINE-notes, protocol v2): driver-warm / floor <= ~2x is
 host contention; a query consistently above the ratio is a real regression
-to root-cause with QProbe. Exit code 0 always — this is an adjudication
-AID, not a gate; the 2x suite gate is the driver's.
+to root-cause with QProbe. When the bench carries calibration probes
+("calib_cs", round 13+: a fixed synthetic workload timed before the first
+pass and after every pass), the host multiplier is MEASURED — each ratio is
+also shown normalized by calib instead of inferred circularly from the
+suite itself. Exit code 0 always — this is an adjudication AID, not a
+gate; the 2x suite gate is the driver's.
 """
 import json
 import re
 import sys
 
+USAGE = "usage: python3 dev/driftcheck.py BENCH_r{N}.json|bench.log [--ratio 2.0]"
 
-def warm_map(path):
-    """Per-query warm seconds from a driver BENCH json or a raw bench log."""
+# floors.py emits exactly this header; the LAST block under it is canonical
+FLOOR_HEADER = "| query | floor (s) | query | floor (s) | query | floor (s) |"
+
+
+def bench_text(path):
+    """The bench stdout (driver json wraps it as an escaped 'tail' string)."""
     text = open(path).read()
-    # driver json wraps the bench stdout tail; raw logs contain it directly
     try:
         j = json.loads(text)
         text = j.get("tail", text)
     except ValueError:
         pass
-    text = text.replace("\\\"", '"')  # tail is an escaped-JSON string
+    return text.replace("\\\"", '"')
+
+
+def warm_map(text, path):
+    """Per-query warm seconds from bench stdout."""
     m = re.search(r'\{"bench_warm_pass_cs":(\{[^}]*\})\}', text)
     if not m:
         sys.exit(f"{path}: no bench_warm_pass_cs map found")
     return {k.lstrip("q"): v / 100.0 for k, v in json.loads(m.group(1)).items()}
 
 
+def calib_values(text):
+    """[pre-pass1, post-pass1, ..., post-passN] probe seconds, or None."""
+    m = re.search(r'"calib_cs":\[([\d,\s]*)\]', text)
+    if not m or not m.group(1).strip():
+        return None
+    return [int(v) / 100.0 for v in m.group(1).split(",")]
+
+
 def floor_table():
-    """The LAST committed floor table in BASELINE-notes.md."""
+    """The LAST committed floor table in BASELINE-notes.md — anchored to the
+    final occurrence of the floors.py header, scanning only its contiguous
+    table rows (advice r12: a whole-file regex also matched unrelated
+    '| qNN | <number>' tables, e.g. driver-comparison tables, so absent
+    queries silently inherited stale driver times as floors)."""
     text = open("BASELINE-notes.md").read()
+    at = text.rfind(FLOOR_HEADER)
+    if at < 0:
+        sys.exit("BASELINE-notes.md: no floors.py-format floor table found")
     rows = {}
-    # tables repeat; later entries overwrite earlier ones (supersede order)
-    for m in re.finditer(r"\| (q\d+) \| ([\d.]+) ", text):
-        rows[m.group(1).lstrip("q")] = float(m.group(2))
+    for line in text[at:].splitlines()[2:]:  # skip header + |---| separator
+        if not line.startswith("|"):
+            break
+        for m in re.finditer(r"(q\d+) \| ([\d.]+)", line):
+            rows[m.group(1).lstrip("q")] = float(m.group(2))
     if not rows:
-        sys.exit("BASELINE-notes.md: no floor table found")
+        sys.exit("BASELINE-notes.md: floor table header found but no rows")
     return rows
 
 
+def calib_floor():
+    """The LAST declared quiet-host calib value in BASELINE-notes.md."""
+    ms = re.findall(r"Calib floor: \*\*([\d.]+) s\*\*",
+                    open("BASELINE-notes.md").read())
+    return float(ms[-1]) if ms else None
+
+
 def main():
+    if len(sys.argv) < 2 or sys.argv[1].startswith("--"):
+        sys.exit(USAGE)
     path = sys.argv[1]
     ratio = float(sys.argv[sys.argv.index("--ratio") + 1]) if "--ratio" in sys.argv else 2.0
-    warm, floors = warm_map(path), floor_table()
+    text = bench_text(path)
+    warm, floors = warm_map(text, path), floor_table()
+    # measured host multiplier for the WARM (last) pass: mean of the two
+    # probes bracketing it, over the declared quiet-host calib floor
+    calib, cfloor = calib_values(text), calib_floor()
+    cmult = None
+    if calib and len(calib) >= 2 and cfloor:
+        cmult = max((calib[-2] + calib[-1]) / 2.0 / cfloor, 0.01)
     flagged, missing = [], []
     for q in sorted(warm, key=lambda k: int(k)):
         w = warm[q]
@@ -56,20 +101,37 @@ def main():
             missing.append(q)
             continue
         r = w / f if f > 0 else float("inf")
-        mark = "  <-- ABOVE RATIO" if (r > ratio or w < 0) else ""
-        print(f"q{q:>3}  warm {w:6.2f}  floor {f:5.2f}  ratio {r:5.2f}{mark}")
-        if r > ratio or w < 0:
+        rn = r / cmult if cmult else None
+        above = (rn if rn is not None else r) > ratio or w < 0
+        mark = "  <-- ABOVE RATIO" if above else ""
+        norm = f"  norm {rn:5.2f}" if rn is not None else ""
+        print(f"q{q:>3}  warm {w:6.2f}  floor {f:5.2f}  ratio {r:5.2f}{norm}{mark}")
+        if above:
             flagged.append((q, w, f, r))
     total_w = sum(v for v in warm.values() if v >= 0)
     total_f = sum(floors[q] for q in warm if q in floors)
-    print(f"\nsuite: warm {total_w:.1f} s vs floor-sum {total_f:.1f} s "
-          f"= {total_w / total_f:.2f}x (host-contention multiplier)")
+    if total_f > 0:
+        print(f"\nsuite: warm {total_w:.1f} s vs floor-sum {total_f:.1f} s "
+              f"= {total_w / total_f:.2f}x (suite-inferred multiplier)")
+    else:
+        print(f"\nsuite: warm {total_w:.1f} s; no overlapping floors — "
+              f"re-run floors.py and commit a table for these queries")
+    if calib:
+        pretty = "/".join(f"{c:.2f}" for c in calib)
+        if cmult:
+            print(f"calib probes: [{pretty}] s vs floor {cfloor:.2f} s — "
+                  f"MEASURED warm-pass host multiplier {cmult:.2f}x "
+                  f"(norm column = ratio / {cmult:.2f})")
+        else:
+            print(f"calib probes: [{pretty}] s, but no 'Calib floor: "
+                  f"**N.NN s**' declared in BASELINE-notes.md — raw ratios only")
     if missing:
         print(f"no committed floor yet (new queries?): {', '.join('q' + q for q in missing)}")
     if flagged:
+        basis = "calib-normalized" if cmult else "raw"
         print(f"{len(flagged)} quer{'y' if len(flagged) == 1 else 'ies'} above "
-              f"{ratio}x floor — normalize by the suite multiplier first, then QProbe "
-              f"what remains: " + ", ".join("q" + q for q, *_ in flagged))
+              f"{ratio}x floor ({basis}) — QProbe what remains: "
+              + ", ".join("q" + q for q, *_ in flagged))
     else:
         print(f"no query above {ratio}x its floor — no drift to adjudicate")
 

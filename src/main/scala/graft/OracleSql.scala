@@ -1611,7 +1611,8 @@ object OracleSql {
     ("q110_pii_redaction" -> PiiRedactionSql) +
     ("q111_chunk_purge" -> ChunkPurgeSql) +
     ("q112_cluster_keepers" -> ClusterKeepersSql) +
-    ("q113_cross_corpus_purge" -> CrossCorpusPurgeSql)
+    ("q113_cross_corpus_purge" -> CrossCorpusPurgeSql) +
+    ("q114_chunk_index_buckets" -> ChunkIndexBucketsSql)
 
   /** PII scrub mirror (q110) — injection expression, patterns, and
     * redaction order all read from / matched to TextAnalysis.piiRedaction
@@ -1760,6 +1761,37 @@ object OracleSql {
        |       CAST((pk + $B - 1) // $B AS BIGINT) AS keeper_n_chars
        |FROM k
        |ORDER BY component_id""".stripMargin
+  }
+
+  /** Persisted chunk-index mirror (q114) — the Spark side summarizes the
+    * STORED index parquet Pipeline.updateChunkIndex maintains (bootstrap
+    * from the even parity side, then incremental union of the odd side);
+    * this mirror recomputes the same leading-nibble bucket summary
+    * INDEPENDENTLY from the documents table via the shared window
+    * geometry, so a green hash proves the on-disk artifact is exactly
+    * the corpus's distinct chunk-hash set. The checksum is the
+    * order-independent sum of each hash's first-8-nibble value — the
+    * hash string is ALREADY hex, so the strpos chain reads `h` directly
+    * (no md5() wrapper, unlike hexValSql).
+    */
+  private lazy val ChunkIndexBucketsSql: String = {
+    // 8 nibbles = 32-bit values: a bucket needs 2^30+ rows before the
+    // BIGINT sum can overflow (13 nibbles would overflow at ~2^11 rows —
+    // and DuckDB raises on a HUGEINT→BIGINT overflow while Spark wraps,
+    // so the two sides would diverge loudly)
+    val hVal = (0 until 8).map { j =>
+      s"(strpos('0123456789abcdef', substring(h, ${1 + j}, 1)) - 1) * ${1L << (4 * (7 - j))}"
+    }.mkString("(", " + ", ")")
+    s"""WITH $PurgeChunkCtes,
+       |hashes AS (SELECT DISTINCT h FROM pchunks)
+       |SELECT substring(h, 1, 1) AS bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n_hashes,
+       |       MIN(h) AS min_hash,
+       |       MAX(h) AS max_hash,
+       |       CAST(SUM($hVal) AS BIGINT) AS bucket_sum
+       |FROM hashes
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
   }
 
   /** Big-endian integer value of md5 hex nibbles [start, start+nibbles)

@@ -134,6 +134,115 @@ object Pipeline {
     counts
   }
 
+  /** The persisted cross-corpus chunk-hash index (VERDICT r12 #5 — the
+    * missing piece of the q113 CCNet story): a deployment does NOT
+    * recompute yesterday's corpus hashes per dump (q113 recomputes the
+    * even side every run); it keeps `chunk_index.parquet` — one DISTINCT
+    * `chunk_hash` per row, the 16-byte-at-scale relation q113's corpus
+    * side collapses to — and each day unions today's survivors in.
+    *
+    * `updateChunkIndex` is that daily step over an arbitrary tokenized
+    * dump relation (doc_id, toks): bootstrap (no index yet → the dump's
+    * distinct hashes ARE the index) or incremental (stored ∪ dump-new;
+    * the stored side is a parquet scan of hashes — no re-tokenization,
+    * no text). The purge keeper rule retains exactly one occurrence of
+    * every corpus-new hash, so the survivors' hash set IS the dump's
+    * distinct-new set — the union needs no purge output. The swap is
+    * write-to-sibling + atomic directory rename, so a reader of
+    * `indexPath` never sees a half-written index and the update never
+    * overwrites a parquet dir it is lazily reading (the classic Spark
+    * self-overwrite trap).
+    *
+    * Scale shape: one distinct over dump hashes + one hash anti-join
+    * against the stored scan; both sides are 16-byte keys, text never
+    * moves. At 100 TB the index is a few billion rows of fixed-width
+    * hashes — a bucketed-by-hash layout keeps the daily union a
+    * co-partitioned merge; here the single-parquet-dir form keeps the
+    * same plan at local scale.
+    */
+  def updateChunkIndex(spark: SparkSession, dump: DataFrame,
+      indexPath: String,
+      width: Int = TextAnalysis.ChunkWidth): Map[String, Long] = {
+    val dumpHashes = TextAnalysis.chunksOf(dump, width, 0)
+      .select("chunk_hash").distinct()
+    val stored = Files.exists(Paths.get(indexPath, "_SUCCESS"))
+    val before = if (stored) readChunkIndex(spark, indexPath) else null
+    val nBefore = if (stored) before.count() else 0L
+    val next =
+      if (stored) before.union(
+        dumpHashes.join(before, Seq("chunk_hash"), "left_anti"))
+      else dumpHashes
+    val tmp = indexPath + ".next"
+    sources.Sources.writeParquet(next, tmp)
+    // materialized; now swap directories atomically under the reader path
+    deleteDir(indexPath)
+    Files.move(Paths.get(tmp), Paths.get(indexPath),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val nAfter = readChunkIndex(spark, indexPath).count()
+    Map("hashes_before" -> nBefore, "hashes_added" -> (nAfter - nBefore),
+      "hashes_after" -> nAfter)
+  }
+
+  /** Read the stored index with its schema declared explicitly — an
+    * all-filtered-out dump writes a parquet dir with no part files, and
+    * schema inference over it would fail where a declared schema reads
+    * zero rows (the empty-corpus totality case).
+    */
+  def readChunkIndex(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.schema("chunk_hash STRING").parquet(indexPath)
+
+  private def deleteDir(path: String): Unit = {
+    val target = Paths.get(path)
+    if (Files.exists(target)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+
+  /** q114 — the stored-index round-trip as an oracle-checked query: wipe,
+    * bootstrap the index from the even (corpus) parity side, incrementally
+    * union the odd (dump) side's hashes — BOTH updateChunkIndex paths —
+    * then summarize the STORED parquet by leading-nibble bucket: count,
+    * min/max hash, and a commutative checksum (sum of each hash's
+    * first-8-nibble value — order-independent, constant aggregation
+    * state, the scale-shaped digest; a sorted collect_list digest would
+    * not survive a billion-row bucket). The oracle recomputes the same
+    * summary INDEPENDENTLY from the raw documents table via the shared
+    * window-geometry CTEs, so a green hash proves the artifact on disk
+    * is exactly the corpus's distinct chunk-hash set — storage round-trip
+    * and index math in one check.
+    */
+  def chunkIndexBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ChunkIndexPath(dir)
+    deleteDir(idx); deleteDir(idx + ".next")
+    val all = TextAnalysis.rawTokens(spark, dir)
+    updateChunkIndex(spark, all.where(col("doc_id") % 2 === 0), idx)
+    updateChunkIndex(spark, all.where(col("doc_id") % 2 === 1), idx)
+    readChunkIndex(spark, idx)
+      .withColumn("bucket", substring(col("chunk_hash"), 1, 1))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_hashes"),
+        min("chunk_hash").as("min_hash"),
+        max("chunk_hash").as("max_hash"),
+        // first-8-nibble (32-bit) values: the long sum is overflow-safe
+        // to 2^30 rows per bucket (13 nibbles would wrap at ~2^11)
+        sum(expr("cast(conv(substring(chunk_hash, 1, 8), 16, 10) as bigint)"))
+          .as("bucket_sum"))
+      .orderBy("bucket")
+  }
+
+  /** Where q114 keeps its per-corpus index artifact (dir-keyed so
+    * concurrent SFs / test temp dirs never collide).
+    */
+  def ChunkIndexPath(dir: String): String =
+    "/tmp/graft-chunk-index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Dir-convenience form: today's dump is the corpus at `dir`. */
+  def updateChunkIndex(spark: SparkSession, dir: String,
+      indexPath: String): Map[String, Long] =
+    updateChunkIndex(spark, TextAnalysis.rawTokens(spark, dir), indexPath)
+
   /** The reference's ACTUAL program as one library call: materialize the
     * three collections it bulk-writes to MongoDB — enriched wikibook
     * records (main.go:164), the token inverted index (main.go:174), and

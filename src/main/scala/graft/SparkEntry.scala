@@ -256,7 +256,8 @@ object SparkEntry {
     // Cross-corpus purge: the per-dump q111 (odd docs = incoming dump,
     // even = corpus): corpus-known windows drop everywhere, corpus-new
     // follow the within-dump keeper rule; drops attributed by reason
-    "q113_cross_corpus_purge" -> ((s, d) => TextAnalysis.crossCorpusChunkPurge(s, d)))
+    "q113_cross_corpus_purge" -> ((s, d) => TextAnalysis.crossCorpusChunkPurge(s, d)),
+    "q114_chunk_index_buckets" -> ((s, d) => Pipeline.chunkIndexBuckets(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

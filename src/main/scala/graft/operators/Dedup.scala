@@ -971,9 +971,19 @@ object Dedup {
       .join(Tables.documents(spark, dir).select(col("doc_id"),
         col("n_chars").cast("long").as("n_chars")), Seq("doc_id"))
       .groupBy("component_id")
-      .agg(count(lit(1)).as("n_members"), max(key).as("k"))
+      // max(doc_id) rides the same aggregate (one extra long per group) to
+      // enforce the doc_id < KeeperPack precondition LOUDLY: an external
+      // corpus with 10⁹+ ids would otherwise silently unpack a wrong
+      // keeper from the overflowed key (advice r12). assert_true returns
+      // null when the guard holds, so the `when` below is the identity on
+      // valid input and a per-group runtime error on invalid.
+      .agg(count(lit(1)).as("n_members"), max(key).as("k"),
+        max(col("doc_id")).as("max_doc_id"))
       .select(col("component_id"), col("n_members"),
-        (nChars * B - col("k")).cast("long").as("keeper_doc_id"),
+        when(assert_true(col("max_doc_id") < lit(B),
+            lit(s"clusterKeepers: doc_id >= $B overflows the packed " +
+              "keeper key — widen KeeperPack for this corpus")).isNull,
+          (nChars * B - col("k")).cast("long")).as("keeper_doc_id"),
         nChars.as("keeper_n_chars"))
       .orderBy("component_id")
   }

@@ -1212,12 +1212,22 @@ object TextAnalysis {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
-  /** Total pre-redaction PII hits on ANY text column (all three types). */
+  /** Total PII REPLACEMENT EVENTS piiRedactCol performs on this text —
+    * each stage's matches are counted on that stage's actual input (the
+    * output of the previous replace), mirroring the email → IP → phone
+    * order. Counting all three patterns independently on the raw text
+    * would double-count overlaps (an IPv4 inside an email's domain
+    * matches Ipv4Re but is swallowed by the email replacement and never
+    * redacted separately), overstating a data card's redaction figure.
+    */
   private[graft] def piiHitsCol(text: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
+      : org.apache.spark.sql.Column = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
     (size(regexp_extract_all(text, lit(EmailRe), lit(0)))
-      + size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
-      + size(regexp_extract_all(text, lit(PhoneRe), lit(0)))).cast("long")
+      + size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0)))
+      + size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0)))).cast("long")
+  }
 
   private[graft] def piiScrub(docs: DataFrame): DataFrame = {
     val ptxt = piiInjected(col("doc_id"), col("text"), col("source"))

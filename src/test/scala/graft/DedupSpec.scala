@@ -354,6 +354,9 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.operators.TextAnalysis
       .crossCorpusChunkPurge(spark, dir).count() === 0)
     assert(graft.operators.TextAnalysis.piiRedaction(spark, dir).count() === 0)
+    // round-13: the persisted-index query bootstraps + updates an empty
+    // index and summarizes zero buckets without error
+    assert(graft.Pipeline.chunkIndexBuckets(spark, dir).count() === 0)
   }
 
   test("crossCorpusParityDups matches the two-DataFrame form on the corpus") {

@@ -132,6 +132,34 @@ class SourcesSpec extends AnyFunSuite {
     ()
   }
 
+  test("Pipeline.updateChunkIndex: bootstrap, incremental union, idempotent re-run") {
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.TextAnalysis
+    val idx = java.nio.file.Files.createTempDirectory("graft_cidx").toString + "/index"
+    val all = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select(col("doc_id"), graft.functions.TextFns.tokenize(col("text")).as("toks"))
+    val even = all.where(col("doc_id") % 2 === 0)
+    val odd = all.where(col("doc_id") % 2 === 1)
+    // bootstrap: the even side's distinct hashes ARE the index
+    val c1 = graft.Pipeline.updateChunkIndex(spark, even, idx)
+    assert(c1("hashes_before") === 0L)
+    assert(c1("hashes_after") === c1("hashes_added"))
+    assert(c1("hashes_after") > 0L)
+    // incremental: odd side unions in only its corpus-new hashes …
+    val c2 = graft.Pipeline.updateChunkIndex(spark, odd, idx)
+    assert(c2("hashes_before") === c1("hashes_after"))
+    // … and the stored result equals the distinct hash set of the union
+    val expect = T.chunksOf(all, T.ChunkWidth, 0)
+      .select("chunk_hash").distinct().count()
+    assert(c2("hashes_after") === expect)
+    assert(spark.read.parquet(idx).distinct().count() === c2("hashes_after"))
+    // same-dump re-run is a no-op (the daily-update idempotence a
+    // deployment relies on after a retried job)
+    val c3 = graft.Pipeline.updateChunkIndex(spark, odd, idx)
+    assert(c3("hashes_added") === 0L)
+    assert(c3("hashes_after") === c2("hashes_after"))
+  }
+
   test("Pipeline.writeReferenceSinks round-trips the reference's three collections") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_trio").toString
