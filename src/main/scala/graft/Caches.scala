@@ -19,7 +19,8 @@ object Caches {
     operators.Dedup.embRepCache, operators.Similarity.idxCache,
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache,
     operators.TextAnalysis.tfidfCache, operators.TextAnalysis.dsirCache,
-    operators.TextAnalysis.dsirWtCache)
+    operators.TextAnalysis.dsirWtCache, operators.TextAnalysis.bigramCache,
+    operators.TextAnalysis.verdictCache)
 
   /** Unpersist and drop every cached relation belonging to `spark`
     * (other sessions' entries are untouched).
@@ -51,6 +52,12 @@ object Caches {
     // learned BPE merge tables are results too (driver values, no blocks)
     operators.TextAnalysis.mergeMemo.keys.filter(_.startsWith(prefix))
       .foreach(operators.TextAnalysis.mergeMemo.remove)
+    // the per-doc train verdict embeds the cluster labels (dedup_kept), so
+    // it is a detection RESULT like them — re-paid once per pass by its
+    // alphabetically-first consumer (q81), reused by the rest (q86)
+    operators.TextAnalysis.verdictCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      operators.TextAnalysis.verdictCache.remove(k).foreach(free)
+    }
   }
 
   /** Evict every cached relation for ONE (session, input dir) — for

@@ -316,6 +316,30 @@ object TextAnalysis {
           .persist(StorageLevel.MEMORY_AND_DISK)
       })
 
+  private[graft] val bigramCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Cached corpus-wide bigram adjacency counts (src, dst, c) — an INDEX
+    * ARTIFACT (precomputable per-corpus structure, CLAUDE.md cache
+    * classes): the adjacency relation q70 (collocations) and q84 (token
+    * pagerank) both fold over. Before this cache q84 alone re-ran the
+    * explode + hash-aggregate THREE times per run (out-degree, iteration
+    * 1, iteration 2) and q70 a fourth — one corpus-wide explode now feeds
+    * all four consumers per (session, dir). Vocabulary²-bounded but
+    * Zipf-sparse (≈ distinct adjacent pairs actually seen), far smaller
+    * than the token stream it derives from.
+    */
+  private[graft] def bigramCounts(spark: SparkSession, dir: String): DataFrame =
+    bigramCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        rawTokens(spark, dir)
+          .select(explode(TextFns.shingleArray(col("toks"), 2)).as("bg"))
+          .select(split(col("bg"), " ").as("p"))
+          .select(element_at(col("p"), 1).as("src"), element_at(col("p"), 2).as("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
   /** Collocation extraction (q70): adjacent raw-token pairs scored by
     * pointwise mutual information — PMI = ln(n_ab·N / (n_a·n_b)) over
     * corpus-wide bigram/unigram occurrence counts — the classic
@@ -323,15 +347,13 @@ object TextAnalysis {
     * integer count until the final ln (rounded to 6), so the oracle
     * compare is exact; counts are distributed hash-aggregates and the
     * unigram join is a broadcast (vocabulary-sized). `minCount` drops the
-    * long noise tail before ranking. Both count branches read the cached
-    * rawTokens relation — one tokenize pass over the corpus, not two.
+    * long noise tail before ranking. The bigram branch reads the shared
+    * bigramCounts artifact (q84 folds over the same relation); the
+    * unigram branch reads cached rawTokens — one tokenize pass total.
     */
   def collocations(spark: SparkSession, dir: String, minCount: Long = 10): DataFrame = {
-    val bg = rawTokens(spark, dir)
-      .select(explode(TextFns.shingleArray(col("toks"), 2)).as("bg"))
-      .select(split(col("bg"), " ").as("p"))
-      .select(element_at(col("p"), 1).as("tok_a"), element_at(col("p"), 2).as("tok_b"))
-      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+    val bg = bigramCounts(spark, dir)
+      .select(col("src").as("tok_a"), col("dst").as("tok_b"), col("c").as("n_ab"))
       .filter(col("n_ab") >= minCount)
     val uni = rawTokens(spark, dir)
       .select(explode(col("toks")).as("tok"))
@@ -367,11 +389,7 @@ object TextAnalysis {
     */
   def tokenPagerank(spark: SparkSession, dir: String): DataFrame = {
     val Scale = 1000000000L
-    val edges = rawTokens(spark, dir)
-      .select(explode(TextFns.shingleArray(col("toks"), 2)).as("bg"))
-      .select(split(col("bg"), " ").as("p"))
-      .select(element_at(col("p"), 1).as("src"), element_at(col("p"), 2).as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+    val edges = bigramCounts(spark, dir)
     val out = edges.groupBy("src").agg(sum("c").as("outc"))
     val verts = rawTokens(spark, dir)
       .select(explode(col("toks")).as("token")).distinct()
@@ -392,7 +410,12 @@ object TextAnalysis {
             expr("(85 * coalesce(inflow, cast(0 as bigint))) div 100")).as("pr"),
           col("nv"))
     }
-    val p1 = step(pr0)
+    // p1 feeds BOTH the second iteration and the output join; without a
+    // checkpoint its whole lineage (join + aggregate) re-executes inside
+    // p2 (the propagateMinLabels device, round 13 — measured ~0.7 s/pass
+    // saved). Vocabulary-sized blocks; the ContextCleaner reclaims them
+    // when the query's RDDs go unreachable (nothing caches this relation).
+    val p1 = step(pr0).localCheckpoint()
     val p2 = step(p1)
     p1.select(col("token"), col("pr").as("pr1"))
       .join(p2.select(col("token"), col("pr").as("pr2")), Seq("token"))
@@ -809,10 +832,28 @@ object TextAnalysis {
         sum(col("train_ok")).as("n_train_ok"))
       .orderBy("source")
 
+  private[graft] val verdictCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** UNSORTED per-document verdict — building-block form shared by q81
-    * (sorted edge) and q86 (per-source aggregate).
+    * (sorted edge), q86 (per-source aggregate), and the two Pipeline
+    * writers. Memoized as a RESULT MEMO (evicted by
+    * Caches.clearResultMemos): the dedup_kept column embeds the cluster
+    * labels, themselves a per-pass-re-paid detection result — so within
+    * one bench pass whichever consumer runs first (q81 sorts before q86)
+    * pays the assembly once — the contamination shingle joins are the
+    * expensive half — and the rest reuse it, while across passes the
+    * detection is honestly re-paid (round 13: q81 + q86 were each
+    * reassembling the full verdict, ~2.9 s/pass combined for one
+    * relation).
     */
-  private def trainVerdictRaw(spark: SparkSession, dir: String): DataFrame = {
+  private def trainVerdictRaw(spark: SparkSession, dir: String): DataFrame =
+    verdictCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        trainVerdictBuild(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
+  private def trainVerdictBuild(spark: SparkSession, dir: String): DataFrame = {
     val splits = splitRaw(spark, dir).select("doc_id", "split")
     val surv = Dedup.survivorsRaw(spark, dir)
       .select(col("doc_id"), col("kept").as("dedup_kept"))
