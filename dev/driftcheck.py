@@ -125,6 +125,15 @@ def main():
         else:
             print(f"calib probes: [{pretty}] s, but no 'Calib floor: "
                   f"**N.NN s**' declared in BASELINE-notes.md — raw ratios only")
+    # round 13: the bench line self-describes its local[N] parallelism; a
+    # floor table declared at a different N is apples-to-oranges (the
+    # driver's BENCH_r12.json metadata says cpus:32 while Bench defaulted
+    # to local[4] when the env var is unset — invisible until now)
+    mcpus = re.search(r'"cpus":("?[\w*]+"?),"sf"', text)
+    if mcpus:
+        print(f"bench session parallelism: cpus={mcpus.group(1)} — floors are "
+              f"comparable only if declared at the same local[N] "
+              f"(see the floor table's protocol line in BASELINE-notes.md)")
     if missing:
         print(f"no committed floor yet (new queries?): {', '.join('q' + q for q in missing)}")
     if flagged:

@@ -249,7 +249,16 @@ object Bench {
     // tail window budget (measured 1,147–1,206 of 2,000 at 113 queries).
     def csList(vs: Seq[Double]): String =
       vs.map(v => math.round(v * 100)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"calib_cs":${csList(calibs.toSeq)},"warmup_waves_cs":${csList(waveDurations.toSeq)},"sf":"$sfDir"}""")
+    // "cpus" records the session's ACTUAL local[N] (round 13): the driver's
+    // BENCH_rN.json carries its own "cpus":32 metadata, but Bench defaulted
+    // to local[4] when SPARK_GRAFT_CPUS is unset — so whether a given run
+    // measured 4 or 32 threads was invisible in the output, and a declared
+    // denominator could silently be compared against a differently-sized
+    // session. Now every timing line states its own parallelism.
+    // (quoted if non-numeric — SPARK_GRAFT_CPUS=* is legal for local[*])
+    val cpusJson = scala.util.Try(cpus.trim.toInt.toString)
+      .getOrElse("\"" + cpus + "\"")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"calib_cs":${csList(calibs.toSeq)},"warmup_waves_cs":${csList(waveDurations.toSeq)},"cpus":$cpusJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -215,7 +215,7 @@ object Pipeline {
     */
   def chunkIndexBuckets(spark: SparkSession, dir: String): DataFrame = {
     val idx = ChunkIndexPath(dir)
-    deleteDir(idx); deleteDir(idx + ".next")
+    deleteChunkIndex(idx)
     val all = TextAnalysis.rawTokens(spark, dir)
     updateChunkIndex(spark, all.where(col("doc_id") % 2 === 0), idx)
     updateChunkIndex(spark, all.where(col("doc_id") % 2 === 1), idx)
@@ -237,6 +237,13 @@ object Pipeline {
     */
   def ChunkIndexPath(dir: String): String =
     "/tmp/graft-chunk-index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Wipe a stored index (and any half-written sibling) — the smoke/test
+    * hook for forcing the bootstrap path deterministically.
+    */
+  def deleteChunkIndex(indexPath: String): Unit = {
+    deleteDir(indexPath); deleteDir(indexPath + ".next")
+  }
 
   /** Dir-convenience form: today's dump is the corpus at `dir`. */
   def updateChunkIndex(spark: SparkSession, dir: String,

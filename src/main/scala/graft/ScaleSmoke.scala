@@ -208,6 +208,43 @@ object ScaleSmoke {
       println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $r")
     }
     require(bad == 0, s"$bad scale-smoke failures/row mismatches (see above)")
+
+    // q114 index-reuse rung (round 13): a deployment keeps
+    // chunk_index.parquet and incrementally unions each day's dump instead
+    // of recomputing the corpus side per run (the q113 shape). Timed at
+    // this replication rung:
+    //   bootstrap   — wipe, then build the index from the FULL replicated
+    //                 corpus (the recompute-every-run cost);
+    //   incremental — update the stored index with a one-copy dump (the
+    //                 daily step: re-hash only the dump, anti-join the
+    //                 stored 16-byte-hash artifact, rewrite).
+    // Invariants: verbatim copies contribute ZERO new hashes (chunk hashes
+    // are content-only, so the base corpus already holds every chunk), the
+    // index stays flat at the base distinct-chunk count across rungs, and
+    // incremental beats bootstrap — the reason the artifact exists.
+    if (only.isEmpty || only("q114_chunk_index_buckets")) {
+      val idx = Pipeline.ChunkIndexPath(out)
+      val toks = operators.TextAnalysis.rawTokens(spark, out)
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (boot, ta) = timed {
+        Pipeline.deleteChunkIndex(idx)
+        Pipeline.updateChunkIndex(spark, toks, idx)
+      }
+      val (incr, tb) = timed {
+        Pipeline.updateChunkIndex(spark, toks.where(col("doc_id") < 1000000L), idx)
+      }
+      println(f"[scale] q114 index bootstrap   $ta%8.2f s  ${boot.toSeq.sorted.mkString(", ")}")
+      println(f"[scale] q114 index incremental $tb%8.2f s  ${incr.toSeq.sorted.mkString(", ")}")
+      require(incr("hashes_added") == 0L,
+        s"verbatim dump added ${incr("hashes_added")} hashes — chunk hashing is not content-only")
+      require(boot("hashes_after") == incr("hashes_after"),
+        "index size moved on a no-new-hashes update")
+      require(tb < ta,
+        f"incremental update ($tb%.2f s) did not beat bootstrap recompute ($ta%.2f s)")
+    }
     spark.stop()
   }
 }
