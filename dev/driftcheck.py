@@ -73,10 +73,21 @@ def floor_table():
     return rows
 
 
-def calib_floor():
-    """The LAST declared quiet-host calib value in BASELINE-notes.md."""
-    ms = re.findall(r"Calib floor: \*\*([\d.]+) s\*\*",
-                    open("BASELINE-notes.md").read())
+def calib_floor(cpus=None):
+    """The LAST declared quiet-host calib value in BASELINE-notes.md.
+
+    The probe is parallelism-dependent (fixed work / local[N] threads), so
+    r13+ declarations carry the session size: 'Calib floor (cpus=32):
+    **0.32 s**'. When the bench line self-describes its cpus, prefer the
+    matching declaration; fall back to the last unqualified declaration."""
+    text = open("BASELINE-notes.md").read()
+    if cpus is not None:
+        ms = re.findall(
+            r"Calib floor \(cpus=%s\): \*\*([\d.]+) s\*\*" % re.escape(cpus),
+            text)
+        if ms:
+            return float(ms[-1])
+    ms = re.findall(r"Calib floor(?: \(cpus=\w+\))?: \*\*([\d.]+) s\*\*", text)
     return float(ms[-1]) if ms else None
 
 
@@ -87,9 +98,12 @@ def main():
     ratio = float(sys.argv[sys.argv.index("--ratio") + 1]) if "--ratio" in sys.argv else 2.0
     text = bench_text(path)
     warm, floors = warm_map(text, path), floor_table()
+    mcpus = re.search(r'"cpus":"?(\w+|\*)"?,"sf"', text)
     # measured host multiplier for the WARM (last) pass: mean of the two
     # probes bracketing it, over the declared quiet-host calib floor
-    calib, cfloor = calib_values(text), calib_floor()
+    # matching this session's parallelism
+    calib = calib_values(text)
+    cfloor = calib_floor(mcpus.group(1) if mcpus else None)
     cmult = None
     if calib and len(calib) >= 2 and cfloor:
         cmult = max((calib[-2] + calib[-1]) / 2.0 / cfloor, 0.01)
@@ -129,7 +143,6 @@ def main():
     # floor table declared at a different N is apples-to-oranges (the
     # driver's BENCH_r12.json metadata says cpus:32 while Bench defaulted
     # to local[4] when the env var is unset — invisible until now)
-    mcpus = re.search(r'"cpus":("?[\w*]+"?),"sf"', text)
     if mcpus:
         print(f"bench session parallelism: cpus={mcpus.group(1)} — floors are "
               f"comparable only if declared at the same local[N] "
