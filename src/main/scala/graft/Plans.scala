@@ -104,7 +104,9 @@ object Plans {
       "q112_cluster_keepers" ->
         "quality keepers: the cached component-label relation joined to the narrow (doc_id, n_chars) projection, then ONE partial/final hash aggregate computing the packed 64-bit MAX — length-argmax without max_by, windows, or a second pass",
       "q113_cross_corpus_purge" ->
-        "cross-corpus purge: the corpus side collapses to a distinct-hash aggregate; both adjudication joins run on narrow (hash, packed-long) relations; the per-doc reason aggregate joins back onto the dump's token relation as the AQE-broadcast side — dump text in no Exchange")
+        "cross-corpus purge: the corpus side collapses to a distinct-hash aggregate; both adjudication joins run on narrow (hash, packed-long) relations; the per-doc reason aggregate joins back onto the dump's token relation as the AQE-broadcast side — dump text in no Exchange",
+      "q114_chunk_index_buckets" ->
+        "stored-index summary: a plain parquet scan of the persisted 16-byte-hash artifact (built via bootstrap + incremental anti-join union, atomic dir swap) into one partial/final hash aggregate per leading-nibble bucket — constant aggregation state (count/min/max/sum), no window, no text")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")

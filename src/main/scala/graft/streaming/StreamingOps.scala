@@ -596,6 +596,47 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming maintenance of the persisted chunk-hash index — the
+    * streaming twin of Pipeline.updateChunkIndex (q114): each micro-batch
+    * of (doc_id, text) docs is tokenized stream-side (the shared TextFns
+    * projection), exploded through the ONE chunksOf geometry, and its
+    * content-only chunk hashes folded into the stored
+    * `chunk_index.parquet` via the SAME bootstrap/incremental code path
+    * the batch operator uses — write-to-sibling + atomic directory swap
+    * per micro-batch, so a concurrent reader of the index never observes
+    * a half-written state.
+    *
+    * No batch=N landing dirs and no requireCleanStore here (contrast
+    * dedupedIngest): the index is a SET and the incremental path unions
+    * only hashes absent from the store, so a retried or re-delivered
+    * micro-batch adds exactly zero rows — replay converges to the same
+    * artifact, and a PRE-EXISTING index is the normal resume case, not
+    * staleness. Cross-batch memory lives in the artifact itself, not the
+    * state store (no flatMapGroupsWithState) — which is what lets a daily
+    * batch `updateChunkIndex` job and this continuous ingest maintain the
+    * same index interchangeably. Input contract: (doc_id long, text
+    * string).
+    */
+  def indexIngest(docs: DataFrame, indexPath: String,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    require(docs.columns.toSet == Set("doc_id", "text"),
+      s"indexIngest folds chunk hashes of (doc_id, text) rows; project " +
+        s"the input first — got (${docs.columns.mkString(", ")})")
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.Pipeline.updateChunkIndex(spark,
+          batch.select(col("doc_id").cast("long").as("doc_id"),
+            graft.functions.TextFns.tokenize(col("text")).as("toks")),
+          indexPath)
+        ()
+      }
+      .outputMode("append")
+      .options(options) // checkpointLocation for restartable source offsets
+      .start()
+  }
+
   /** Quality-gated ingest: the Gopher rule bundle (q75) evaluated
     * stream-side as a stateless per-row projection, feeding the stateful
     * exact-dedup landing — the streaming composition of the pipeline's

@@ -606,4 +606,48 @@ class StreamingIncrementalSpec extends AnyFunSuite {
       assert(want === Seq(("2024-01-01", 1L, 200.0)))
     } finally q.stop()
   }
+
+  test("indexIngest: streaming chunk-index maintenance converges with the batch path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_ingest")
+      .resolve("chunk_index.parquet").toString
+    def words(a: Int, b: Int): String = (a to b).map(i => s"w$i").mkString(" ")
+    val base = words(1, 70)     // two chunks (W=64, S=48)
+    val fresh = words(500, 540) // one chunk
+    def stored(): Seq[String] =
+      graft.Pipeline.readChunkIndex(spark, idx).as[String].collect().sorted.toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.indexIngest(
+      input.toDS().toDF("doc_id", "text"), idx)
+    try {
+      // batch 1 bootstraps the artifact from nothing
+      input.addData((1L, base))
+      q.processAllAvailable()
+      assert(stored().size === 2)
+      // batch 2: one doc duplicates batch 1's text verbatim (its hashes are
+      // already stored — set semantics), one brings a genuinely new chunk
+      input.addData((2L, base), (3L, fresh))
+      q.processAllAvailable()
+      val afterTwo = stored()
+      assert(afterTwo.size === 3)
+      // re-delivery of the same payload adds exactly zero rows (the
+      // idempotence the docstring promises in place of batch=N dirs)
+      input.addData((4L, base), (5L, fresh))
+      q.processAllAvailable()
+      assert(stored() === afterTwo)
+      // interchangeability: a from-scratch BATCH build over the same docs
+      // yields the same stored hash set the stream converged to
+      val batchIdx = java.nio.file.Files.createTempDirectory("graft_idx_batch")
+        .resolve("chunk_index.parquet").toString
+      graft.Pipeline.updateChunkIndex(spark,
+        Seq(1L -> base, 2L -> base, 3L -> fresh).toDF("doc_id", "text")
+          .select(col("doc_id"),
+            graft.functions.TextFns.tokenize(col("text")).as("toks")),
+        batchIdx)
+      assert(graft.Pipeline.readChunkIndex(spark, batchIdx)
+        .as[String].collect().sorted.toSeq === afterTwo)
+    } finally q.stop()
+  }
 }
