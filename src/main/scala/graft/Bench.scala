@@ -113,7 +113,21 @@ object Bench {
     wave(
       () => SparkEntry.queries("q73_bpe_merges")(spark, sfDir).count(),
       () => SparkEntry.queries("q74_semdedup_survivors")(spark, sfDir).count(),
-      () => SparkEntry.queries("q90_shared_spans")(spark, sfDir).count(),
+      // q91/q95/q103 joined q90 here in round 13: BENCH_r12's driver cold
+      // pass still charged their slots 10.8/12.0/10.2 s of plan-compile
+      // first-touch (idle-host cold ≤1.7 s; cold_sparse names them every
+      // driver round) — one full run each moves that JIT into warmup_sec.
+      // Their detection memos are evicted below like the others', so the
+      // timed cold pass still re-pays the real per-query work. q95 shares
+      // the verified-pair/rep caches with q90, so the two fill in ONE
+      // sequential thunk (the wave invariant: no two concurrent steps may
+      // getOrElseUpdate the same key); q91/q103 only READ wave-2 artifacts.
+      () => {
+        SparkEntry.queries("q90_shared_spans")(spark, sfDir).count()
+        SparkEntry.queries("q95_dup_graph_stats")(spark, sfDir).count()
+      },
+      () => SparkEntry.queries("q91_doc_novelty")(spark, sfDir).count(),
+      () => SparkEntry.queries("q103_cms_heavy_hitters")(spark, sfDir).count(),
       // DSIR feature vectors + learned weight table (round 12: index
       // artifacts consumed by q82 + q109) — the table reads the vectors,
       // so ONE thunk fills both sequentially (no intra-wave cache race)
