@@ -357,6 +357,12 @@ class DedupSpec extends AnyFunSuite {
     // round-13: the persisted-index query bootstraps + updates an empty
     // index and summarizes zero buckets without error
     assert(graft.Pipeline.chunkIndexBuckets(spark, dir).count() === 0)
+    // round-13 shared-artifact paths: the cached bigram adjacency (q70/q84)
+    // and the memoized train verdict (q81/q86) are total on zero docs
+    assert(graft.operators.TextAnalysis.collocations(spark, dir).count() === 0)
+    assert(graft.operators.TextAnalysis.tokenPagerank(spark, dir).count() === 0)
+    assert(graft.operators.TextAnalysis.trainCorpus(spark, dir).count() === 0)
+    assert(graft.operators.TextAnalysis.corpusReport(spark, dir).count() === 0)
   }
 
   test("crossCorpusParityDups matches the two-DataFrame form on the corpus") {
