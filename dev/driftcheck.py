@@ -87,7 +87,11 @@ def calib_floor(cpus=None):
             text)
         if ms:
             return float(ms[-1])
-    ms = re.findall(r"Calib floor(?: \(cpus=\w+\))?: \*\*([\d.]+) s\*\*", text)
+    # fallback: UNQUALIFIED declarations only — a qualified floor for a
+    # DIFFERENT parallelism must not be silently adopted (the probe is
+    # ~4x apart between local[4] and local[32]; normalizing by the wrong
+    # one inverts the drift verdict). No match -> raw ratios.
+    ms = re.findall(r"Calib floor: \*\*([\d.]+) s\*\*", text)
     return float(ms[-1]) if ms else None
 
 
@@ -122,8 +126,11 @@ def main():
         print(f"q{q:>3}  warm {w:6.2f}  floor {f:5.2f}  ratio {r:5.2f}{norm}{mark}")
         if above:
             flagged.append((q, w, f, r))
+    # both totals over the same query set: a failed query (warm = -1) is
+    # excluded from total_w, so its floor must leave total_f too or the
+    # suite-inferred multiplier reads low exactly when things are broken
     total_w = sum(v for v in warm.values() if v >= 0)
-    total_f = sum(floors[q] for q in warm if q in floors)
+    total_f = sum(floors[q] for q in warm if q in floors and warm[q] >= 0)
     if total_f > 0:
         print(f"\nsuite: warm {total_w:.1f} s vs floor-sum {total_f:.1f} s "
               f"= {total_w / total_f:.2f}x (suite-inferred multiplier)")

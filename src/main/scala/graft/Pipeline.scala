@@ -148,10 +148,15 @@ object Pipeline {
     * no text). The purge keeper rule retains exactly one occurrence of
     * every corpus-new hash, so the survivors' hash set IS the dump's
     * distinct-new set — the union needs no purge output. The swap is
-    * write-to-sibling + atomic directory rename, so a reader of
-    * `indexPath` never sees a half-written index and the update never
+    * write-to-sibling then TWO atomic renames (live → .old, .next →
+    * live), so the update never deletes a committed index and never
     * overwrites a parquet dir it is lazily reading (the classic Spark
-    * self-overwrite trap).
+    * self-overwrite trap); a crash at any instant leaves a committed copy
+    * at `indexPath` or parked at `.old`, which the next update adopts. A
+    * reader can never observe a HALF-WRITTEN index — at worst it races
+    * the inter-rename instant, sees a missing path, and retries. A
+    * no-new-hashes update (replayed dump, idempotent micro-batch) skips
+    * the rewrite entirely — zero index I/O to change nothing.
     *
     * Scale shape: one distinct over dump hashes + one hash anti-join
     * against the stored scan; both sides are 16-byte keys, text never
@@ -165,22 +170,56 @@ object Pipeline {
       width: Int = TextAnalysis.ChunkWidth): Map[String, Long] = {
     val dumpHashes = TextAnalysis.chunksOf(dump, width, 0)
       .select("chunk_hash").distinct()
+    // crash recovery (review r13): a death between the two swap renames
+    // below leaves the finished index parked at .old — adopt it before
+    // deciding bootstrap-vs-incremental, so no committed hash is ever lost
+    val old = Paths.get(indexPath + ".old")
+    if (!Files.exists(Paths.get(indexPath, "_SUCCESS")) &&
+        Files.exists(old.resolve("_SUCCESS")))
+      Files.move(old, Paths.get(indexPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val stored = Files.exists(Paths.get(indexPath, "_SUCCESS"))
-    val before = if (stored) readChunkIndex(spark, indexPath) else null
-    val nBefore = if (stored) before.count() else 0L
-    val next =
-      if (stored) before.union(
-        dumpHashes.join(before, Seq("chunk_hash"), "left_anti"))
-      else dumpHashes
-    val tmp = indexPath + ".next"
-    sources.Sources.writeParquet(next, tmp)
-    // materialized; now swap directories atomically under the reader path
-    deleteDir(indexPath)
-    Files.move(Paths.get(tmp), Paths.get(indexPath),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    val nAfter = readChunkIndex(spark, indexPath).count()
-    Map("hashes_before" -> nBefore, "hashes_added" -> (nAfter - nBefore),
-      "hashes_after" -> nAfter)
+    if (!stored) {
+      // bootstrap: the dump's distinct hashes ARE the index
+      val tmp = indexPath + ".next"
+      sources.Sources.writeParquet(dumpHashes, tmp)
+      deleteDir(indexPath) // no _SUCCESS ⇒ nothing committed lives here
+      Files.move(Paths.get(tmp), Paths.get(indexPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val n = readChunkIndex(spark, indexPath).count()
+      return Map("hashes_before" -> 0L, "hashes_added" -> n,
+        "hashes_after" -> n)
+    }
+    val before = readChunkIndex(spark, indexPath)
+    val nBefore = before.count()
+    // count the NEW hashes once from the materialized anti-join — and when
+    // a replayed/duplicate dump contributes nothing, skip the rewrite
+    // entirely: at the billion-row scale shape an idempotent micro-batch
+    // must not pay O(index) I/O to change nothing (review r13; the old
+    // form also re-scanned the store post-swap just to derive the counts)
+    val newOnly = dumpHashes.join(before, Seq("chunk_hash"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nAdded = newOnly.count()
+      if (nAdded > 0L) {
+        val tmp = indexPath + ".next"
+        sources.Sources.writeParquet(before.union(newOnly), tmp)
+        // materialized; swap via two atomic renames (never delete the live
+        // committed index): park old, promote next, then drop the parked
+        // copy. A reader racing the instant between the renames retries a
+        // missing path; it can never observe a HALF-WRITTEN index, and a
+        // crash at any point leaves a committed copy at indexPath or .old
+        // (adopted by the recovery step above on the next update).
+        deleteDir(indexPath + ".old")
+        Files.move(Paths.get(indexPath), old,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Files.move(Paths.get(tmp), Paths.get(indexPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        deleteDir(indexPath + ".old")
+      }
+      Map("hashes_before" -> nBefore, "hashes_added" -> nAdded,
+        "hashes_after" -> (nBefore + nAdded))
+    } finally { newOnly.unpersist(); () }
   }
 
   /** Read the stored index with its schema declared explicitly — an
@@ -214,7 +253,7 @@ object Pipeline {
     * and index math in one check.
     */
   def chunkIndexBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val idx = ChunkIndexPath(dir)
+    val idx = ChunkIndexPath(spark, dir)
     deleteChunkIndex(idx)
     val all = TextAnalysis.rawTokens(spark, dir)
     updateChunkIndex(spark, all.where(col("doc_id") % 2 === 0), idx)
@@ -232,17 +271,30 @@ object Pipeline {
       .orderBy("bucket")
   }
 
-  /** Where q114 keeps its per-corpus index artifact (dir-keyed so
-    * concurrent SFs / test temp dirs never collide).
+  /** Where q114 keeps its per-corpus index artifact. Keyed by
+    * (session, dir) like every graft cache (CLAUDE.md): q114 WIPES and
+    * rebuilds its default-location index per call, so two concurrent
+    * sessions on the same sfDir (Verify racing Bench, parallel test JVMs)
+    * would interleave wipe/bootstrap/update on a dir-only key and corrupt
+    * each other's round-trip. An md5 of the RAW dir string rides along so
+    * distinct dirs that sanitize identically ('/a/b' vs '/a_b') cannot
+    * collide. Deployments that want a long-lived shared index pass their
+    * own explicit indexPath to updateChunkIndex instead.
     */
-  def ChunkIndexPath(dir: String): String =
-    "/tmp/graft-chunk-index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+  def ChunkIndexPath(spark: SparkSession, dir: String): String =
+    "/tmp/graft-chunk-index/" +
+      org.apache.spark.sql.GraftBridge.sessionKey(spark) + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString + "-" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Wipe a stored index (and any half-written sibling) — the smoke/test
     * hook for forcing the bootstrap path deterministically.
     */
   def deleteChunkIndex(indexPath: String): Unit = {
     deleteDir(indexPath); deleteDir(indexPath + ".next")
+    deleteDir(indexPath + ".old")
   }
 
   /** Dir-convenience form: today's dump is the corpus at `dir`. */

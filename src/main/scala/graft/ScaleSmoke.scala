@@ -223,7 +223,7 @@ object ScaleSmoke {
     // index stays flat at the base distinct-chunk count across rungs, and
     // incremental beats bootstrap — the reason the artifact exists.
     if (only.isEmpty || only("q114_chunk_index_buckets")) {
-      val idx = Pipeline.ChunkIndexPath(out)
+      val idx = Pipeline.ChunkIndexPath(spark, out)
       val toks = operators.TextAnalysis.rawTokens(spark, out)
       def timed[A](f: => A): (A, Double) = {
         val t0 = System.nanoTime(); val r = f
@@ -242,8 +242,18 @@ object ScaleSmoke {
         s"verbatim dump added ${incr("hashes_added")} hashes — chunk hashing is not content-only")
       require(boot("hashes_after") == incr("hashes_after"),
         "index size moved on a no-new-hashes update")
-      require(tb < ta,
-        f"incremental update ($tb%.2f s) did not beat bootstrap recompute ($ta%.2f s)")
+      // the wall-clock comparison is a HARD gate only where the intrinsic
+      // margin dwarfs host noise (≥50×: bootstrap hashes ≥50 copies vs the
+      // incremental's one — measured 10×/25×/75× gaps at 100×/200×); at
+      // small rungs a single GC pause could flip an ~2× margin and abort a
+      // whole smoke whose row invariants all passed (review r13)
+      if (copies >= 50)
+        require(tb < ta,
+          f"incremental update ($tb%.2f s) did not beat bootstrap recompute ($ta%.2f s)")
+      else if (tb >= ta)
+        println(f"[scale] WARNING: incremental ($tb%.2f s) did not beat " +
+          f"bootstrap ($ta%.2f s) at ${copies}x — margin is small at this " +
+          "rung; re-run or check the 100x/200x anchors before reading it as a regression")
     }
     spark.stop()
   }

@@ -978,11 +978,14 @@ object Dedup {
       // null when the guard holds, so the `when` below is the identity on
       // valid input and a per-group runtime error on invalid.
       .agg(count(lit(1)).as("n_members"), max(key).as("k"),
-        max(col("doc_id")).as("max_doc_id"))
+        max(col("doc_id")).as("max_doc_id"),
+        min(col("doc_id")).as("min_doc_id"))
       .select(col("component_id"), col("n_members"),
-        when(assert_true(col("max_doc_id") < lit(B),
-            lit(s"clusterKeepers: doc_id >= $B overflows the packed " +
-              "keeper key — widen KeeperPack for this corpus")).isNull,
+        when(assert_true(
+            col("max_doc_id") < lit(B) && col("min_doc_id") >= lit(0L),
+            lit(s"clusterKeepers: doc_id outside [0, $B) breaks the packed " +
+              "keeper key — widen KeeperPack / shift ids for this corpus"))
+            .isNull,
           (nChars * B - col("k")).cast("long")).as("keeper_doc_id"),
         nChars.as("keeper_n_chars"))
       .orderBy("component_id")
