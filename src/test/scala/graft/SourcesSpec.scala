@@ -158,6 +158,43 @@ class SourcesSpec extends AnyFunSuite {
     val c3 = graft.Pipeline.updateChunkIndex(spark, odd, idx)
     assert(c3("hashes_added") === 0L)
     assert(c3("hashes_after") === c2("hashes_after"))
+    // the no-new-hashes update must not have rewritten the stored parquet
+    // (review r13: an idempotent replayed batch pays zero index I/O) —
+    // part-file names and mtimes are untouched by c3
+    def partState(p: String): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).iterator().asScala
+        .map(f => (f.getFileName.toString,
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet
+    }
+    val stateAfterC3 = partState(idx)
+    val c3b = graft.Pipeline.updateChunkIndex(spark, odd, idx)
+    assert(c3b("hashes_added") === 0L)
+    assert(partState(idx) === stateAfterC3,
+      "no-op update rewrote the stored index")
+  }
+
+  test("Pipeline.updateChunkIndex: crash recovery adopts a parked .old index") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft_cidx_rec").toString + "/index"
+    val all = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select(col("doc_id"), graft.functions.TextFns.tokenize(col("text")).as("toks"))
+    val even = all.where(col("doc_id") % 2 === 0)
+    val odd = all.where(col("doc_id") % 2 === 1)
+    val c1 = graft.Pipeline.updateChunkIndex(spark, even, idx)
+    // simulate a death between the two swap renames: the committed index
+    // sits parked at .old, nothing at the live path
+    java.nio.file.Files.move(java.nio.file.Paths.get(idx),
+      java.nio.file.Paths.get(idx + ".old"))
+    val c2 = graft.Pipeline.updateChunkIndex(spark, odd, idx)
+    // the update ADOPTED the parked copy (incremental, not bootstrap): the
+    // before-count equals the committed index, no committed hash was lost
+    assert(c2("hashes_before") === c1("hashes_after"))
+    val expect = graft.operators.TextAnalysis
+      .chunksOf(all, graft.operators.TextAnalysis.ChunkWidth, 0)
+      .select("chunk_hash").distinct().count()
+    assert(c2("hashes_after") === expect)
+    assert(graft.Pipeline.readChunkIndex(spark, idx).distinct().count() === expect)
   }
 
   test("Pipeline.writeReferenceSinks round-trips the reference's three collections") {
