@@ -135,6 +135,36 @@ object Bench {
         operators.TextAnalysis.dsirDocBuckets(spark, sfDir).count()
         operators.TextAnalysis.dsirWeightTable(spark, sfDir).count()
       })
+    // wave 4 (round 14): BENCH_r13's surviving cold_sparse entries — the
+    // rollup (q07 9.0 s), the window-heavy Events plans (q36 sessions
+    // 9.1 s, q35 hourly), pagerank's first iteration (q84 7.9 s), plus
+    // the 1.1–2.4 s residue (q08/q37/q63) — are all plan-compile/JIT
+    // first-touch (warm ≤1.8 s each; VERDICT r13 item 2). One full run
+    // each moves that JIT into warmup_sec. The two round-14 queries join
+    // pre-emptively: q115 first-touches all four kNN-rung plans (it
+    // sorts BEFORE q28/q29/q55/q105 — 'q1' < 'q2') and q116 the bucketed
+    // table write/append plans. Cache keys are disjoint across steps:
+    // q63 alone touches srcTokCache; q84 reads the wave-2 bigram
+    // artifact; q115 reads the wave-1 vector index; the rest fill no
+    // graft caches.
+    // q116 wipes and rebuilds its own bucketed table per call, so the
+    // timed runs repeat the full bootstrap+append work.
+    wave(
+      () => SparkEntry.queries("q07_rollup_summary")(spark, sfDir).count(),
+      () => SparkEntry.queries("q08_customers_with_orders")(spark, sfDir).count(),
+      () => SparkEntry.queries("q35_hourly_events")(spark, sfDir).count(),
+      () => SparkEntry.queries("q36_sessions")(spark, sfDir).count(),
+      () => SparkEntry.queries("q37_json_stats")(spark, sfDir).count(),
+      () => SparkEntry.queries("q63_source_overlap")(spark, sfDir).count(),
+      () => SparkEntry.queries("q84_token_pagerank")(spark, sfDir).count(),
+      // q105 + q115 fill the SAME pq rung memo (knnMemo), so the two run
+      // in ONE sequential thunk (the wave invariant); q105's own
+      // first-touch was the one surviving r13-protocol cold_sparse entry
+      () => {
+        SparkEntry.queries("q105_knn_pq")(spark, sfDir).count()
+        SparkEntry.queries("q115_ann_recall")(spark, sfDir).count()
+      },
+      () => SparkEntry.queries("q116_bucketed_index_summary")(spark, sfDir).count())
     // evict the result memos the pre-fill just created (BPE merges,
     // cluster labels): the timed cold pass must still do each query's
     // full per-query work, minus only the JIT/codegen warmup above

@@ -16,7 +16,8 @@ object Caches {
     operators.Dedup.clusterCache, operators.Dedup.repsCache,
     operators.Dedup.fpCache, operators.Dedup.cappedCache,
     operators.Dedup.pairsCache, operators.Dedup.simhashSigCache,
-    operators.Dedup.embRepCache, operators.Similarity.idxCache,
+    operators.Dedup.embRepCache, operators.Dedup.embPairsCache,
+    operators.Similarity.idxCache, operators.Similarity.knnMemo,
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache,
     operators.TextAnalysis.tfidfCache, operators.TextAnalysis.dsirCache,
     operators.TextAnalysis.dsirWtCache, operators.TextAnalysis.bigramCache,
@@ -48,6 +49,17 @@ object Caches {
     // pass must re-pay the band join + Jaccard verify exactly once
     operators.Dedup.pairsCache.keys.filter(_.startsWith(prefix)).foreach { k =>
       operators.Dedup.pairsCache.remove(k).foreach(free)
+    }
+    // likewise the verified embedding rep-pair relation (q27 pays the
+    // sign-LSH bucket join + cosine verify once per pass, q74 reuses)
+    operators.Dedup.embPairsCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      operators.Dedup.embPairsCache.remove(k).foreach(free)
+    }
+    // and the kNN rung results (exact/IVF/multi-probe/PQ top-K tables):
+    // search RESULTS shared by q28/q29/q55/q105/q115 within a pass,
+    // re-paid once per pass by each rung's first consumer
+    operators.Similarity.knnMemo.keys.filter(_.startsWith(prefix)).foreach { k =>
+      operators.Similarity.knnMemo.remove(k).foreach(free)
     }
     // learned BPE merge tables are results too (driver values, no blocks)
     operators.TextAnalysis.mergeMemo.keys.filter(_.startsWith(prefix))

@@ -1612,7 +1612,9 @@ object OracleSql {
     ("q111_chunk_purge" -> ChunkPurgeSql) +
     ("q112_cluster_keepers" -> ClusterKeepersSql) +
     ("q113_cross_corpus_purge" -> CrossCorpusPurgeSql) +
-    ("q114_chunk_index_buckets" -> ChunkIndexBucketsSql)
+    ("q114_chunk_index_buckets" -> ChunkIndexBucketsSql) +
+    ("q115_ann_recall" -> AnnRecallSql) +
+    ("q116_bucketed_index_summary" -> ChunkIndexBucketedSummarySql)
 
   /** PII scrub mirror (q110) — injection expression, patterns, and
     * redaction order all read from / matched to TextAnalysis.piiRedaction
@@ -1774,24 +1776,136 @@ object OracleSql {
     * hash string is ALREADY hex, so the strpos chain reads `h` directly
     * (no md5() wrapper, unlike hexValSql).
     */
-  private lazy val ChunkIndexBucketsSql: String = {
-    // 8 nibbles = 32-bit values: a bucket needs 2^30+ rows before the
-    // BIGINT sum can overflow (13 nibbles would overflow at ~2^11 rows —
-    // and DuckDB raises on a HUGEINT→BIGINT overflow while Spark wraps,
-    // so the two sides would diverge loudly)
-    val hVal = (0 until 8).map { j =>
-      s"(strpos('0123456789abcdef', substring(h, ${1 + j}, 1)) - 1) * ${1L << (4 * (7 - j))}"
+  // 8 nibbles = 32-bit values: a bucket needs 2^30+ rows before the
+  // BIGINT sum can overflow (13 nibbles would overflow at ~2^11 rows —
+  // and DuckDB raises on a HUGEINT→BIGINT overflow while Spark wraps,
+  // so the two sides would diverge loudly)
+  private def idxNibbleSumSql(start: Int): String =
+    (0 until 8).map { j =>
+      s"(strpos('0123456789abcdef', substring(h, ${start + j}, 1)) - 1) * ${1L << (4 * (7 - j))}"
     }.mkString("(", " + ", ")")
+
+  private lazy val ChunkIndexBucketsSql: String =
     s"""WITH $PurgeChunkCtes,
        |hashes AS (SELECT DISTINCT h FROM pchunks)
        |SELECT substring(h, 1, 1) AS bucket,
        |       CAST(COUNT(*) AS BIGINT) AS n_hashes,
        |       MIN(h) AS min_hash,
        |       MAX(h) AS max_hash,
-       |       CAST(SUM($hVal) AS BIGINT) AS bucket_sum
+       |       CAST(SUM(${idxNibbleSumSql(1)}) AS BIGINT) AS bucket_sum
        |FROM hashes
        |GROUP BY bucket
        |ORDER BY bucket""".stripMargin
+
+  /** Bucketed stored-index mirror (q116) — identical independent
+    * recompute to q114's (the bucketed table must hold the SAME distinct
+    * chunk-hash set, whatever the physical layout or append history),
+    * plus the last-8-nibble digest so the two queries' outputs can never
+    * cross-pass on a copy-paste slip.
+    */
+  private lazy val ChunkIndexBucketedSummarySql: String =
+    s"""WITH $PurgeChunkCtes,
+       |hashes AS (SELECT DISTINCT h FROM pchunks)
+       |SELECT substring(h, 1, 1) AS bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n_hashes,
+       |       MIN(h) AS min_hash,
+       |       MAX(h) AS max_hash,
+       |       CAST(SUM(${idxNibbleSumSql(1)}) AS BIGINT) AS bucket_sum,
+       |       CAST(SUM(${idxNibbleSumSql(25)}) AS BIGINT) AS bucket_sum_lo
+       |FROM hashes
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+
+  /** ANN recall-calibration mirror (q115) — the exact (q28), IVF (q29),
+    * multi-probe (q55), and PQ (q105) top-K sets rebuilt from their
+    * established CTE chains (the PQ chain reads `n` instead of its own
+    * `e` — same emb column), intersected per (method, query point), and
+    * meaned per method as one integer division (SUM(hits)/(count·K)) —
+    * never an avg() over per-row doubles, whose summation order the two
+    * engines need not share.
+    */
+  private lazy val AnnRecallSql: String = {
+    val S = graft.operators.Similarity
+    val K = S.K
+    val M = S.PqSubspaces; val sub = S.PqSubDim; val ks = S.PqCodes
+    val sqd = s"list_reduce(list_transform(range(1, ${sub + 1}), " +
+      "i -> (sub[i]-cent[i])*(sub[i]-cent[i])), (x, y) -> x + y)"
+    def topKCte(name: String, pairs: String, ord: String) =
+      s"""$name AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY $ord, neighbor_id) AS rnk
+         |    FROM $pairs) WHERE rnk <= $K)""".stripMargin
+    s"""WITH $EmbCte,
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket FROM n WHERE vec_id < ${S.QuerySetSize}),
+       |xp AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         ${dotExpr("q_emb", "emb")} / (q_nrm * nrm) AS c
+       |  FROM q, n WHERE vec_id <> query_id),
+       |${topKCte("xk", "xp", "c DESC")},
+       |ip AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         ${dotExpr("q_emb", "emb")} / (q_nrm * nrm) AS c
+       |  FROM q JOIN n USING (bucket) WHERE vec_id <> query_id),
+       |${topKCte("ik", "ip", "c DESC")},
+       |mq AS (
+       |  SELECT query_id, q_emb, q_nrm, xor(bucket, f.v) AS bucket
+       |  FROM q, ${probeFlipsSql(LshBits)} f(v)),
+       |mp AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         ${dotExpr("q_emb", "emb")} / (q_nrm * nrm) AS c
+       |  FROM mq JOIN n USING (bucket) WHERE vec_id <> query_id),
+       |${topKCte("mk", "mp", "c DESC")},
+       |ms AS (SELECT unnest(range(0, $M)) AS m),
+       |cb AS (SELECT vec_id AS code, m, emb[(m*$sub+1):(m*$sub+$sub)] AS cent
+       |       FROM n CROSS JOIN ms WHERE vec_id < $ks),
+       |sv AS (SELECT vec_id, m, emb[(m*$sub+1):(m*$sub+$sub)] AS sub
+       |       FROM n CROSS JOIN ms),
+       |cd AS (SELECT vec_id, m, code, $sqd AS d2
+       |       FROM sv JOIN cb USING (m)),
+       |codes AS (SELECT vec_id, list(code ORDER BY m) AS codes
+       |          FROM (SELECT vec_id, m, code,
+       |                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                                          ORDER BY d2, code) AS rn
+       |                FROM cd)
+       |          WHERE rn = 1 GROUP BY vec_id),
+       |tarr AS (SELECT vec_id AS query_id, list(d2 ORDER BY m * $ks + code) AS tab
+       |         FROM cd WHERE vec_id < ${S.QuerySetSize} GROUP BY vec_id),
+       |sc AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+       |         ROUND(list_reduce(list_transform(range(0, $M),
+       |                  m -> tab[m * $ks + codes[m + 1] + 1]),
+       |                (x, y) -> x + y), 6) AS pq_dist2
+       |       FROM codes c CROSS JOIN tarr t WHERE c.vec_id <> t.query_id),
+       |${topKCte("pk", "sc", "pq_dist2")},
+       |approx AS (
+       |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ik
+       |  UNION ALL SELECT 'multiprobe', query_id, neighbor_id FROM mk
+       |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pk),
+       |grid AS (SELECT m.method, q.query_id
+       |         FROM (VALUES ('ivf'), ('multiprobe'), ('pq')) m(method), q),
+       |ret AS (SELECT method, query_id, COUNT(*) AS n
+       |        FROM approx GROUP BY method, query_id),
+       |hit AS (SELECT method, a.query_id, COUNT(*) AS n
+       |        FROM approx a JOIN xk x
+       |          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |        GROUP BY method, a.query_id),
+       |per AS (
+       |  SELECT g.method, g.query_id,
+       |         CAST(COALESCE(r.n, 0) AS BIGINT) AS n_returned,
+       |         CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+       |  FROM grid g
+       |  LEFT JOIN ret r ON r.method = g.method AND r.query_id = g.query_id
+       |  LEFT JOIN hit h ON h.method = g.method AND h.query_id = g.query_id)
+       |SELECT method, query_id, n_returned, n_hits,
+       |       ROUND(CAST(n_hits AS DOUBLE) / $K, 6) AS recall
+       |FROM per
+       |UNION ALL
+       |SELECT method, CAST(-1 AS BIGINT) AS query_id,
+       |       CAST(SUM(n_returned) AS BIGINT) AS n_returned,
+       |       CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+       |       ROUND(CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * $K), 6) AS recall
+       |FROM per GROUP BY method
+       |ORDER BY method, query_id""".stripMargin
   }
 
   /** Big-endian integer value of md5 hex nibbles [start, start+nibbles)

@@ -106,7 +106,11 @@ object Plans {
       "q113_cross_corpus_purge" ->
         "cross-corpus purge: the corpus side collapses to a distinct-hash aggregate; both adjudication joins run on narrow (hash, packed-long) relations; the per-doc reason aggregate joins back onto the dump's token relation as the AQE-broadcast side — dump text in no Exchange",
       "q114_chunk_index_buckets" ->
-        "stored-index summary: a plain parquet scan of the persisted 16-byte-hash artifact (built via bootstrap + incremental anti-join union, atomic dir swap) into one partial/final hash aggregate per leading-nibble bucket — constant aggregation state (count/min/max/sum), no window, no text")
+        "stored-index summary: a plain parquet scan of the persisted 16-byte-hash artifact (built via bootstrap + incremental anti-join union, atomic dir swap) into one partial/final hash aggregate per leading-nibble bucket — constant aggregation state (count/min/max/sum), no window, no text",
+      "q115_ann_recall" ->
+        "ANN recall calibration: all four kNN rungs read the one cached vector index; the scoring joins (grid left-joins over returned/hit counts) run at (method x query) grain — K·|queries| rows through every exchange, diagnostic-priced at any corpus size",
+      "q116_bucketed_index_summary" ->
+        "bucketed stored-index summary: the chunk_hash-bucketed catalog table (bootstrap + two delta-shaped APPENDS) scanned into one partial/final hash aggregate per leading-nibble bucket — dual commutative digests, constant aggregation state; see the §chunk-index section below for the incremental anti-join's no-stored-side-Exchange evidence")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")
@@ -156,6 +160,41 @@ object Plans {
         "adjacent-pair counts over the positional token stream: window over one doc_id exchange, hash aggregate, TakeOrderedAndProject top-1 — the per-round corpus pass is linear and the driver receives ONE row per round",
         operators.TextAnalysis.bpeRoundTop(
           operators.TextAnalysis.bpeTokenStream(spark, sfDir)))
+    }
+    locally {
+      // §chunk-index (VERDICT r13 #1): the bucketed store's INCREMENTAL
+      // anti-join — the structural claim is that the stored side's
+      // bucketed scan already satisfies the join's required
+      // HashPartitioning(chunk_hash, buckets), so the ONLY Exchange in
+      // the update plan is the delta-sized dump side. Pinned confs for
+      // the evidence: broadcast off (at sf the tiny store would otherwise
+      // broadcast — fine locally, but the deployment store is billions of
+      // rows and must never be the build side) and shuffle partitions =
+      // bucket count (the deployment sizing, so the dump's distinct lands
+      // AT the join's partitioning). BucketedIndexSpec asserts the same
+      // one-Exchange structure mechanically.
+      val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          Pipeline.ChunkIndexBuckets.toString)
+        val (table, path) = Pipeline.BucketedChunkIndexLocation(spark, sfDir)
+        val toks = operators.TextAnalysis.rawTokens(spark, sfDir)
+        Pipeline.deleteBucketedChunkIndex(spark, table, path)
+        Pipeline.updateChunkIndexBucketed(spark,
+          toks.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+          table, path)
+        val dump = operators.TextAnalysis
+          .chunksOf(toks, operators.TextAnalysis.ChunkWidth, 0)
+          .select("chunk_hash").distinct()
+        section("chunk-index — incremental anti-join over the bucketed store",
+          "the daily update step: today's dump hashes LEFT ANTI the stored index — the stored FileScan reads `Bucketed: true` with NO Exchange above it (its bucketing IS the join's required hashpartitioning); the single Exchange in the plan is the dump side's distinct, which at deployment is delta-sized; a nonzero result then APPENDS delta-sized bucket files (never a rewrite)",
+          dump.join(spark.table(table), Seq("chunk_hash"), "left_anti"))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffleBefore)
+      }
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")

@@ -255,6 +255,60 @@ object ScaleSmoke {
           f"bootstrap ($ta%.2f s) at ${copies}x — margin is small at this " +
           "rung; re-run or check the 100x/200x anchors before reading it as a regression")
     }
+
+    // q116 bucketed-index rung (round 14): the DEPLOYMENT layout —
+    // a chunk_hash-bucketed catalog table whose daily update APPENDS
+    // delta-sized bucket files instead of rewriting the index. Legs:
+    //   bootstrap — wipe, build the table from the EVEN-doc_id half of
+    //               the corpus (parity survives replication: the 1e6
+    //               offset is even, so every copy of a doc keeps its
+    //               parity and the even half holds the same content set
+    //               at every rung);
+    //   delta     — update with the FULL corpus: the odd docs' corpus-new
+    //               hashes append; every bootstrap part file must still
+    //               exist afterwards (append-shaped, never a rewrite);
+    //   verbatim  — repeat the full-corpus update: zero added hashes,
+    //               zero new files, index flat.
+    if (only.isEmpty || only("q116_bucketed_index_summary")) {
+      val (table, path) = Pipeline.BucketedChunkIndexLocation(spark, out)
+      val toks = operators.TextAnalysis.rawTokens(spark, out)
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      def partFiles(): Set[String] = {
+        val d = new java.io.File(path)
+        if (!d.exists) Set.empty
+        else d.listFiles.map(_.getName).filter(_.startsWith("part-")).toSet
+      }
+      val (boot, ta) = timed {
+        Pipeline.deleteBucketedChunkIndex(spark, table, path)
+        Pipeline.updateChunkIndexBucketed(spark,
+          toks.where(col("doc_id") % 2 === 0L), table, path)
+      }
+      val bootFiles = partFiles()
+      val (delta, td) = timed {
+        Pipeline.updateChunkIndexBucketed(spark, toks, table, path)
+      }
+      val deltaFiles = partFiles()
+      val (verb, tv) = timed {
+        Pipeline.updateChunkIndexBucketed(spark, toks, table, path)
+      }
+      val verbFiles = partFiles()
+      println(f"[scale] q116 bucketed bootstrap $ta%8.2f s  ${boot.toSeq.sorted.mkString(", ")}  files=${bootFiles.size}")
+      println(f"[scale] q116 bucketed delta     $td%8.2f s  ${delta.toSeq.sorted.mkString(", ")}  files=${deltaFiles.size}")
+      println(f"[scale] q116 bucketed verbatim  $tv%8.2f s  ${verb.toSeq.sorted.mkString(", ")}  files=${verbFiles.size}")
+      require(delta("hashes_added") > 0L,
+        "odd-doc dump added no hashes — the parity delta device broke")
+      require(bootFiles.subsetOf(deltaFiles),
+        "delta update rewrote bootstrap bucket files — append shape broken")
+      require(verb("hashes_added") == 0L,
+        s"verbatim dump added ${verb("hashes_added")} hashes — chunk hashing is not content-only")
+      require(verbFiles == deltaFiles,
+        "no-new-hashes update touched the stored table's files")
+      require(delta("hashes_after") == verb("hashes_after"),
+        "index size moved on a no-new-hashes update")
+    }
     spark.stop()
   }
 }

@@ -257,7 +257,17 @@ object SparkEntry {
     // even = corpus): corpus-known windows drop everywhere, corpus-new
     // follow the within-dump keeper rule; drops attributed by reason
     "q113_cross_corpus_purge" -> ((s, d) => TextAnalysis.crossCorpusChunkPurge(s, d)),
-    "q114_chunk_index_buckets" -> ((s, d) => Pipeline.chunkIndexBuckets(s, d)))
+    "q114_chunk_index_buckets" -> ((s, d) => Pipeline.chunkIndexBuckets(s, d)),
+    // ANN recall calibration: every approximate rung (IVF / multi-probe /
+    // PQ) joined against q28's brute-force ground truth — recall@K per
+    // query point + per-method mean; the q78 analogue for the vector
+    // ladder, integer-exact set-intersection counts
+    "q115_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    // The bucketed stored-index round-trip: bootstrap + two delta-shaped
+    // APPENDS into a chunk_hash-bucketed catalog table (anti-join reads
+    // the bucketed scan with no stored-side Exchange), summarized by
+    // leading nibble with dual commutative digests
+    "q116_bucketed_index_summary" -> ((s, d) => Pipeline.chunkIndexBucketedSummary(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -1313,10 +1313,51 @@ object Dedup {
     * narrow sign tables the way MinHash does (minhashBands).
     */
   def embeddingNearDups(spark: SparkSession, dir: String,
-      bits: Int = Similarity.IvfBits): DataFrame =
-    embNearDupPairsOf(Similarity.vectorIndex(spark, dir, bits))
+      bits: Int = Similarity.IvfBits): DataFrame = {
+    // Rep-collapse + expansion (round 14, the q22/q52 device applied to
+    // the pair ENUMERATION): verify cosine at rep grain (shared memo with
+    // q74 — embRepPairs), then expand each verified rep pair to all
+    // member pairs through the cached rep map. Equivalence: identical
+    // arrays hash to the same group, get the same bucket and the same
+    // cosine against anything, so (a∈A, b∈B, A≠B) is a verified pair iff
+    // (rep_A, rep_B) is, with the SAME double c (the fold reads only
+    // values); within-group pairs of nonzero vectors always verify
+    // (cos(x,x) = ‖x‖²/(√‖x‖²)² ≈ 1.0 ≥ 0.25) with c = the rep's
+    // self-cosine through the same code path; zero-norm vectors are
+    // singleton groups (per-vector hash key) and excluded from pairing on
+    // both routes. DedupSpec proves the expansion equals the direct
+    // enumeration on a planted-duplicate corpus. Under k× verbatim
+    // replication the cosine verification now shrinks k² (rep grain) and
+    // only this output-sized expansion — the k² the query's own semantics
+    // demand — grows.
+    val memberRep = embeddingRepMap(spark, dir)
+    val rp = embRepPairs(spark, dir, bits)
+    val cross = rp
+      .join(memberRep.select(col("rep").as("vec_a"), col("vec_id").as("ma")),
+        Seq("vec_a"))
+      .join(memberRep.select(col("rep").as("vec_b"), col("vec_id").as("mb")),
+        Seq("vec_b"))
+      .select(least(col("ma"), col("mb")).as("vec_a"),
+        greatest(col("ma"), col("mb")).as("vec_b"), col("c"))
+    val multi = memberRep.groupBy("rep").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 2)
+    val selfC = Similarity.vectorIndex(spark, dir, bits)
+      .join(multi.select(col("rep").as("vec_id")), Seq("vec_id"))
+      .filter(col("nrm") > 0.0)
+      .select(col("vec_id").as("rep"),
+        VectorFns.cosine(VectorFns.dot(col("emb"), col("emb")),
+          col("nrm"), col("nrm")).as("c"))
+    val within = memberRep.as("m1")
+      .join(memberRep.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.vec_id") < col("m2.vec_id"))
+      .select(col("m1.rep").as("rep"), col("m1.vec_id").as("vec_a"),
+        col("m2.vec_id").as("vec_b"))
+      .join(selfC, Seq("rep"))
+      .select("vec_a", "vec_b", "c")
+    cross.unionByName(within)
       .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
+  }
 
   /** Verified sign-LSH near-dup pairs of one INDEXED (vec_id, emb, nrm,
     * bucket) relation (Similarity.vectorIndex, or a subset of it):
@@ -1397,15 +1438,35 @@ object Dedup {
           .persist(StorageLevel.MEMORY_AND_DISK)
       })
 
+  /** Verified REP-level embedding near-dup pairs (vec_a, vec_b, c) —
+    * sign-LSH bucket equi-join + in-bucket cosine ≥ 0.25 over the rep
+    * subset of the vector index only. RESULT MEMO (a detection output,
+    * evicted by Caches.clearResultMemos like the verified MinHash pairs):
+    * q27 pays it once per pass (alphabetically first consumer) and
+    * expands it to member pairs; q74 reuses it as its component edge set
+    * — the r13 bigram/verdict sharing device applied to the embedding
+    * ladder (VERDICT r13 #4). Rep vectors read from the cached index —
+    * buckets/norms are per-vector values, identical whether computed on
+    * the subset or the whole.
+    */
+  private[graft] val embPairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def embRepPairs(spark: SparkSession, dir: String,
+      bits: Int): DataFrame =
+    embPairsCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir#$bits", {
+        val memberRep = embeddingRepMap(spark, dir)
+        val reps = Similarity.vectorIndex(spark, dir, bits).join(
+          memberRep.filter(col("vec_id") === col("rep")).select("vec_id"),
+          Seq("vec_id"))
+        embNearDupPairsOf(reps).persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
   def semDedupSurvivors(spark: SparkSession, dir: String,
       bits: Int = Similarity.IvfBits): DataFrame = {
     val memberRep = embeddingRepMap(spark, dir)
-    // rep vectors read from the cached index (buckets/norms are per-vector
-    // values — identical whether computed on the subset or the whole)
-    val reps = Similarity.vectorIndex(spark, dir, bits).join(
-      memberRep.filter(col("vec_id") === col("rep")).select("vec_id"),
-      Seq("vec_id"))
-    val pairs = embNearDupPairsOf(reps)
+    val pairs = embRepPairs(spark, dir, bits)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val sym = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

@@ -147,9 +147,7 @@ object Relational {
   }
 
   /** Exact percentiles (linear interpolation — identical definition to
-    * DuckDB's quantile_cont) per group.
-    */
-  /** Exact interpolated percentiles. Spark's `percentile` aggregate
+    * DuckDB's quantile_cont) per group. Spark's `percentile` aggregate
     * buffers an OpenHashMap of (value → count) per group — distinct-value
     * bounded, not row bounded, but still single-reducer-resident per
     * group; the constant-space deployment twin is q108's fixed-bin

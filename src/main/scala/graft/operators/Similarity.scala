@@ -29,6 +29,25 @@ object Similarity {
   private[graft] val idxCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Per-(session, dir, rung) memo of the four kNN rung RESULTS — the
+    * exact / IVF / multi-probe / PQ top-K tables (K·|queries| rows each).
+    * RESULT MEMOS in the CLAUDE.md taxonomy (a search result, not a
+    * precomputable index structure): q115's recall calibration reads all
+    * four rungs that q28/q29/q55/q105 also run in the same bench pass, so
+    * the alphabetically-first consumer pays each rung's corpus scan once
+    * per pass and the rest reuse the persisted K·|queries|-row table —
+    * the r13 trainVerdict device. Caches.clearResultMemos evicts them, so
+    * every pass re-pays each rung exactly once.
+    */
+  private[graft] val knnMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def memoRung(spark: SparkSession, dir: String, rung: String)(
+      build: => DataFrame): DataFrame =
+    knnMemo.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir#$rung",
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+
   /** Cached (vec_id, emb, nrm) relation per (session, dir) — the resident
     * base of the vector index, shared by every embedding consumer
     * (ANN probes, brute-force, k-means, stats, SemDeDup's rep-edge
@@ -66,7 +85,8 @@ object Similarity {
   }
 
   /** Exact top-K neighbors by cosine for each query vector (vec_id < 8). */
-  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame =
+    memoRung(spark, dir, "exact") {
     val e = vectors(spark, dir)
     val q = e.filter(col("vec_id") < QuerySetSize).select(
       col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
@@ -127,7 +147,7 @@ object Similarity {
     * scores vectors in its own cell (equi-join ⇒ partition-prunable).
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame =
-    ivfTopK(spark, dir, Seq(0))
+    memoRung(spark, dir, "ivf") { ivfTopK(spark, dir, Seq(0)) }
 
   /** Multi-probe IVF: each query probes its own cell PLUS every cell at
     * hamming distance 1 in the sign-bit code (IvfBits+1 cells of
@@ -139,7 +159,8 @@ object Similarity {
     * of the corpus per query instead of 1/2^IvfBits.
     */
   def knnIvfMultiProbe(spark: SparkSession, dir: String): DataFrame =
-    ivfTopK(spark, dir, 0 +: (0 until IvfBits).map(1 << _))
+    memoRung(spark, dir, "multiprobe") {
+      ivfTopK(spark, dir, 0 +: (0 until IvfBits).map(1 << _)) }
 
   /** Int8 scalar-quantized brute-force top-k — the memory/bandwidth side
     * of ANN: each vector is unit-normalized then quantized to signed
@@ -494,7 +515,8 @@ object Similarity {
     * CollectTopK) — no ranking window over the corpus, no shuffle keyed
     * on anything unbounded.
     */
-  def knnPq(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+  def knnPq(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    memoRung(spark, dir, s"pq$k") {
     val e = vectors(spark, dir)
     val slices = array((0 until PqSubspaces).map(m =>
       slice(col("emb"), m * PqSubDim + 1, PqSubDim)): _*)
@@ -538,5 +560,59 @@ object Similarity {
         col("col.neighbor_id").as("neighbor_id"),
         col("col.pq_dist2").as("pq_dist2"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** q115 — ANN recall calibration (VERDICT r13 #3): every approximate
+    * rung of the vector ladder (IVF q29, multi-probe q55, PQ q105) joined
+    * against the brute-force ground truth (q28) and scored as recall@K —
+    * the diagnostic a real pipeline re-runs whenever nlist/nprobe/PQ bits
+    * change, and the q78 MinHash-calibration analogue for embeddings.
+    *
+    * Grain: one row per (method, query point) — n_returned (an IVF cell
+    * can hold fewer than K vectors), n_hits (|approx ∩ exact|, an
+    * integer-exact set-intersection count), recall = n_hits/K — plus one
+    * query_id = −1 summary row per method whose recall is the MEAN over
+    * query points (total_hits / (|queries|·K): a single division of
+    * exact integers, bit-identical across engines — never an avg() over
+    * per-row doubles, whose summation order differs). All four inputs are
+    * independently hash-verified queries, so this composition inherits
+    * their tie-break contracts; the heavy lifting (one corpus scan per
+    * rung) reuses the cached vector base, and every join here is
+    * K·|queries|-row — diagnostic-priced at any corpus size.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBruteForce(spark, dir).select("query_id", "neighbor_id")
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> knnIvf(spark, dir),
+      "multiprobe" -> knnIvfMultiProbe(spark, dir),
+      "pq" -> knnPq(spark, dir))
+    val approx = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionAll(_))
+    // the (method × query point) grid: a method/query with an empty
+    // probe result must report recall 0, not vanish
+    val queryIds = vectors(spark, dir).filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"))
+    val grid = methods.map { case (m, _) => spark.range(1).select(lit(m).as("method")) }
+      .reduce(_.unionAll(_)).crossJoin(queryIds)
+    val returned = approx.groupBy("method", "query_id")
+      .agg(count(lit(1)).as("n_returned"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("method", "query_id").agg(count(lit(1)).as("n_hits"))
+    val per = grid
+      .join(returned, Seq("method", "query_id"), "left")
+      .join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / lit(K.toDouble), 6))
+    val mean = per.groupBy("method")
+      .agg(sum("n_returned").as("n_returned"), sum("n_hits").as("n_hits"),
+        round(sum("n_hits").cast("double") / (count(lit(1)) * lit(K.toLong))
+          .cast("double"), 6).as("recall"))
+      .select(col("method"), lit(-1L).as("query_id"),
+        col("n_returned"), col("n_hits"), col("recall"))
+    per.unionByName(mean).orderBy("method", "query_id")
   }
 }

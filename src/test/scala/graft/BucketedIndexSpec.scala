@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed-by-hash chunk index (q116 / VERDICT r13 #1): append-shaped
+  * incremental updates into a chunk_hash-bucketed catalog table, stored
+  * side never shuffled, catalog loss recoverable from the on-disk bucket
+  * files.
+  */
+class BucketedIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toks(docs: Seq[(Long, String)]) =
+    docs.toDF("doc_id", "text").select(col("doc_id"),
+      graft.functions.TextFns.tokenize(col("text")).as("toks"))
+
+  private def words(p: String, a: Int, b: Int): String =
+    (a to b).map(i => s"$p$i").mkString(" ")
+
+  // two chunks (W=64, S=48) and one chunk respectively
+  private val base = words("a", 1, 70)
+  private val fresh = words("b", 500, 540)
+
+  private def partFiles(path: String): Set[String] = {
+    val d = new java.io.File(path)
+    if (!d.exists) Set.empty
+    else d.listFiles.map(_.getName).filter(_.startsWith("part-")).toSet
+  }
+
+  test("bootstrap, delta APPEND (no rewrite), verbatim no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx").toString
+    val (table, path) = ("graft_bidx_t1", s"$tmp/idx")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val m1 = Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(1L -> base)), table, path)
+      assert(m1("hashes_before") === 0L && m1("hashes_added") === 2L &&
+        m1("hashes_after") === 2L)
+      val f1 = partFiles(path)
+      assert(f1.nonEmpty)
+      // delta: one verbatim re-send (its hashes already stored) + one new
+      val m2 = Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(2L -> base, 3L -> fresh)), table, path)
+      assert(m2("hashes_before") === 2L && m2("hashes_added") === 1L &&
+        m2("hashes_after") === 3L)
+      val f2 = partFiles(path)
+      assert(f1.subsetOf(f2) && f2.size > f1.size,
+        s"delta must APPEND bucket files, got before=$f1 after=$f2")
+      // verbatim replay: zero added hashes, zero file churn
+      val m3 = Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(4L -> base, 5L -> fresh)), table, path)
+      assert(m3("hashes_added") === 0L && m3("hashes_after") === 3L)
+      assert(partFiles(path) === f2, "no-new-hashes update must not touch files")
+      // the stored table holds exactly the corpus's distinct chunk hashes
+      val want = graft.operators.TextAnalysis.chunksOf(
+        toks(Seq(1L -> base, 3L -> fresh)),
+        graft.operators.TextAnalysis.ChunkWidth, 0)
+        .select("chunk_hash").distinct().as[String].collect().sorted.toSeq
+      assert(spark.table(table).as[String].collect().sorted.toSeq === want)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("catalog loss re-registers the on-disk bucket files — never truncates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_cat").toString
+    val (table, path) = ("graft_bidx_t2", s"$tmp/idx")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(1L -> base, 2L -> fresh)), table, path)
+      // the table is EXTERNAL (writeBucketed passes an explicit path), so
+      // dropping it models a lost metastore with surviving data files
+      spark.sql(s"DROP TABLE $table")
+      assert(partFiles(path).nonEmpty, "drop must keep the external data files")
+      // next update must ADOPT the committed files (hashes_before = 3),
+      // not re-bootstrap the table from the dump alone
+      val m = Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(3L -> base)), table, path)
+      assert(m("hashes_before") === 3L && m("hashes_added") === 0L &&
+        m("hashes_after") === 3L)
+      assert(spark.table(table).count() === 3L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("incremental anti-join: stored side reads bucketed, ONE Exchange total") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_plan").toString
+    val (table, path) = ("graft_bidx_t3", s"$tmp/idx")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(1L -> base)), table, path)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // deployment shape: shuffle partitions = bucket count, so the dump
+      // side's distinct lands AT the join's required partitioning and the
+      // whole update plan carries exactly one exchange
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Pipeline.ChunkIndexBuckets.toString)
+      val dump = graft.operators.TextAnalysis.chunksOf(
+        toks(Seq(2L -> base, 3L -> fresh)),
+        graft.operators.TextAnalysis.ChunkWidth, 0)
+        .select("chunk_hash").distinct()
+      val probe = dump.join(spark.table(table), Seq("chunk_hash"), "left_anti")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges === 1,
+        s"expected ONE exchange (dump side only — the bucketed store must " +
+          s"not shuffle), got $exchanges:\n$plan")
+      assert(probe.as[String].collect().sorted.toSeq ===
+        graft.operators.TextAnalysis.chunksOf(toks(Seq(3L -> fresh)),
+          graft.operators.TextAnalysis.ChunkWidth, 0)
+          .select("chunk_hash").distinct().as[String].collect().sorted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", shuffleBefore)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+}

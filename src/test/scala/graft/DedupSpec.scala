@@ -216,6 +216,50 @@ class DedupSpec extends AnyFunSuite {
     assert(at6 === at12, "raising the LSH width must not change planted pairs")
   }
 
+  test("embeddingNearDups: rep expansion ≡ direct pair enumeration on planted dups") {
+    // Round 14: q27 verifies cosine at REP grain (shared memo with q74)
+    // and expands through the rep map — this test pins the expansion
+    // against the pre-collapse direct enumeration, inlined, on a corpus
+    // with verbatim duplicate embeddings (the case the sf corpora never
+    // exercise): 1..3 verbatim p1, 4 a same-sign near-dup of p1, 5/6
+    // verbatim p2, 7/8 verbatim ZERO vectors (must never pair).
+    val dim = 16
+    val p1 = Seq.fill(dim)(1.0f)
+    val p2 = (0 until dim).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val near = p1.zipWithIndex.map { case (x, i) => x * (1.0f + 0.05f * (i % 3)) }
+    val zero = Seq.fill(dim)(0.0f)
+    val rows = Seq(
+      (1L, p1), (2L, p1), (3L, p1), (4L, near),
+      (5L, p2), (6L, p2), (7L, zero), (8L, zero))
+    val dir = java.nio.file.Files.createTempDirectory("graft_embexp").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Dedup.embeddingNearDups(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    // direct doc-level enumeration: bucket equi-join over the FULL index,
+    // per-pair cosine — the identical fold the expansion must reproduce
+    // value-for-value (identical arrays ⇒ identical doubles)
+    import graft.functions.VectorFns
+    val b = graft.operators.Similarity.vectorIndex(spark, dir)
+      .filter(col("nrm") > 0.0)
+    val want = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        VectorFns.cosine(VectorFns.dot(col("x.emb"), col("y.emb")),
+          col("x.nrm"), col("y.nrm")).as("c"))
+      .filter(col("c") >= 0.25)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b").as[(Long, Long, Double)].collect().toSeq
+    assert(got === want)
+    // planted structure: all pairs inside {1,2,3,4}, the {5,6} pair,
+    // zero vectors pair with nothing (not even their verbatim copy)
+    assert(got.map(p => (p._1, p._2)).toSet === Set(
+      (1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L), (5L, 6L)))
+    // verbatim pairs carry the self-cosine (≈1.0 exactly after round(6))
+    assert(got.filter(p => Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L))
+      .contains((p._1, p._2))).forall(_._3 == 1.0))
+  }
+
   test("maxShingleDf: boilerplate candidates drop, planted recall + output unchanged") {
     // every doc carries the same boilerplate tail (license-header analogue):
     // uncapped, its shingles make EVERY doc pair a candidate; capped at 3,
