@@ -637,6 +637,37 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming maintenance of the BUCKETED chunk index — indexIngest's
+    * twin over the deployment layout (Pipeline.updateChunkIndexBucketed,
+    * q116): each micro-batch's corpus-new hashes APPEND delta-sized
+    * bucket files to the chunk_hash-bucketed catalog table through the
+    * Hadoop output committer (scheme-agnostic — no rename swap, so this
+    * twin is the one to run when the index lives on hdfs://s3a://). Same
+    * set-semantics idempotence as indexIngest (a replayed micro-batch
+    * appends zero rows and touches zero files), same single-writer
+    * contract (micro-batches are inherently sequential; don't run a
+    * concurrent batch updater against the same table).
+    */
+  def indexIngestBucketed(docs: DataFrame, table: String, path: String,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    require(docs.columns.toSet == Set("doc_id", "text"),
+      s"indexIngestBucketed folds chunk hashes of (doc_id, text) rows; " +
+        s"project the input first — got (${docs.columns.mkString(", ")})")
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.Pipeline.updateChunkIndexBucketed(spark,
+          batch.select(col("doc_id").cast("long").as("doc_id"),
+            graft.functions.TextFns.tokenize(col("text")).as("toks")),
+          table, path)
+        ()
+      }
+      .outputMode("append")
+      .options(options) // checkpointLocation for restartable source offsets
+      .start()
+  }
+
   /** Quality-gated ingest: the Gopher rule bundle (q75) evaluated
     * stream-side as a stateless per-row projection, feeding the stateful
     * exact-dedup landing — the streaming composition of the pipeline's

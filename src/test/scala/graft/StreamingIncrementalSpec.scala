@@ -651,6 +651,60 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("indexIngestBucketed: streamed appends converge with the batch bucketed build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_stream")
+    val (table, path) = ("graft_bidx_stream_t", s"$tmp/idx")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def words(a: Int, b: Int): String = (a to b).map(i => s"s$i").mkString(" ")
+    val base = words(1, 70)     // two chunks (W=64, S=48)
+    val fresh = words(500, 540) // one chunk
+    def partFiles(): Set[String] =
+      new java.io.File(path).listFiles.map(_.getName)
+        .filter(_.startsWith("part-")).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.indexIngestBucketed(
+      input.toDS().toDF("doc_id", "text"), table, path)
+    try {
+      // batch 1 bootstraps the bucketed table
+      input.addData((1L, base))
+      q.processAllAvailable()
+      assert(spark.table(table).count() === 2L)
+      val f1 = partFiles()
+      // batch 2: verbatim re-send + one new chunk — the update must
+      // APPEND (bootstrap files untouched), never rewrite
+      input.addData((2L, base), (3L, fresh))
+      q.processAllAvailable()
+      assert(spark.table(table).count() === 3L)
+      val f2 = partFiles()
+      assert(f1.subsetOf(f2) && f2.size > f1.size,
+        "micro-batch delta must append bucket files")
+      // replayed payload: zero rows, zero file churn (set idempotence)
+      input.addData((4L, base), (5L, fresh))
+      q.processAllAvailable()
+      assert(spark.table(table).count() === 3L)
+      assert(partFiles() === f2)
+      // interchangeability: a from-scratch BATCH bucketed build over the
+      // same docs yields the same stored hash set
+      val (bt, bp) = ("graft_bidx_stream_batch", s"$tmp/batch_idx")
+      spark.sql(s"DROP TABLE IF EXISTS $bt")
+      try {
+        graft.Pipeline.updateChunkIndexBucketed(spark,
+          Seq(1L -> base, 2L -> base, 3L -> fresh).toDF("doc_id", "text")
+            .select(col("doc_id"),
+              graft.functions.TextFns.tokenize(col("text")).as("toks")),
+          bt, bp)
+        assert(spark.table(bt).as[String].collect().sorted.toSeq ===
+          spark.table(table).as[String].collect().sorted.toSeq)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $bt")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("indexIngest: mid-swap crash recovered on restart, index equals batch build") {
     // VERDICT r13 #5: the two-rename swap's `.old` adoption is unit-tested
     // batch-side; this drives the SAME durability claim through the
