@@ -150,7 +150,12 @@ object ScaleSmoke {
       // preserved — the dump side is 2,500 odd docs × copies, every copy
       // of an odd doc a within-dump dup family, every even-side window a
       // corpus kill; kept saturates at the base dump's corpus-new set
-      "q113_cross_corpus_purge")
+      "q113_cross_corpus_purge",
+      // round 14: recall calibration re-runs all four kNN rungs over the
+      // copies× vector base (the query set stays the 8 original vec_ids,
+      // so the output grain — 3 methods × 8 queries + 3 means — is
+      // replication-invariant while every rung's scan side grows)
+      "q115_ann_recall")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -182,7 +187,10 @@ object ScaleSmoke {
       // distinct shingles; q105 8 queries × top-5)
       Map("q103_cms_heavy_hitters" -> 50L,
         "q104_hll_registers" -> 1344L,
-        "q105_knn_pq" -> 40L) ++
+        "q105_knn_pq" -> 40L,
+        // q115: 3 methods × 8 query points + 3 per-method mean rows —
+        // the query set is the 8 original vec_ids at any replication
+        "q115_ann_recall" -> 27L) ++
       // for copies ≥ 2 every one of the base corpus's 6,824 distinct
       // chunk hashes appears `copies` times, so the duplicate report is
       // exactly the distinct-chunk relation — saturated, not scaling
