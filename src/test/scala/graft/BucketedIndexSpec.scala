@@ -62,6 +62,35 @@ class BucketedIndexSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("bucketed and rename-swap layouts converge to the same stored hash set") {
+    // the two physical forms of the chunk index must be interchangeable
+    // views of one logical artifact: the SAME dump sequence, applied in
+    // the same order through updateChunkIndex (rename swap, full rewrite)
+    // and updateChunkIndexBucketed (bucketed appends), must land the
+    // identical distinct-hash set — whatever the split boundaries, dup
+    // overlap, or bootstrap size
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_diff").toString
+    val (table, path) = ("graft_bidx_t4", s"$tmp/bidx")
+    val renameIdx = s"$tmp/ridx/chunk_index.parquet"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val mid = words("a", 40, 110) // overlaps base's token run partially
+      val dumps = Seq(
+        Seq(1L -> base),
+        Seq(2L -> base, 3L -> mid, 4L -> fresh),
+        Seq(5L -> mid, 6L -> words("c", 900, 980)))
+      val (rs, bs) = dumps.map { d =>
+        (Pipeline.updateChunkIndex(spark, toks(d), renameIdx),
+          Pipeline.updateChunkIndexBucketed(spark, toks(d), table, path))
+      }.unzip
+      // per-step counters agree form-to-form, not just the final set
+      rs.zip(bs).foreach { case (r, b) => assert(r === b) }
+      assert(Pipeline.readChunkIndex(spark, renameIdx)
+        .as[String].collect().sorted.toSeq ===
+        spark.table(table).as[String].collect().sorted.toSeq)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("catalog loss re-registers the on-disk bucket files — never truncates") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_cat").toString
     val (table, path) = ("graft_bidx_t2", s"$tmp/idx")
