@@ -345,6 +345,58 @@ object Pipeline {
     } finally { newOnly.unpersist(); () }
   }
 
+  /** Point membership probe of the bucketed index — the "is this chunk
+    * already known?" lookup a dedup service answers per incoming hash.
+    * The equality filter on the bucket column prunes the read to ONE of
+    * `buckets` bucket files (the probeIvf device): at a billion-row
+    * index a probe costs one file's worth of I/O, not a table scan. The
+    * planner's auto rule can disable bucketed scans when no join needs
+    * the distribution — set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` when
+    * probing to guarantee the pruned read (BucketedIndexSpec asserts
+    * `SelectedBucketsCount: 1` under it). For BATCHES of hashes use
+    * updateChunkIndexBucketed's anti-join shape instead — per-key probes
+    * are the low-latency path, not the throughput path.
+    */
+  def probeChunkIndex(spark: SparkSession, table: String,
+      hash: String): Boolean =
+    !spark.table(table).filter(col("chunk_hash") === lit(hash)).isEmpty
+
+  /** Fold the bucketed index's accumulated delta files back to one file
+    * per bucket. Daily appends keep update I/O O(delta) but grow
+    * files-per-bucket by one generation per nonzero day; after N days a
+    * bucket's read is N small files. Compaction is the standard answer:
+    * stage the current rows OUT of the table (plain parquet — reading
+    * the table while bucketed-overwriting it would be the classic
+    * self-overwrite trap), then rewrite the table from the staging copy
+    * with the same bucket spec, and drop the staging dir.
+    *
+    * Contract: a MAINTENANCE-WINDOW op under the index's single-writer
+    * rule, and — unlike the incremental update, whose commits readers
+    * never observe half-done — the overwrite truncates the table
+    * location before rewriting it, so pause readers too (deployments
+    * compact in the same window that vacuums old generations; the
+    * streaming twin's micro-batches simply pause). Row set is provably
+    * unchanged (BucketedIndexSpec: same hash set, files back to
+    * `buckets`, subsequent incremental updates unaffected).
+    */
+  def compactChunkIndexBucketed(spark: SparkSession, table: String,
+      path: String, buckets: Int = ChunkIndexBuckets): Map[String, Long] = {
+    val staging = path + ".compact-staging"
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.table(table).write.mode("overwrite").parquet(staging)
+    try {
+      val staged = spark.read.schema("chunk_hash STRING").parquet(staging)
+      val n = staged.count()
+      sources.Sources.writeBucketed(staged, table, path, buckets,
+        "chunk_hash", sortCols = Seq("chunk_hash"))
+      Map("hashes" -> n)
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true); ()
+    }
+  }
+
   /** The rename-based swap runs on java.nio, which resolves raw strings
     * against the LOCAL filesystem — a scheme-prefixed hdfs://…/s3a://…
     * path would make the parquet write land remote while the renames

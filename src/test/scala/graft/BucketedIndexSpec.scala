@@ -112,6 +112,57 @@ class BucketedIndexSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("point probe prunes to one bucket; compaction folds generations, set unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_cmp").toString
+    val (table, path) = ("graft_bidx_t5", s"$tmp/idx")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val autoBefore = spark.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      // two ~40-chunk docs (64·40 tokens, stride 64) so generations
+      // genuinely collide in buckets and compaction has files to fold
+      val big1 = words("x", 1, 2560)
+      val big2 = words("y", 1, 2560)
+      Pipeline.updateChunkIndexBucketed(spark, toks(Seq(1L -> big1)), table, path)
+      Pipeline.updateChunkIndexBucketed(spark, toks(Seq(2L -> big2)), table, path)
+      val before = spark.table(table).as[String].collect().sorted.toSeq
+      val filesBefore = partFiles(path)
+      assert(filesBefore.size > Pipeline.ChunkIndexBuckets,
+        s"two generations should exceed one file per bucket, got ${filesBefore.size}")
+
+      // point probe: stored hash found, novel hash absent — and the scan
+      // is bucket-pruned (1 of 32) under the pinned conf
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      assert(Pipeline.probeChunkIndex(spark, table, before.head))
+      assert(!Pipeline.probeChunkIndex(spark, table,
+        "00000000000000000000000000000000"))
+      val probePlan = spark.table(table)
+        .filter(col("chunk_hash") === before.head)
+        .queryExecution.executedPlan.toString
+      assert(probePlan.contains(
+        s"SelectedBucketsCount: 1 out of ${Pipeline.ChunkIndexBuckets}"),
+        s"expected bucket-pruned probe, got:\n$probePlan")
+
+      val m = Pipeline.compactChunkIndexBucketed(spark, table, path)
+      assert(m("hashes") === before.size.toLong)
+      val filesAfter = partFiles(path)
+      assert(filesAfter.size < filesBefore.size &&
+        filesAfter.size <= Pipeline.ChunkIndexBuckets,
+        s"compaction must fold generations: ${filesBefore.size} -> ${filesAfter.size}")
+      assert(spark.table(table).as[String].collect().sorted.toSeq === before,
+        "compaction must not change the stored hash set")
+      // the compacted table still takes incremental updates
+      val m2 = Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(3L -> fresh)), table, path)
+      assert(m2("hashes_added") === 1L &&
+        m2("hashes_after") === before.size.toLong + 1L)
+    } finally {
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", autoBefore)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("incremental anti-join: stored side reads bucketed, ONE Exchange total") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_plan").toString
     val (table, path) = ("graft_bidx_t3", s"$tmp/idx")
