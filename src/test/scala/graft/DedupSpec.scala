@@ -407,6 +407,15 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.operators.TextAnalysis.tokenPagerank(spark, dir).count() === 0)
     assert(graft.operators.TextAnalysis.trainCorpus(spark, dir).count() === 0)
     assert(graft.operators.TextAnalysis.corpusReport(spark, dir).count() === 0)
+    // round-14: the bucketed-index query bootstraps a zero-row table
+    // (empty bootstrap + two empty "appends" — the all-filtered-out dump
+    // case: no part files, nothing to adopt) and summarizes zero buckets;
+    // recall calibration over an empty vector base yields an empty grid
+    assert(graft.Pipeline.chunkIndexBucketedSummary(spark, dir).count() === 0)
+    Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(graft.operators.Similarity.annRecall(spark, dir).count() === 0)
+    assert(Dedup.semDedupSurvivors(spark, dir).count() === 0)
   }
 
   test("crossCorpusParityDups matches the two-DataFrame form on the corpus") {
