@@ -379,22 +379,42 @@ object Pipeline {
     * streaming twin's micro-batches simply pause). Row set is provably
     * unchanged (BucketedIndexSpec: same hash set, files back to
     * `buckets`, subsequent incremental updates unaffected).
+    *
+    * Crash safety: the staging copy (kept until the rewrite commits) is
+    * the recovery anchor. On entry, a leftover committed staging dir is
+    * adjudicated by ROW COUNT against the table — sound because the
+    * index is append-only (set union, never deletes), so row counts are
+    * monotone: staging > table means the previous compaction died
+    * mid-overwrite and staging is the latest committed superset (rebuild
+    * from it — the recovery); staging ≤ table means the table is current
+    * (staging is a stale copy from a compaction that committed but died
+    * before cleanup, possibly missing later appends) — restage fresh,
+    * NEVER adopt, or those appends would be silently truncated.
+    * BucketedIndexSpec exercises both arms.
     */
   def compactChunkIndexBucketed(spark: SparkSession, table: String,
       path: String, buckets: Int = ChunkIndexBuckets): Map[String, Long] = {
     val staging = path + ".compact-staging"
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.table(table).write.mode("overwrite").parquet(staging)
-    try {
-      val staged = spark.read.schema("chunk_hash STRING").parquet(staging)
-      val n = staged.count()
-      sources.Sources.writeBucketed(staged, table, path, buckets,
-        "chunk_hash", sortCols = Seq("chunk_hash"))
-      Map("hashes" -> n)
-    } finally {
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true); ()
+    def stagedDf = spark.read.schema("chunk_hash STRING").parquet(staging)
+    val stagingCommitted =
+      fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+    val tableRows =
+      if (spark.catalog.tableExists(table)) spark.table(table).count() else -1L
+    val recovered = stagingCommitted && stagedDf.count() > tableRows
+    if (!recovered) {
+      require(tableRows >= 0L, s"compact: table $table does not exist and " +
+        s"no committed staging copy at $staging — nothing to compact")
+      spark.table(table).write.mode("overwrite").parquet(staging)
     }
+    val n = stagedDf.count()
+    sources.Sources.writeBucketed(stagedDf, table, path, buckets,
+      "chunk_hash", sortCols = Seq("chunk_hash"))
+    // staging is deleted only AFTER the rewrite commits — a crash at any
+    // earlier instant leaves it as the recovery anchor above
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    Map("hashes" -> n, "recovered" -> (if (recovered) 1L else 0L))
   }
 
   /** The rename-based swap runs on java.nio, which resolves raw strings

@@ -163,6 +163,43 @@ class BucketedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction crash arms: adopt the bigger staging, never the stale one") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_crash").toString
+    val (table, path) = ("graft_bidx_t6", s"$tmp/idx")
+    val staging = s"$path.compact-staging"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val big = words("z", 1, 2560) // ~40 chunks
+      Pipeline.updateChunkIndexBucketed(spark, toks(Seq(1L -> big)), table, path)
+      val all = spark.table(table).as[String].collect().sorted.toSeq
+      assert(all.size > 10)
+      // ARM 1 — mid-overwrite crash: staging holds the full committed
+      // set, the dying rewrite left the table truncated to a subset.
+      // Append-only monotonicity: staging > table ⇒ staging is truth.
+      spark.table(table).write.mode("overwrite").parquet(staging)
+      val subset = spark.read.schema("chunk_hash STRING").parquet(staging)
+        .orderBy("chunk_hash").limit(all.size / 2)
+      graft.sources.Sources.writeBucketed(subset, table, path,
+        Pipeline.ChunkIndexBuckets, "chunk_hash", Seq("chunk_hash"))
+      assert(spark.table(table).count() < all.size.toLong)
+      val m1 = Pipeline.compactChunkIndexBucketed(spark, table, path)
+      assert(m1("recovered") === 1L && m1("hashes") === all.size.toLong)
+      assert(spark.table(table).as[String].collect().sorted.toSeq === all,
+        "crashed overwrite must be recovered from the staging anchor")
+      // ARM 2 — stale staging: a compaction committed but died before
+      // cleanup (staging equals the table), then NEW hashes appended.
+      // staging ≤ table ⇒ table is truth; adopting would truncate.
+      spark.table(table).write.mode("overwrite").parquet(staging)
+      Pipeline.updateChunkIndexBucketed(spark, toks(Seq(2L -> fresh)), table, path)
+      val m2 = Pipeline.compactChunkIndexBucketed(spark, table, path)
+      assert(m2("recovered") === 0L && m2("hashes") === all.size.toLong + 1L)
+      assert(spark.table(table).count() === all.size.toLong + 1L,
+        "stale staging must not truncate post-compaction appends")
+      assert(!new java.io.File(staging).exists,
+        "committed compaction must clean its staging anchor")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("incremental anti-join: stored side reads bucketed, ONE Exchange total") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_plan").toString
     val (table, path) = ("graft_bidx_t3", s"$tmp/idx")
