@@ -91,6 +91,37 @@ class BucketedIndexSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("layout differential holds on seeded random corpora and splits") {
+    // beyond the fixed three-dump case: random doc lengths, overlapping
+    // token runs (so dumps share chunks), and random dump boundaries —
+    // both layouts must agree per step and in the final set. Seeded, so
+    // failures reproduce.
+    val rnd = new scala.util.Random(20260814L)
+    for (corpus <- 1 to 3) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_bidx_rnd$corpus").toString
+      val (table, path) = (s"graft_bidx_rnd$corpus", s"$tmp/bidx")
+      val renameIdx = s"$tmp/ridx/chunk_index.parquet"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      try {
+        val docs = (1 to 6 + rnd.nextInt(5)).map { i =>
+          val start = rnd.nextInt(300)          // overlapping runs share chunks
+          val len = 20 + rnd.nextInt(160)       // some docs under one window
+          i.toLong -> words("r", start, start + len)
+        }
+        val splits = docs.grouped(2 + rnd.nextInt(3)).toSeq // random dump sizes
+        splits.foreach { d =>
+          val r = Pipeline.updateChunkIndex(spark, toks(d), renameIdx)
+          val b = Pipeline.updateChunkIndexBucketed(spark, toks(d), table, path)
+          assert(r === b, s"corpus $corpus: per-step counters diverged on $d")
+        }
+        assert(Pipeline.readChunkIndex(spark, renameIdx)
+          .as[String].collect().sorted.toSeq ===
+          spark.table(table).as[String].collect().sorted.toSeq,
+          s"corpus $corpus: final hash sets diverged")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("catalog loss re-registers the on-disk bucket files — never truncates") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_cat").toString
     val (table, path) = ("graft_bidx_t2", s"$tmp/idx")
