@@ -141,9 +141,11 @@ object Bench {
     // the 1.1–2.4 s residue (q08/q37/q63) — are all plan-compile/JIT
     // first-touch (warm ≤1.8 s each; VERDICT r13 item 2). One full run
     // each moves that JIT into warmup_sec. The two round-14 queries join
-    // pre-emptively: q115 first-touches all four kNN-rung plans (it
-    // sorts BEFORE q28/q29/q55/q105 — 'q1' < 'q2') and q116 the bucketed
-    // table write/append plans. Cache keys are disjoint across steps:
+    // pre-emptively: q115 first-touches the exact/IVF/multiprobe rung
+    // plans and q116 the bucketed table write/append plans. Timed-pass
+    // rung attribution (name order): q105 < q115 < q28/q29/q55, so q105
+    // pays the PQ corpus scan each pass (filling the pq memo), q115 pays
+    // exact+IVF+multiprobe, and q28/q29/q55 read the persisted tables. Cache keys are disjoint across steps:
     // q63 alone touches srcTokCache; q84 reads the wave-2 bigram
     // artifact; q115 reads the wave-1 vector index; the rest fill no
     // graft caches.

@@ -300,9 +300,24 @@ object Pipeline {
     * The table is registered in the session catalog (in-memory here, a
     * metastore in deployment); if the catalog forgot the table (new
     * session) but committed bucket files exist at `path`, the update
-    * re-registers the table from the existing data (catalog loss must
-    * not truncate the index — bucket files are self-describing parquet
-    * and the bucket spec is re-declared by this method's constants).
+    * re-registers the table from the existing data — catalog loss must
+    * not truncate the index. The bucket COUNT for that re-registration
+    * comes from the `_graft_bucket_spec` sidecar written at every
+    * bootstrap/compaction rewrite, NOT from this call's `buckets`
+    * parameter: a caller passing a different count than the files were
+    * written with would silently break the scan's HashPartitioning
+    * assumption (the anti-join would miss stored hashes and re-append
+    * them). Appends are safe either way — Spark rejects a bucketBy that
+    * disagrees with the existing table's spec.
+    *
+    * Entry also adjudicates a leftover committed `.compact-staging`
+    * anchor (r14 review): a compaction that died mid-overwrite leaves
+    * the latest committed index ONLY at the anchor — without this check
+    * the update would adopt the truncated on-disk subset (or bootstrap
+    * from today's dump alone) and the index would silently forget
+    * hashes, then later appends would push the table count above the
+    * anchor's and the next compaction would delete the only surviving
+    * copy.
     */
   def updateChunkIndexBucketed(spark: SparkSession, dump: DataFrame,
       table: String, path: String,
@@ -310,20 +325,28 @@ object Pipeline {
       width: Int = TextAnalysis.ChunkWidth): Map[String, Long] = {
     val dumpHashes = TextAnalysis.chunksOf(dump, width, 0)
       .select("chunk_hash").distinct()
+    adoptCompactStagingIfNewer(spark, table, path, buckets)
+    // the EFFECTIVE bucket count: the sidecar (what the files were
+    // written with) wins over the parameter everywhere past bootstrap —
+    // adoption AND appends — so a caller's mismatched count can neither
+    // mis-declare the layout nor fail the append
+    val b = readBucketSpec(spark, path).getOrElse(buckets)
     val committed = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
     }
     if (!spark.catalog.tableExists(table) && committed) {
-      // catalog-loss recovery: adopt the on-disk bucket files as the table
+      // catalog-loss recovery: adopt the on-disk bucket files as the
+      // table, at the bucket count they were WRITTEN with
       spark.sql(s"CREATE TABLE $table (chunk_hash STRING) USING parquet " +
-        s"CLUSTERED BY (chunk_hash) SORTED BY (chunk_hash) INTO $buckets BUCKETS " +
+        s"CLUSTERED BY (chunk_hash) SORTED BY (chunk_hash) INTO $b BUCKETS " +
         s"LOCATION '$path'")
     }
     if (!spark.catalog.tableExists(table)) {
-      sources.Sources.writeBucketed(dumpHashes, table, path, buckets,
+      sources.Sources.writeBucketed(dumpHashes, table, path, b,
         "chunk_hash", sortCols = Seq("chunk_hash"))
+      writeBucketSpec(spark, path, b)
       val n = spark.table(table).count()
       return Map("hashes_before" -> 0L, "hashes_added" -> n,
         "hashes_after" -> n)
@@ -337,7 +360,7 @@ object Pipeline {
       if (nAdded > 0L) {
         // delta-sized append: new bucket files only, never a rewrite
         newOnly.write.mode("append")
-          .bucketBy(buckets, "chunk_hash").sortBy("chunk_hash")
+          .bucketBy(b, "chunk_hash").sortBy("chunk_hash")
           .saveAsTable(table)
       }
       Map("hashes_before" -> nBefore, "hashes_added" -> nAdded,
@@ -351,16 +374,24 @@ object Pipeline {
     * `buckets` bucket files (the probeIvf device): at a billion-row
     * index a probe costs one file's worth of I/O, not a table scan. The
     * planner's auto rule can disable bucketed scans when no join needs
-    * the distribution — set
-    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` when
-    * probing to guarantee the pruned read (BucketedIndexSpec asserts
-    * `SelectedBucketsCount: 1` under it). For BATCHES of hashes use
+    * the distribution, so this method pins
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` around
+    * its own query (save/restore — the caller's session conf is left as
+    * found; r14 review: pushing a session-conf contract onto every
+    * caller meant one forgotten line silently degraded each probe to an
+    * O(index) scan). BucketedIndexSpec asserts `SelectedBucketsCount: 1`
+    * on the probe's plan shape. For BATCHES of hashes use
     * updateChunkIndexBucketed's anti-join shape instead — per-key probes
     * are the low-latency path, not the throughput path.
     */
   def probeChunkIndex(spark: SparkSession, table: String,
-      hash: String): Boolean =
-    !spark.table(table).filter(col("chunk_hash") === lit(hash)).isEmpty
+      hash: String): Boolean = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try !spark.table(table).filter(col("chunk_hash") === lit(hash)).isEmpty
+    finally spark.conf.set(key, before)
+  }
 
   /** Fold the bucketed index's accumulated delta files back to one file
     * per bucket. Daily appends keep update I/O O(delta) but grow
@@ -394,27 +425,83 @@ object Pipeline {
     */
   def compactChunkIndexBucketed(spark: SparkSession, table: String,
       path: String, buckets: Int = ChunkIndexBuckets): Map[String, Long] = {
+    if (adoptCompactStagingIfNewer(spark, table, path, buckets))
+      return Map("hashes" -> spark.table(table).count(), "recovered" -> 1L)
     val staging = path + ".compact-staging"
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def stagedDf = spark.read.schema("chunk_hash STRING").parquet(staging)
-    val stagingCommitted =
-      fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
-    val tableRows =
-      if (spark.catalog.tableExists(table)) spark.table(table).count() else -1L
-    val recovered = stagingCommitted && stagedDf.count() > tableRows
-    if (!recovered) {
-      require(tableRows >= 0L, s"compact: table $table does not exist and " +
-        s"no committed staging copy at $staging — nothing to compact")
-      spark.table(table).write.mode("overwrite").parquet(staging)
-    }
+    require(spark.catalog.tableExists(table),
+      s"compact: table $table does not exist and no committed staging " +
+        s"copy at $staging — nothing to compact")
+    spark.table(table).write.mode("overwrite").parquet(staging)
+    val stagedDf = spark.read.schema("chunk_hash STRING").parquet(staging)
     val n = stagedDf.count()
     sources.Sources.writeBucketed(stagedDf, table, path, buckets,
       "chunk_hash", sortCols = Seq("chunk_hash"))
+    writeBucketSpec(spark, path, buckets)
     // staging is deleted only AFTER the rewrite commits — a crash at any
-    // earlier instant leaves it as the recovery anchor above
+    // earlier instant leaves it as the recovery anchor
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    Map("hashes" -> n, "recovered" -> (if (recovered) 1L else 0L))
+    Map("hashes" -> n, "recovered" -> 0L)
+  }
+
+  /** The shared crash-recovery arm: if a committed `.compact-staging`
+    * anchor holds MORE rows than the table (append-only counts are
+    * monotone, so strictly-more means the last compaction died between
+    * staging and its rewrite's commit), rebuild the table from the
+    * anchor and clean it up. A smaller-or-equal anchor is a stale copy
+    * from a compaction that committed but died before cleanup — left in
+    * place (harmless; the next compaction restages over it), NEVER
+    * adopted. Runs at the head of every bucketed update and compaction,
+    * so the first serialized writer after the crash heals the index
+    * whichever job it is.
+    */
+  private def adoptCompactStagingIfNewer(spark: SparkSession, table: String,
+      path: String, buckets: Int): Boolean = {
+    val staging = path + ".compact-staging"
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+      return false
+    val stagedDf = spark.read.schema("chunk_hash STRING").parquet(staging)
+    val tableRows =
+      if (spark.catalog.tableExists(table)) spark.table(table).count() else -1L
+    if (stagedDf.count() <= tableRows) return false
+    val b = readBucketSpec(spark, path).getOrElse(buckets)
+    sources.Sources.writeBucketed(stagedDf, table, path, b,
+      "chunk_hash", sortCols = Seq("chunk_hash"))
+    writeBucketSpec(spark, path, b)
+    fs.delete(sp, true)
+    true
+  }
+
+  /** Sidecar recording the bucket count the index files were WRITTEN
+    * with — read back by catalog-loss adoption so a caller's mismatched
+    * `buckets` parameter can't mis-declare the table's physical layout
+    * (r14 review). Written AFTER the bucketed write commits; absent on
+    * pre-r14 indexes, where adoption falls back to the parameter.
+    */
+  private val BucketSpecFile = "_graft_bucket_spec"
+
+  private def writeBucketSpec(spark: SparkSession, path: String,
+      buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, BucketSpecFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(buckets.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readBucketSpec(spark: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, BucketSpecFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .trim.toIntOption
+      finally in.close()
+    }
   }
 
   /** The rename-based swap runs on java.nio, which resolves raw strings

@@ -230,13 +230,20 @@ object ScaleSmoke {
     // are content-only, so the base corpus already holds every chunk), the
     // index stays flat at the base distinct-chunk count across rungs, and
     // incremental beats bootstrap — the reason the artifact exists.
+    // one timing/file-listing convention for BOTH index rungs below — a
+    // change to how rung legs are measured must land in one place
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def partFiles(path: String): Set[String] = {
+      val d = new java.io.File(path)
+      if (!d.exists) Set.empty
+      else d.listFiles.map(_.getName).filter(_.startsWith("part-")).toSet
+    }
     if (only.isEmpty || only("q114_chunk_index_buckets")) {
       val idx = Pipeline.ChunkIndexPath(spark, out)
       val toks = operators.TextAnalysis.rawTokens(spark, out)
-      def timed[A](f: => A): (A, Double) = {
-        val t0 = System.nanoTime(); val r = f
-        (r, (System.nanoTime() - t0) / 1e9)
-      }
       val (boot, ta) = timed {
         Pipeline.deleteChunkIndex(idx)
         Pipeline.updateChunkIndex(spark, toks, idx)
@@ -280,29 +287,20 @@ object ScaleSmoke {
     if (only.isEmpty || only("q116_bucketed_index_summary")) {
       val (table, path) = Pipeline.BucketedChunkIndexLocation(spark, out)
       val toks = operators.TextAnalysis.rawTokens(spark, out)
-      def timed[A](f: => A): (A, Double) = {
-        val t0 = System.nanoTime(); val r = f
-        (r, (System.nanoTime() - t0) / 1e9)
-      }
-      def partFiles(): Set[String] = {
-        val d = new java.io.File(path)
-        if (!d.exists) Set.empty
-        else d.listFiles.map(_.getName).filter(_.startsWith("part-")).toSet
-      }
       val (boot, ta) = timed {
         Pipeline.deleteBucketedChunkIndex(spark, table, path)
         Pipeline.updateChunkIndexBucketed(spark,
           toks.where(col("doc_id") % 2 === 0L), table, path)
       }
-      val bootFiles = partFiles()
+      val bootFiles = partFiles(path)
       val (delta, td) = timed {
         Pipeline.updateChunkIndexBucketed(spark, toks, table, path)
       }
-      val deltaFiles = partFiles()
+      val deltaFiles = partFiles(path)
       val (verb, tv) = timed {
         Pipeline.updateChunkIndexBucketed(spark, toks, table, path)
       }
-      val verbFiles = partFiles()
+      val verbFiles = partFiles(path)
       println(f"[scale] q116 bucketed bootstrap $ta%8.2f s  ${boot.toSeq.sorted.mkString(", ")}  files=${bootFiles.size}")
       println(f"[scale] q116 bucketed delta     $td%8.2f s  ${delta.toSeq.sorted.mkString(", ")}  files=${deltaFiles.size}")
       println(f"[scale] q116 bucketed verbatim  $tv%8.2f s  ${verb.toSeq.sorted.mkString(", ")}  files=${verbFiles.size}")

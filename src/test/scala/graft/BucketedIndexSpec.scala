@@ -228,6 +228,46 @@ class BucketedIndexSpec extends AnyFunSuite {
         "stale staging must not truncate post-compaction appends")
       assert(!new java.io.File(staging).exists,
         "committed compaction must clean its staging anchor")
+      // ARM 3 — the first writer after a crashed compaction may be the
+      // DAILY UPDATE, not a compaction re-run: it must adopt the anchor
+      // BEFORE adjudicating bootstrap-vs-incremental, or today's
+      // hashes_before would read from the truncated subset
+      val full = spark.table(table).as[String].collect().sorted.toSeq
+      spark.table(table).write.mode("overwrite").parquet(staging)
+      val sub2 = spark.read.schema("chunk_hash STRING").parquet(staging)
+        .orderBy("chunk_hash").limit(full.size / 2)
+      graft.sources.Sources.writeBucketed(sub2, table, path,
+        Pipeline.ChunkIndexBuckets, "chunk_hash", Seq("chunk_hash"))
+      val m3 = Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(3L -> words("q", 700, 740))), table, path)
+      assert(m3("hashes_before") === full.size.toLong,
+        "the daily update must heal a crashed compaction before updating")
+      assert(m3("hashes_added") === 1L)
+      assert(!new java.io.File(staging).exists,
+        "the healing update must clean the adopted anchor")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("catalog-loss adoption honors the written bucket spec, not the parameter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_spec").toString
+    val (table, path) = ("graft_bidx_t7", s"$tmp/idx")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      // bootstrap at a NON-default bucket count (the docstring tells
+      // operators to size buckets at bootstrap)
+      Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(1L -> base, 2L -> fresh)), table, path, buckets = 8)
+      spark.sql(s"DROP TABLE $table") // lost catalog, surviving files
+      // the default-parameter daily update must re-register INTO 8
+      // BUCKETS (the sidecar's count) and keep appending correctly
+      val m = Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(3L -> words("d", 800, 860))), table, path)
+      assert(m("hashes_before") === 3L && m("hashes_added") === 1L)
+      val desc = spark.sql(s"DESCRIBE EXTENDED $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc("Num Buckets") === "8",
+        s"adoption must re-declare the WRITTEN bucket count, got $desc")
+      assert(spark.table(table).count() === 4L)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
