@@ -245,8 +245,12 @@ object Pipeline {
     * Bounded retry on a missing path: a reader racing the inter-rename
     * instant of updateChunkIndex's swap sees no committed dir for a few
     * milliseconds — absorb it here (advice r13: the docstring promised
-    * the retry; now the reader implements it). A path still missing
-    * after the retries is a real absent index and throws as before.
+    * the retry; now the reader implements it). Only MISSING-PATH
+    * failures retry (advice r14): a permission error or corrupt dir is
+    * not the rename race and rethrows immediately — the bounded backoff
+    * must not mask a different error class for ~375 ms. A path still
+    * missing after the retries is a real absent index and throws as
+    * before.
     */
   def readChunkIndex(spark: SparkSession, indexPath: String): DataFrame = {
     def read(): DataFrame = {
@@ -254,12 +258,23 @@ object Pipeline {
       df.queryExecution.analyzed // force path resolution NOW, not lazily
       df
     }
+    // the inter-rename race surfaces as FileNotFoundException or an
+    // AnalysisException in the PATH_NOT_FOUND condition, sometimes
+    // wrapped — walk the cause chain for either shape
+    @annotation.tailrec
+    def isMissingPath(e: Throwable): Boolean = e match {
+      case null => false
+      case _: java.io.FileNotFoundException => true
+      case a: org.apache.spark.sql.AnalysisException
+          if a.getCondition == "PATH_NOT_FOUND" => true
+      case other => isMissingPath(other.getCause)
+    }
     @annotation.tailrec
     def attempt(retriesLeft: Int, backoffMs: Long): DataFrame =
       scala.util.Try(read()) match {
         case scala.util.Success(df) => df
         case scala.util.Failure(e) =>
-          if (retriesLeft == 0) throw e
+          if (retriesLeft == 0 || !isMissingPath(e)) throw e
           Thread.sleep(backoffMs)
           attempt(retriesLeft - 1, backoffMs * 2)
       }
@@ -376,21 +391,26 @@ object Pipeline {
     * planner's auto rule can disable bucketed scans when no join needs
     * the distribution, so this method pins
     * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` around
-    * its own query (save/restore — the caller's session conf is left as
-    * found; r14 review: pushing a session-conf contract onto every
-    * caller meant one forgotten line silently degraded each probe to an
-    * O(index) scan). BucketedIndexSpec asserts `SelectedBucketsCount: 1`
-    * on the probe's plan shape. For BATCHES of hashes use
+    * an ISOLATED session (`spark.newSession()` — same SparkContext and
+    * shared external catalog, so the table resolves; its own SQL conf),
+    * so the caller's session conf is never touched: a save/restore on
+    * the shared conf (the r14 shape) raced concurrent planning — any
+    * query planned in the probe window was planned with bucketed scans
+    * off, and two interleaved probes could leave the flag off
+    * permanently (advice r14). The isolated session costs ~ms of
+    * session-state setup per probe, amortized by the probe's own file
+    * read. BucketedIndexSpec asserts `SelectedBucketsCount: 1` on
+    * the probe's plan shape. For BATCHES of hashes use
     * updateChunkIndexBucketed's anti-join shape instead — per-key probes
     * are the low-latency path, not the throughput path.
     */
   def probeChunkIndex(spark: SparkSession, table: String,
       hash: String): Boolean = {
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val before = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try !spark.table(table).filter(col("chunk_hash") === lit(hash)).isEmpty
-    finally spark.conf.set(key, before)
+    val probeSession = spark.newSession()
+    probeSession.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    !probeSession.table(table)
+      .filter(col("chunk_hash") === lit(hash)).isEmpty
   }
 
   /** Fold the bucketed index's accumulated delta files back to one file
@@ -436,9 +456,15 @@ object Pipeline {
     spark.table(table).write.mode("overwrite").parquet(staging)
     val stagedDf = spark.read.schema("chunk_hash STRING").parquet(staging)
     val n = stagedDf.count()
-    sources.Sources.writeBucketed(stagedDf, table, path, buckets,
+    // rewrite at the count the files were WRITTEN with (sidecar wins
+    // over the caller's parameter, matching updateChunkIndexBucketed):
+    // a default-argument compaction of a table bootstrapped at a
+    // non-default count must not silently rewrite the physical layout
+    // the bootstrap sized for the table's lifetime (advice r14)
+    val b = readBucketSpec(spark, path).getOrElse(buckets)
+    sources.Sources.writeBucketed(stagedDf, table, path, b,
       "chunk_hash", sortCols = Seq("chunk_hash"))
-    writeBucketSpec(spark, path, buckets)
+    writeBucketSpec(spark, path, b)
     // staging is deleted only AFTER the rewrite commits — a crash at any
     // earlier instant leaves it as the recovery anchor
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
@@ -464,8 +490,24 @@ object Pipeline {
     if (!fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
       return false
     val stagedDf = spark.read.schema("chunk_hash STRING").parquet(staging)
+    // Adjudicate against the COMMITTED DATA, not the catalog: after a
+    // catalog loss the table is unregistered but its bucket files are
+    // still the latest committed index — counting them as -1 would let a
+    // STALE anchor (a compaction that committed, then died before
+    // cleanup, then saw more appends) win and truncate every
+    // post-compaction append (advice r14). The on-disk part- files are
+    // the ground truth the anchor must beat.
     val tableRows =
-      if (spark.catalog.tableExists(table)) spark.table(table).count() else -1L
+      if (spark.catalog.tableExists(table)) spark.table(table).count()
+      else {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val committed = pfs.exists(p) &&
+          pfs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
+        if (committed)
+          spark.read.schema("chunk_hash STRING").parquet(path).count()
+        else -1L
+      }
     if (stagedDf.count() <= tableRows) return false
     val b = readBucketSpec(spark, path).getOrElse(buckets)
     sources.Sources.writeBucketed(stagedDf, table, path, b,

@@ -271,6 +271,93 @@ class BucketedIndexSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("stale anchor + catalog loss: committed files win, appends survive") {
+    // advice r14 (medium): adjudicating the staging anchor against -1
+    // when the CATALOG lacks the table conflated 'catalog forgot' with
+    // 'no data on disk' — a stale anchor lingering across later appends
+    // would be adopted after a catalog loss and silently truncate every
+    // post-compaction append. Ground truth is the committed part- files.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_stale").toString
+    val (table, path) = ("graft_bidx_t8", s"$tmp/idx")
+    val staging = s"$path.compact-staging"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(1L -> words("s", 1, 2560))), table, path)
+      val n = spark.table(table).count()
+      // stale anchor: compaction committed, died before cleanup…
+      spark.table(table).write.mode("overwrite").parquet(staging)
+      // …then a later append landed (anchor now MISSES this hash)…
+      Pipeline.updateChunkIndexBucketed(spark, toks(Seq(2L -> fresh)), table, path)
+      assert(spark.table(table).count() === n + 1L)
+      // …then the catalog forgot the table (new session / lost metastore)
+      spark.sql(s"DROP TABLE $table")
+      assert(new java.io.File(staging).exists && partFiles(path).nonEmpty)
+      val m = Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(3L -> words("t", 900, 940))), table, path)
+      assert(m("hashes_before") === n + 1L,
+        "catalog loss must adopt the committed files, never a stale anchor")
+      assert(m("hashes_added") === 1L && m("hashes_after") === n + 2L)
+      assert(spark.table(table).count() === n + 2L,
+        "the post-compaction append must survive the catalog loss")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("default-parameter compaction keeps the bootstrap bucket count") {
+    // advice r14 (medium): compaction must rewrite at the sidecar's
+    // count (what the files were written with), not the caller's
+    // parameter — a default-argument compaction of an 8-bucket table
+    // must not silently re-lay it out into 32 buckets.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_cbk").toString
+    val (table, path) = ("graft_bidx_t9", s"$tmp/idx")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(1L -> base)), table, path, buckets = 8)
+      Pipeline.updateChunkIndexBucketed(spark, toks(Seq(2L -> fresh)), table, path)
+      val before = spark.table(table).as[String].collect().sorted.toSeq
+      val m = Pipeline.compactChunkIndexBucketed(spark, table, path) // default buckets
+      assert(m("hashes") === before.size.toLong)
+      val desc = spark.sql(s"DESCRIBE EXTENDED $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc("Num Buckets") === "8",
+        s"compaction must preserve the written bucket count, got $desc")
+      assert(spark.table(table).as[String].collect().sorted.toSeq === before)
+      // and the sidecar still records 8, so later adoption stays correct
+      spark.sql(s"DROP TABLE $table")
+      val m2 = Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(3L -> words("u", 950, 990))), table, path)
+      assert(m2("hashes_before") === before.size.toLong && m2("hashes_added") === 1L)
+      val desc2 = spark.sql(s"DESCRIBE EXTENDED $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc2("Num Buckets") === "8")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("probe never touches the caller's session conf") {
+    // advice r14 (low): the probe's conf pin lives on a cloned session;
+    // the shared conf is never flipped, so concurrent planning in the
+    // caller's session can't observe bucketed scans disabled.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_iso").toString
+    val (table, path) = ("graft_bidx_t10", s"$tmp/idx")
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoBefore = spark.conf.get(key)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      Pipeline.updateChunkIndexBucketed(spark, toks(Seq(1L -> base)), table, path)
+      val stored = spark.table(table).as[String].collect().head
+      spark.conf.set(key, "true")
+      assert(Pipeline.probeChunkIndex(spark, table, stored))
+      assert(!Pipeline.probeChunkIndex(spark, table,
+        "00000000000000000000000000000000"))
+      assert(spark.conf.get(key) === "true",
+        "probe must leave the caller's autoBucketedScan conf as found")
+    } finally {
+      spark.conf.set(key, autoBefore)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("incremental anti-join: stored side reads bucketed, ONE Exchange total") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_plan").toString
     val (table, path) = ("graft_bidx_t3", s"$tmp/idx")
