@@ -99,77 +99,31 @@ object Bench {
       () => operators.Dedup.simhashSignature(spark, sfDir, 16).count(),
       () => operators.Dedup.simhashSignature(spark, sfDir, 32).count(),
       () => operators.Dedup.simhashSignature(spark, sfDir, 64).count())
-    // wave 3: q73/q74/q90 first-touch pre-fill (rounds 10/12): q73/q74
-    // alone carried 42 s of BENCH_r09's 163 s cold total — the BPE loop
-    // JITs ~15 per-round window plans and SemDeDup JITs the embedding
-    // hash/rep + sign-LSH + propagation plans on first run. q90 joined in
-    // round 12: BENCH_r11's driver cold run charged its slot 17.6 s of
-    // span/pair-plan first-touch (idle-host cold is 1.8 s) — one full run
-    // here moves that JIT into warmup_sec wherever it lands. All three
-    // memo caches are disjoint (mergeMemo vs embRep/cluster vs
-    // pairsCache), so they overlap safely; clearResultMemos below evicts
-    // what they computed, so the timed cold pass still re-pays every
-    // detection, minus only codegen/JIT.
-    wave(
-      () => SparkEntry.queries("q73_bpe_merges")(spark, sfDir).count(),
-      () => SparkEntry.queries("q74_semdedup_survivors")(spark, sfDir).count(),
-      // q91/q95/q103 joined q90 here in round 13: BENCH_r12's driver cold
-      // pass still charged their slots 10.8/12.0/10.2 s of plan-compile
-      // first-touch (idle-host cold ≤1.7 s; cold_sparse names them every
-      // driver round) — one full run each moves that JIT into warmup_sec.
-      // Their detection memos are evicted below like the others', so the
-      // timed cold pass still re-pays the real per-query work. q95 shares
-      // the verified-pair/rep caches with q90, so the two fill in ONE
-      // sequential thunk (the wave invariant: no two concurrent steps may
-      // getOrElseUpdate the same key); q91/q103 only READ wave-2 artifacts.
-      () => {
-        SparkEntry.queries("q90_shared_spans")(spark, sfDir).count()
-        SparkEntry.queries("q95_dup_graph_stats")(spark, sfDir).count()
-      },
-      () => SparkEntry.queries("q91_doc_novelty")(spark, sfDir).count(),
-      () => SparkEntry.queries("q103_cms_heavy_hitters")(spark, sfDir).count(),
-      // DSIR feature vectors + learned weight table (round 12: index
-      // artifacts consumed by q82 + q109) — the table reads the vectors,
-      // so ONE thunk fills both sequentially (no intra-wave cache race)
-      () => {
-        operators.TextAnalysis.dsirDocBuckets(spark, sfDir).count()
-        operators.TextAnalysis.dsirWeightTable(spark, sfDir).count()
-      })
-    // wave 4 (round 14): BENCH_r13's surviving cold_sparse entries — the
-    // rollup (q07 9.0 s), the window-heavy Events plans (q36 sessions
-    // 9.1 s, q35 hourly), pagerank's first iteration (q84 7.9 s), plus
-    // the 1.1–2.4 s residue (q08/q37/q63) — are all plan-compile/JIT
-    // first-touch (warm ≤1.8 s each; VERDICT r13 item 2). One full run
-    // each moves that JIT into warmup_sec. The two round-14 queries join
-    // pre-emptively: q115 first-touches the exact/IVF/multiprobe rung
-    // plans and q116 the bucketed table write/append plans. Timed-pass
-    // rung attribution (name order): q105 < q115 < q28/q29/q55, so q105
-    // pays the PQ corpus scan each pass (filling the pq memo), q115 pays
-    // exact+IVF+multiprobe, and q28/q29/q55 read the persisted tables. Cache keys are disjoint across steps:
-    // q63 alone touches srcTokCache; q84 reads the wave-2 bigram
-    // artifact; q115 reads the wave-1 vector index; the rest fill no
-    // graft caches.
-    // q116 wipes and rebuilds its own bucketed table per call, so the
-    // timed runs repeat the full bootstrap+append work.
-    wave(
-      () => SparkEntry.queries("q07_rollup_summary")(spark, sfDir).count(),
-      () => SparkEntry.queries("q08_customers_with_orders")(spark, sfDir).count(),
-      () => SparkEntry.queries("q35_hourly_events")(spark, sfDir).count(),
-      () => SparkEntry.queries("q36_sessions")(spark, sfDir).count(),
-      () => SparkEntry.queries("q37_json_stats")(spark, sfDir).count(),
-      () => SparkEntry.queries("q63_source_overlap")(spark, sfDir).count(),
-      () => SparkEntry.queries("q84_token_pagerank")(spark, sfDir).count(),
-      // q105 + q115 fill the SAME pq rung memo (knnMemo), so the two run
-      // in ONE sequential thunk (the wave invariant); q105's own
-      // first-touch was the one surviving r13-protocol cold_sparse entry
-      () => {
-        SparkEntry.queries("q105_knn_pq")(spark, sfDir).count()
-        SparkEntry.queries("q115_ann_recall")(spark, sfDir).count()
-      },
-      () => SparkEntry.queries("q116_bucketed_index_summary")(spark, sfDir).count())
-    // evict the result memos the pre-fill just created (BPE merges,
-    // cluster labels): the timed cold pass must still do each query's
-    // full per-query work, minus only the JIT/codegen warmup above
+    // wave 3 (round 15): the GENERIC sweep — execute EVERY queries entry
+    // once through the exact bench protocol (noop sink, timed passes'
+    // name order), replacing rounds 10–14's per-plan pre-fill waves.
+    // Those converged locally every round and then the driver host paid
+    // first-touch in DIFFERENT slots each time (r13: 7 entries; r14: 14
+    // entries in NEW slots, ~36 s — VERDICT r14 item 2: "the per-plan
+    // prefill whack-a-mole doesn't converge on a contended host"). The
+    // sweep compiles every plan the timed passes will run, by
+    // construction — there is no slot it can miss. It runs SEQUENTIALLY:
+    // concurrent steps must not getOrElseUpdate the same cache key (a
+    // racing TrieMap thunk leaks the loser's persisted relation), and
+    // name order lands every shared-memo fill on the same
+    // alphabetically-first consumer the timed passes charge. Emitted as
+    // the third "warmup_waves_cs" entry; clearResultMemos below evicts
+    // every detection result the sweep computed, so the timed cold pass
+    // still re-pays each query's full per-query work, minus only
+    // JIT/codegen/first-touch — which is exactly what warmup_sec is for.
+    val w3 = System.nanoTime()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      warm { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); 0L }
+    }
+    waveDurations += (System.nanoTime() - w3) / 1e9
+    // evict the result memos the sweep just created (BPE merges, cluster
+    // labels, verified pairs, kNN rungs): the timed cold pass must still
+    // do each query's full per-query work
     Caches.clearResultMemos(spark)
     // the probe's own codegen/JIT is paid here, inside warmup_sec, so the
     // timed calib values below measure host speed only

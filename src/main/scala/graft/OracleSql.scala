@@ -1614,6 +1614,7 @@ object OracleSql {
     ("q113_cross_corpus_purge" -> CrossCorpusPurgeSql) +
     ("q114_chunk_index_buckets" -> ChunkIndexBucketsSql) +
     ("q115_ann_recall" -> AnnRecallSql) +
+    ("q117_ann_sweep" -> AnnSweepSql) +
     ("q116_bucketed_index_summary" -> ChunkIndexBucketedSummarySql)
 
   /** PII scrub mirror (q110) — injection expression, patterns, and
@@ -1906,6 +1907,66 @@ object OracleSql {
        |       ROUND(CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * $K), 6) AS recall
        |FROM per GROUP BY method
        |ORDER BY method, query_id""".stripMargin
+  }
+
+  /** q117 — the operating-point sweep: one scored pair relation with a
+    * SweepBitsMax-wide sign bucket, then all (bits, radius) configs
+    * evaluated by masked-XOR popcount (identical candidate set to the
+    * flip-join probe, per Similarity.annSweep's scaladoc). The VALUES
+    * config list is generated from Similarity.SweepConfigs — the same
+    * triples the Spark side reads — so the two engines can never
+    * disagree on the grid or the n_cells arithmetic.
+    */
+  private lazy val AnnSweepSql: String = {
+    val S = graft.operators.Similarity
+    val cfgRows = S.SweepConfigs
+      .map { case (b, r, cells) => s"($b, $r, $cells)" }.mkString(", ")
+    val denom = S.QuerySetSize * S.K
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb,
+       |         ${signBucketSql(S.SweepBitsMax)} AS bucket,
+       |         sqrt(list_reduce(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i]),
+       |                          (x, y) -> x + y)) AS nrm
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+       |      FROM n WHERE vec_id < ${S.QuerySetSize}),
+       |p AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         ${dotExpr("q_emb", "emb")} / (q_nrm * nrm) AS c,
+       |         xor(q_bucket, bucket) AS xb
+       |  FROM q, n WHERE vec_id <> query_id),
+       |xk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+       |    FROM p) WHERE rnk <= ${S.K}),
+       |cfg(bits, probe_hamming, n_cells) AS (VALUES $cfgRows),
+       |cand AS (
+       |  SELECT bits, probe_hamming, query_id, neighbor_id, c
+       |  FROM p, cfg
+       |  WHERE bit_count(xb & ((1 << bits) - 1)) <= probe_hamming),
+       |hits AS (
+       |  SELECT bits, probe_hamming, COUNT(*) AS n
+       |  FROM (SELECT bits, probe_hamming, query_id, neighbor_id,
+       |               ROW_NUMBER() OVER (PARTITION BY bits, probe_hamming, query_id
+       |                                  ORDER BY c DESC, neighbor_id) AS rnk
+       |        FROM cand) rk
+       |  JOIN xk USING (query_id, neighbor_id)
+       |  WHERE rnk <= ${S.K}
+       |  GROUP BY bits, probe_hamming),
+       |nc AS (SELECT bits, probe_hamming, COUNT(*) AS n
+       |       FROM cand GROUP BY bits, probe_hamming)
+       |SELECT CAST(cfg.bits AS BIGINT) AS bits,
+       |       CAST(cfg.probe_hamming AS BIGINT) AS probe_hamming,
+       |       CAST(cfg.n_cells AS BIGINT) AS n_cells,
+       |       CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_cand,
+       |       CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hits,
+       |       ROUND(CAST(COALESCE(hits.n, 0) AS DOUBLE) / $denom, 6) AS recall
+       |FROM cfg
+       |LEFT JOIN nc ON nc.bits = cfg.bits AND nc.probe_hamming = cfg.probe_hamming
+       |LEFT JOIN hits ON hits.bits = cfg.bits AND hits.probe_hamming = cfg.probe_hamming
+       |ORDER BY bits, probe_hamming""".stripMargin
   }
 
   /** Big-endian integer value of md5 hex nibbles [start, start+nibbles)

@@ -155,7 +155,11 @@ object ScaleSmoke {
       // copies× vector base (the query set stays the 8 original vec_ids,
       // so the output grain — 3 methods × 8 queries + 3 means — is
       // replication-invariant while every rung's scan side grows)
-      "q115_ann_recall")
+      "q115_ann_recall",
+      // round 15: the operating-point sweep scores all 15 (bits, radius)
+      // configs over the copies× scored-pair relation — same fixed grid
+      // grain at any replication
+      "q117_ann_sweep")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -190,7 +194,9 @@ object ScaleSmoke {
         "q105_knn_pq" -> 40L,
         // q115: 3 methods × 8 query points + 3 per-method mean rows —
         // the query set is the 8 original vec_ids at any replication
-        "q115_ann_recall" -> 27L) ++
+        "q115_ann_recall" -> 27L,
+        // q117: one row per SweepConfigs entry, whatever the corpus size
+        "q117_ann_sweep" -> 15L) ++
       // for copies ≥ 2 every one of the base corpus's 6,824 distinct
       // chunk hashes appears `copies` times, so the duplicate report is
       // exactly the distinct-chunk relation — saturated, not scaling

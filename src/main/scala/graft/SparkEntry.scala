@@ -267,7 +267,12 @@ object SparkEntry {
     // APPENDS into a chunk_hash-bucketed catalog table (anti-join reads
     // the bucketed scan with no stored-side Exchange), summarized by
     // leading nibble with dual commutative digests
-    "q116_bucketed_index_summary" -> ((s, d) => Pipeline.chunkIndexBucketedSummary(s, d)))
+    "q116_bucketed_index_summary" -> ((s, d) => Pipeline.chunkIndexBucketedSummary(s, d)),
+    // ANN operating-point sweep: recall@K + measured candidate count for
+    // every (sign-quantizer width, probe radius) config — the
+    // recall-vs-scan-fraction curve a deployment picks parameters from
+    // (q115 scores only the shipped defaults)
+    "q117_ann_sweep" -> ((s, d) => Similarity.annSweep(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

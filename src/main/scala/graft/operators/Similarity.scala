@@ -615,4 +615,75 @@ object Similarity {
         col("n_returned"), col("n_hits"), col("recall"))
     per.unionByName(mean).orderBy("method", "query_id")
   }
+
+  /** Config grid of the q117 sweep — (bits, probe_hamming, n_cells),
+    * the ONE definition both the Spark query and the DuckDB oracle's
+    * VALUES list are generated from (the IvfBits/signBucketSql pattern):
+    * sign-quantizer widths crossed with probe radii 0/1/2, n_cells =
+    * Σ_{i≤r} C(bits, i) cells scanned per query out of 2^bits.
+    */
+  val SweepBitsMax = 10
+  val SweepConfigs: Seq[(Int, Int, Long)] =
+    for { b <- Seq(2, 4, 6, 8, 10); r <- Seq(0, 1, 2) }
+      yield (b, r, (0 to r).map(i => binom(b, i)).sum)
+
+  private def binom(n: Int, k: Int): Long =
+    (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+
+  /** q117 — the ANN operating-point sweep (VERDICT r14 #3): recall@K of
+    * the sign-LSH probe at every (quantizer width, probe radius) in
+    * [[SweepConfigs]], against the q28 exact ground truth — the
+    * recall-vs-scan-fraction curve a deployment picks (bits, radius)
+    * from, where q115 only scores the three shipped rungs at their
+    * defaults. A radius-r probe of a width-b quantizer scans the
+    * Σ_{i≤r} C(b,i) cells within hamming r of the query's cell (r=1 is
+    * exactly q55's multi-probe; r=0 is q29's IVF), so the candidate set
+    * is {v : popcount((bucket(q) XOR bucket(v)) & (2^b−1)) ≤ r} — the
+    * sweep computes ONE 10-bit bucket per vector and evaluates all 15
+    * configs in a single pass over the scored pair relation instead of
+    * 15 probe joins (a calibration diagnostic runs on a sample, not the
+    * corpus; in deployment each chosen config IS the equi-join probe,
+    * q29/q55's partition-prunable shape). Grain: one row per config —
+    * n_cells (cells probed), n_cand (measured candidate pairs across
+    * the query set: the real scan cost), n_hits (|approx ∩ exact|,
+    * integer-exact), recall = n_hits/(|queries|·K), a single division
+    * of exact integers. Configs with an empty candidate set must report
+    * recall 0, not vanish — the grid left-join keeps them.
+    */
+  def annSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+      .withColumn("bucket", VectorFns.signBucket(col("emb"), SweepBitsMax))
+    val q = e.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val pairs = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFns.cosine(VectorFns.dot(col("q_emb"), col("emb")),
+          col("q_nrm"), col("nrm")).as("c"),
+        col("q_bucket").bitwiseXOR(col("bucket")).as("xb"))
+    val exact = knnBruteForce(spark, dir).select("query_id", "neighbor_id")
+    val cfg = SweepConfigs.toDF("bits", "probe_hamming", "n_cells")
+    val cand = pairs.crossJoin(broadcast(cfg))
+      .filter(expr("bit_count(xb & (shiftleft(1, bits) - 1)) <= probe_hamming"))
+    val w = Window.partitionBy("bits", "probe_hamming", "query_id")
+      .orderBy(col("c").desc, col("neighbor_id"))
+    val hits = cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("bits", "probe_hamming").agg(count(lit(1)).as("n_hits"))
+    val nCand = cand.groupBy("bits", "probe_hamming")
+      .agg(count(lit(1)).as("n_cand"))
+    cfg.join(nCand, Seq("bits", "probe_hamming"), "left")
+      .join(hits, Seq("bits", "probe_hamming"), "left")
+      .select(col("bits").cast("long").as("bits"),
+        col("probe_hamming").cast("long").as("probe_hamming"),
+        col("n_cells"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit((QuerySetSize * K).toDouble), 6).as("recall"))
+      .orderBy("bits", "probe_hamming")
+  }
 }

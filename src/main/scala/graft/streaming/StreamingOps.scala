@@ -596,8 +596,14 @@ object StreamingOps {
       .start()
   }
 
-  /** Streaming maintenance of the persisted chunk-hash index — the
-    * streaming twin of Pipeline.updateChunkIndex (q114): each micro-batch
+  /** Streaming maintenance of the persisted chunk-hash index over the
+    * rename-swap layout — the FALLBACK form (r15): the default streaming
+    * twin is [[indexIngestBucketed]], matching the default batch path
+    * (Pipeline.maintainChunkIndex → the bucketed catalog layout); use
+    * this one only where no catalog can own a table and the index lives
+    * on a local filesystem.
+    *
+    * The streaming twin of Pipeline.updateChunkIndex (q114): each micro-batch
     * of (doc_id, text) docs is tokenized stream-side (the shared TextFns
     * projection), exploded through the ONE chunksOf geometry, and its
     * content-only chunk hashes folded into the stored
@@ -637,8 +643,9 @@ object StreamingOps {
       .start()
   }
 
-  /** Streaming maintenance of the BUCKETED chunk index — indexIngest's
-    * twin over the deployment layout (Pipeline.updateChunkIndexBucketed,
+  /** Streaming maintenance of the BUCKETED chunk index — the DEFAULT
+    * streaming index twin (r15), over the default deployment layout
+    * (Pipeline.updateChunkIndexBucketed,
     * q116): each micro-batch's corpus-new hashes APPEND delta-sized
     * bucket files to the chunk_hash-bucketed catalog table through the
     * Hadoop output committer (scheme-agnostic — no rename swap, so this

@@ -358,6 +358,31 @@ class BucketedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("maintainChunkIndex defaults to the bucketed catalog layout") {
+    // VERDICT r14 #4: the bucketed form is THE default index path; the
+    // rename-swap single-dir form is the catalog-free fallback selected
+    // by table = "".
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_disp").toString
+    val table = Pipeline.DefaultChunkIndexTable
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val m = Pipeline.maintainChunkIndex(spark, toks(Seq(1L -> base)), s"$tmp/idx")
+      assert(m("hashes_added") === 2L)
+      assert(spark.catalog.tableExists(table),
+        "default dispatch must create the bucketed catalog table")
+      val desc = spark.sql(s"DESCRIBE EXTENDED $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc("Num Buckets") === Pipeline.ChunkIndexBuckets.toString)
+      // fallback: empty table name → rename-swap single parquet dir,
+      // no catalog registration
+      val m2 = Pipeline.maintainChunkIndex(spark, toks(Seq(2L -> fresh)),
+        s"$tmp/idx2", table = "")
+      assert(m2("hashes_added") === 1L)
+      assert(new java.io.File(s"$tmp/idx2/_SUCCESS").exists,
+        "fallback must write the single-dir rename layout")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("incremental anti-join: stored side reads bucketed, ONE Exchange total") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_plan").toString
     val (table, path) = ("graft_bidx_t3", s"$tmp/idx")

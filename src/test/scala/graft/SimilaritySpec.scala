@@ -199,4 +199,68 @@ class SimilaritySpec extends AnyFunSuite {
         s"ADC mismatch for (${r.getAs[Long]("query_id")}, ${r.getAs[Long]("neighbor_id")})")
     }
   }
+
+  test("annSweep: full grid, monotone in radius, agrees with q115 at the shipped rungs") {
+    import org.apache.spark.sql.functions.col
+    val sw = Similarity.annSweep(spark, sf).collect()
+    assert(sw.length === Similarity.SweepConfigs.size)
+    // a wider radius can only ADD cells: candidates and hits are
+    // non-decreasing in probe_hamming for every quantizer width
+    sw.groupBy(_.getAs[Long]("bits")).values.foreach { rows =>
+      val byR = rows.sortBy(_.getAs[Long]("probe_hamming")).toSeq
+      val cand = byR.map(_.getAs[Long]("n_cand"))
+      val hits = byR.map(_.getAs[Long]("n_hits"))
+      assert(cand === cand.sorted, s"n_cand not monotone: $cand")
+      assert(hits === hits.sorted, s"n_hits not monotone: $hits")
+    }
+    // the shipped rungs ARE grid points: (IvfBits, r=0) is q29's IVF
+    // probe and (IvfBits, r=1) is q55's multi-probe, so the sweep's
+    // recall there must equal q115's per-method means exactly — the
+    // masked-popcount candidate set is the flip-join's
+    val mean = Similarity.annRecall(spark, sf)
+      .filter(col("query_id") === -1L).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Double]("recall")).toMap
+    val at = sw.map(r => (r.getAs[Long]("bits"), r.getAs[Long]("probe_hamming")) ->
+      r.getAs[Double]("recall")).toMap
+    assert(at((Similarity.IvfBits.toLong, 0L)) === mean("ivf"))
+    assert(at((Similarity.IvfBits.toLong, 1L)) === mean("multiprobe"))
+  }
+
+  test("annSweep: planted clusters reach recall 1.0 at a fraction of the scan") {
+    // The sf corpora are near-uniform (max cosine ≈ 0.5), so high recall
+    // there needs a high scan fraction — the r14 verdict asked whether
+    // the knobs can reach recall ≥ 0.8 AT ALL. On a corpus with real
+    // cluster structure they do, cheaply: 4 tight clusters whose centers
+    // have distinct sign patterns in the first 4 dims ⇒ at bits=4 every
+    // cluster is one cell, own-cell probing (radius 0) already sees all
+    // true neighbors, and the candidate set is ~cluster-sized, not the
+    // corpus.
+    val dim = 16
+    val centers = Seq(
+      Array.fill(dim)(1f),
+      Array.tabulate(dim)(i => if (i < 4 && i % 2 == 0) -1f else 1f),
+      Array.tabulate(dim)(i => if (i < 4 && i % 2 == 1) -1f else 1f),
+      Array.tabulate(dim)(i => if (i < 4) -1f else 1f))
+    // ids interleaved across clusters so queries (vec_id < 8) cover all
+    // four; perturbation small enough to never flip a sign
+    val vecs = for (j <- 0 until 10; cl <- 0 until 4) yield {
+      val id = (j * 4 + cl).toLong
+      (id, centers(cl).zipWithIndex.map { case (v, i) =>
+        v * (1f + 0.001f * ((id + i) % 7).toFloat) }.toSeq, cl.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sweep_planted").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val sw = Similarity.annSweep(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bits"), r.getAs[Long]("probe_hamming")) ->
+        (r.getAs[Long]("n_cand"), r.getAs[Double]("recall"))).toMap
+    val fullScan = 8L * (vecs.size - 1) // every query scores every other vector
+    val (cand40, recall40) = sw((4L, 0L))
+    assert(recall40 === 1.0,
+      s"own-cell probe at bits=4 must see every true neighbor, got $recall40")
+    assert(cand40 <= fullScan / 3,
+      s"planted clusters must prune the scan: $cand40 of $fullScan pairs")
+    // and the exhaustive config agrees with ground truth by construction
+    assert(sw((2L, 2L)) === ((fullScan, 1.0)))
+  }
 }
