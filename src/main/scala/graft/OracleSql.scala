@@ -1615,6 +1615,7 @@ object OracleSql {
     ("q114_chunk_index_buckets" -> ChunkIndexBucketsSql) +
     ("q115_ann_recall" -> AnnRecallSql) +
     ("q117_ann_sweep" -> AnnSweepSql) +
+    ("q118_ann_autopick" -> AnnAutoPickSql) +
     ("q116_bucketed_index_summary" -> ChunkIndexBucketedSummarySql)
 
   /** PII scrub mirror (q110) — injection expression, patterns, and
@@ -1967,6 +1968,29 @@ object OracleSql {
        |LEFT JOIN nc ON nc.bits = cfg.bits AND nc.probe_hamming = cfg.probe_hamming
        |LEFT JOIN hits ON hits.bits = cfg.bits AND hits.probe_hamming = cfg.probe_hamming
        |ORDER BY bits, probe_hamming""".stripMargin
+  }
+
+  /** q118 — the auto-pick over the q117 sweep table (inlined as a
+    * subquery — DuckDB allows WITH inside a derived table): per recall
+    * target, rank qualifying configs by (n_cand, bits, probe_hamming)
+    * and keep rank 1. Targets come from Similarity.PickTargets, the
+    * same list the Spark side reads.
+    */
+  private lazy val AnnAutoPickSql: String = {
+    val targets = graft.operators.Similarity.PickTargets
+      .map(t => s"($t)").mkString(", ")
+    s"""WITH sweep AS ($AnnSweepSql),
+       |tg(recall_target) AS (VALUES $targets),
+       |qual AS (
+       |  SELECT tg.recall_target, s.bits, s.probe_hamming, s.n_cells,
+       |         s.n_cand, s.recall,
+       |         ROW_NUMBER() OVER (PARTITION BY tg.recall_target
+       |                            ORDER BY s.n_cand, s.bits, s.probe_hamming) AS rn
+       |  FROM tg JOIN sweep s ON s.recall >= tg.recall_target)
+       |SELECT CAST(recall_target AS DOUBLE) AS recall_target,
+       |       bits, probe_hamming, n_cells, n_cand, recall
+       |FROM qual WHERE rn = 1
+       |ORDER BY recall_target""".stripMargin
   }
 
   /** Big-endian integer value of md5 hex nibbles [start, start+nibbles)

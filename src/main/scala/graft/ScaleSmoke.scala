@@ -158,8 +158,9 @@ object ScaleSmoke {
       "q115_ann_recall",
       // round 15: the operating-point sweep scores all 15 (bits, radius)
       // configs over the copies× scored-pair relation — same fixed grid
-      // grain at any replication
-      "q117_ann_sweep")
+      // grain at any replication; the auto-pick ranks that table per
+      // recall target (4 fixed rows)
+      "q117_ann_sweep", "q118_ann_autopick")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -195,8 +196,10 @@ object ScaleSmoke {
         // q115: 3 methods × 8 query points + 3 per-method mean rows —
         // the query set is the 8 original vec_ids at any replication
         "q115_ann_recall" -> 27L,
-        // q117: one row per SweepConfigs entry, whatever the corpus size
-        "q117_ann_sweep" -> 15L) ++
+        // q117: one row per SweepConfigs entry, whatever the corpus size;
+        // q118: one row per PickTargets entry (every target satisfiable —
+        // the exhaustive config's recall is 1.0 by construction)
+        "q117_ann_sweep" -> 15L, "q118_ann_autopick" -> 4L) ++
       // for copies ≥ 2 every one of the base corpus's 6,824 distinct
       // chunk hashes appears `copies` times, so the duplicate report is
       // exactly the distinct-chunk relation — saturated, not scaling

@@ -272,7 +272,11 @@ object SparkEntry {
     // every (sign-quantizer width, probe radius) config — the
     // recall-vs-scan-fraction curve a deployment picks parameters from
     // (q115 scores only the shipped defaults)
-    "q117_ann_sweep" -> ((s, d) => Similarity.annSweep(s, d)))
+    "q117_ann_sweep" -> ((s, d) => Similarity.annSweep(s, d)),
+    // ANN configuration auto-pick: per recall target, the cheapest sweep
+    // config meeting it (min measured candidates, ties to narrower
+    // quantizer / smaller radius) — the deployment decision as a relation
+    "q118_ann_autopick" -> ((s, d) => Similarity.annAutoPick(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

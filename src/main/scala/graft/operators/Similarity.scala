@@ -630,6 +630,38 @@ object Similarity {
   private def binom(n: Int, k: Int): Long =
     (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
 
+  /** Recall targets of the q118 auto-pick — shared with the oracle's
+    * VALUES list like [[SweepConfigs]]. Every target ≤ 1.0 is
+    * satisfiable: the (bits=2, radius=2) config scans all 4 cells — the
+    * full corpus — so its top-K IS the exact top-K and recall is 1.0 by
+    * construction.
+    */
+  val PickTargets: Seq[Double] = Seq(0.25, 0.5, 0.75, 1.0)
+
+  /** q118 — ANN configuration auto-pick: the deployment decision q117's
+    * curve exists for, as an oracle-checked operator. For each recall
+    * target, the CHEAPEST sweep config whose measured recall meets it —
+    * minimize the measured candidate count (the real scan cost), ties to
+    * the narrower quantizer then the smaller radius — one ROW_NUMBER
+    * over the 15-row sweep table per target, identical ranking in both
+    * engines (all-integer keys). This is the "tune until recall meets
+    * the target" loop a real pipeline runs after every embedding or
+    * corpus change, closed into a single deterministic relation.
+    */
+  def annAutoPick(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sweep = annSweep(spark, dir)
+    val targets = PickTargets.toDF("recall_target")
+    val qual = sweep.crossJoin(broadcast(targets))
+      .filter(col("recall") >= col("recall_target"))
+    val w = Window.partitionBy("recall_target")
+      .orderBy(col("n_cand"), col("bits"), col("probe_hamming"))
+    qual.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("recall_target"), col("bits"), col("probe_hamming"),
+        col("n_cells"), col("n_cand"), col("recall"))
+      .orderBy("recall_target")
+  }
+
   /** q117 — the ANN operating-point sweep (VERDICT r14 #3): recall@K of
     * the sign-LSH probe at every (quantizer width, probe radius) in
     * [[SweepConfigs]], against the q28 exact ground truth — the

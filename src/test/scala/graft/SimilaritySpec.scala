@@ -262,5 +262,17 @@ class SimilaritySpec extends AnyFunSuite {
       s"planted clusters must prune the scan: $cand40 of $fullScan pairs")
     // and the exhaustive config agrees with ground truth by construction
     assert(sw((2L, 2L)) === ((fullScan, 1.0)))
+    // the auto-pick turns that curve into the deployment decision: one
+    // row per target, recall meets the target, and on a structured
+    // corpus even the 1.0 target picks a config cheaper than full scan
+    val picks = Similarity.annAutoPick(spark, dir).collect()
+    assert(picks.map(_.getAs[Double]("recall_target")).toSeq ===
+      Similarity.PickTargets)
+    picks.foreach { p =>
+      assert(p.getAs[Double]("recall") >= p.getAs[Double]("recall_target"))
+    }
+    val pick10 = picks.find(_.getAs[Double]("recall_target") == 1.0).get
+    assert(pick10.getAs[Long]("n_cand") < fullScan,
+      "planted structure must let the 1.0 target beat the full scan")
   }
 }
