@@ -110,7 +110,11 @@ object Plans {
       "q115_ann_recall" ->
         "ANN recall calibration: all four kNN rungs read the one cached vector index; the scoring joins (grid left-joins over returned/hit counts) run at (method x query) grain — K·|queries| rows through every exchange, diagnostic-priced at any corpus size",
       "q116_bucketed_index_summary" ->
-        "bucketed stored-index summary: the chunk_hash-bucketed catalog table (bootstrap + two delta-shaped APPENDS) scanned into one partial/final hash aggregate per leading-nibble bucket — dual commutative digests, constant aggregation state; see the §chunk-index section below for the incremental anti-join's no-stored-side-Exchange evidence")
+        "bucketed stored-index summary: the chunk_hash-bucketed catalog table (bootstrap + two delta-shaped APPENDS) scanned into one partial/final hash aggregate per leading-nibble bucket — dual commutative digests, constant aggregation state; see the §chunk-index section below for the incremental anti-join's no-stored-side-Exchange evidence",
+      "q117_ann_sweep" ->
+        "ANN operating-point sweep: ONE scored-pair pass (corpus scan against the 8-row broadcast query set, codegen graft_dot) crossed with the BROADCAST 15-row config grid; candidate membership is a codegen'd masked-popcount filter, ranking windows partition by (bits, radius, query) over K·|queries|·configs rows — 15 probe joins collapsed into one diagnostic-priced pass",
+      "q118_ann_autopick" ->
+        "ANN auto-pick: one ROW_NUMBER window over the MEMOIZED 15-row sweep table crossed with the 4-row broadcast target list — the deployment decision costs nothing beyond the sweep it reads")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")

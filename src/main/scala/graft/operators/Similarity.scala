@@ -681,8 +681,15 @@ object Similarity {
     * integer-exact), recall = n_hits/(|queries|·K), a single division
     * of exact integers. Configs with an empty candidate set must report
     * recall 0, not vanish — the grid left-join keeps them.
+    *
+    * The 15-row result rides [[knnMemo]] as its own rung (a RESULT memo,
+    * evicted per bench pass like the kNN tables): q117 pays the sweep
+    * once per pass, q118's auto-pick re-ranks the memoized table.
     */
-  def annSweep(spark: SparkSession, dir: String): DataFrame = {
+  def annSweep(spark: SparkSession, dir: String): DataFrame =
+    memoRung(spark, dir, "sweep") { annSweepUncached(spark, dir) }
+
+  private def annSweepUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
       .withColumn("bucket", VectorFns.signBucket(col("emb"), SweepBitsMax))
