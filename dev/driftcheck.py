@@ -12,8 +12,15 @@ to root-cause with QProbe. When the bench carries calibration probes
 ("calib_cs", round 13+: a fixed synthetic workload timed before the first
 pass and after every pass), the host multiplier is MEASURED — each ratio is
 also shown normalized by calib instead of inferred circularly from the
-suite itself. Exit code 0 always — this is an adjudication AID, not a
-gate; the 2x suite gate is the driver's.
+suite itself. Round 15+ benches additionally carry per-slot kernel jiffy
+telemetry ("bench_ext_busy_pct": CPU held by OTHER processes during exactly
+that query's timed window) — a flagged slot with ext >= 35% is adjudicated
+as contention by measurement, closing the calib-miss gap where a window
+opens and closes mid-pass between probes — and "bench_self_util_pct" (the
+JVM's own share of the machine over the 16 most expensive warm slots),
+which separates "did more work" from "got fewer cycles" even when the
+contention is hypervisor-level and invisible to guest jiffy accounting. Exit code 0 always — this is an
+adjudication AID, not a gate; the 2x suite gate is the driver's.
 """
 import json
 import re
@@ -50,6 +57,30 @@ def calib_values(text):
     if not m or not m.group(1).strip():
         return None
     return [int(v) / 100.0 for v in m.group(1).split(",")]
+
+
+def ext_busy(text):
+    """Round 15 per-slot telemetry: ({q: external-busy %}, [per-pass %]).
+
+    The sparse map carries only warm-pass slots where OTHER processes held
+    >= 15% of the machine (kernel jiffy accounting around exactly that
+    query's timed window); the list is the whole-pass figure per pass.
+    Either may be absent (pre-r15 bench logs) -> ({}, None)."""
+    m = re.search(r'\{"bench_ext_busy_pct":(\{[^}]*\})\}', text)
+    slots = {k.lstrip("q"): v for k, v in json.loads(m.group(1)).items()} if m else {}
+    p = re.search(r'"ext_busy_pct":\[([-\d,\s]*)\]', text)
+    passes = [int(v) for v in p.group(1).split(",")] if p and p.group(1).strip() else None
+    return slots, passes
+
+
+def self_util(text):
+    """{q: JVM share of the machine %} for the 16 most expensive warm
+    slots (r15+). The dilation discriminator: a slot 3x its floor at its
+    usual utilization did 3x the work; at a third of its usual
+    utilization it got a third of the cycles (starved). Quiet-round
+    values are the baselines a contended round is read against."""
+    m = re.search(r'\{"bench_self_util_pct":(\{[^}]*\})\}', text)
+    return {k.lstrip("q"): v for k, v in json.loads(m.group(1)).items()} if m else {}
 
 
 def floor_table():
@@ -111,7 +142,10 @@ def main():
     cmult = None
     if calib and len(calib) >= 2 and cfloor:
         cmult = max((calib[-2] + calib[-1]) / 2.0 / cfloor, 0.01)
-    flagged, missing = [], []
+    slots, pass_ext = ext_busy(text)
+    utils = self_util(text)
+    flagged, measured = [], []
+    missing = []
     for q in sorted(warm, key=lambda k: int(k)):
         w = warm[q]
         f = floors.get(q)
@@ -121,9 +155,20 @@ def main():
         r = w / f if f > 0 else float("inf")
         rn = r / cmult if cmult else None
         above = (rn if rn is not None else r) > ratio or w < 0
+        # per-slot kernel measurement trumps the bracketing probes: a
+        # flagged slot where co-tenants held >= 35% of the machine is
+        # contention BY MEASUREMENT (a 32-thread CPU-bound stage loses
+        # roughly 1/(1-ext) throughput), not a regression to chase
+        ext = slots.get(q)
+        if above and w >= 0 and ext is not None and ext >= 35:
+            measured.append((q, r, ext))
+            above = False
         mark = "  <-- ABOVE RATIO" if above else ""
+        exts = f"  ext {ext:3d}%" if ext is not None else ""
+        u = utils.get(q)
+        us = f"  util {u:3d}%" if u is not None else ""
         norm = f"  norm {rn:5.2f}" if rn is not None else ""
-        print(f"q{q:>3}  warm {w:6.2f}  floor {f:5.2f}  ratio {r:5.2f}{norm}{mark}")
+        print(f"q{q:>3}  warm {w:6.2f}  floor {f:5.2f}  ratio {r:5.2f}{norm}{exts}{us}{mark}")
         if above:
             flagged.append((q, w, f, r))
     # both totals over the same query set: a failed query (warm = -1) is
@@ -154,6 +199,18 @@ def main():
         print(f"bench session parallelism: cpus={mcpus.group(1)} — floors are "
               f"comparable only if declared at the same local[N] "
               f"(see the floor table's protocol line in BASELINE-notes.md)")
+    if pass_ext is not None:
+        print(f"whole-pass external-busy: {pass_ext} % per pass "
+              f"(kernel jiffy accounting; warm pass is the last entry)")
+    if utils:
+        print("util = JVM share of the machine during that slot; compare a "
+              "flagged slot's util against a quiet round's for the same "
+              "query — same util means more WORK (regression), "
+              "proportionally lower util means fewer CYCLES (starved)")
+    if measured:
+        print(f"{len(measured)} flagged slot(s) adjudicated as contention by "
+              f"per-slot measurement (ext >= 35%): "
+              + ", ".join(f"q{q} ({r:.2f}x @ ext {e}%)" for q, r, e in measured))
     if missing:
         print(f"no committed floor yet (new queries?): {', '.join('q' + q for q in missing)}")
     if flagged:

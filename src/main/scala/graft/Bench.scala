@@ -27,6 +27,45 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // PER-SLOT EXTERNAL-CPU TELEMETRY (round 15): the calib probe brackets
+    // the passes, so a contention window that opens and closes MID-pass is
+    // invisible to it — r12, r14, and r15 all spent a verdict item
+    // hand-adjudicating an execution-order-contiguous band of 2–3×
+    // per-query ratios against probes that read ~1.2× (the "calib-miss
+    // signature"). Instead of more probes (a timed workload per slot would
+    // cost ~10 s/pass and perturb the thing it measures), sample the
+    // kernel's own accounting around each timed query: /proc/stat's
+    // aggregate busy jiffies MINUS /proc/self/stat's utime+stime delta =
+    // CPU consumed by OTHER processes during exactly that query's wall
+    // window, as a percent of machine capacity. Zero-cost (two ~1 KB file
+    // reads per slot), measures DURING the slot rather than around the
+    // pass, and makes band adjudication mechanical: a 3× ratio with
+    // ext_busy 50% is contention by measurement, not inference. Linux-only
+    // by construction — on any read/parse failure the sample is None and
+    // the emitted map is empty (telemetry may never break the bench).
+    // busy = user+nice+system+irq+softirq+steal; total = busy+idle+iowait.
+    def procJiffies(): Option[(Long, Long, Long)] =
+      try {
+        val cpu = java.nio.file.Files.lines(java.nio.file.Paths.get("/proc/stat"))
+          .filter(_.startsWith("cpu ")).findFirst.get
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        val busy = cpu(0) + cpu(1) + cpu(2) + cpu(5) + cpu(6) +
+          (if (cpu.length > 7) cpu(7) else 0L)
+        val total = busy + cpu(3) + (if (cpu.length > 4) cpu(4) else 0L)
+        // /proc/self/stat: comm (field 2) may contain spaces — parse
+        // after the last ')'; utime/stime are then fields 12/13 0-indexed
+        val self = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+        val rest = self.substring(self.lastIndexOf(')') + 2).split(" ")
+        Some((busy, total, rest(11).toLong + rest(12).toLong))
+      } catch { case _: Throwable => None }
+    // external-busy percent of machine capacity between two samples;
+    // -1 when either sample failed or no time elapsed (sub-jiffy slot)
+    def extBusyPct(a: Option[(Long, Long, Long)],
+                   b: Option[(Long, Long, Long)]): Int = (a, b) match {
+      case (Some((b0, t0, s0)), Some((b1, t1, s1))) if t1 > t0 =>
+        (100L * math.max(0L, (b1 - b0) - (s1 - s0)) / (t1 - t0)).toInt
+      case _ => -1
+    }
     // Warmup, timed separately: materialize every shared persisted relation
     // and touch each table once, so the timed loop measures per-query work —
     // not session/scan warmup or first-touch cache fills that would
@@ -142,8 +181,26 @@ object Bench {
     // no type restrictions, pricing the query a consumer actually pays
     // for. The declared denominator and the driver's measurement both run
     // this same protocol, so the gate comparison stays apples-to-apples.
-    def onePass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // the JVM's own share of the machine between two samples (percent of
+    // all-core capacity). The dilation discriminator: a slot whose wall
+    // time is 3x its floor at its USUAL utilization did 3x the work (a
+    // regression); the same slot at a THIRD of its usual utilization got
+    // a third of the cycles (starved — in-guest co-tenant if ext is high,
+    // hypervisor/memory-level if ext is ~0, the case run-2 confirmation
+    // measured: warm 109 s, calib 1.25x, ext [0,1]). Without this, "did
+    // more work" vs "got fewer cycles" is unanswerable from outside.
+    def selfUtilPct(a: Option[(Long, Long, Long)],
+                    b: Option[(Long, Long, Long)]): Int = (a, b) match {
+      case (Some((_, t0, s0)), Some((_, t1, s1))) if t1 > t0 =>
+        (100L * math.max(0L, s1 - s0) / (t1 - t0)).toInt
+      case _ => -1
+    }
+    // returns (per-query seconds, per-query external-busy %, per-query
+    // self-utilization %) — the jiffy samples wrap the SAME window the
+    // timer wraps, so each entry measures exactly that timed slot
+    def onePass(): (Seq[(String, Double)], Seq[(String, Int)], Seq[(String, Int)]) = {
+      val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val j0 = procJiffies()
         val t0 = System.nanoTime()
         val ok = try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -153,8 +210,13 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
         }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val j1 = procJiffies()
+        (name, if (ok) secs else -1.0, extBusyPct(j0, j1), selfUtilPct(j0, j1))
       }
+      (rs.map(r => r._1 -> r._2), rs.map(r => r._1 -> r._3),
+        rs.map(r => r._1 -> r._4))
+    }
     // STEADY-STATE protocol: run the whole suite `passes` times in ONE
     // session and report the LAST pass as the headline numbers. A single
     // cold pass conflates per-query work with JIT/codegen compilation and
@@ -181,17 +243,25 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] prologue failed: ${e.getMessage}") }
     calibs += calibrate() // pre-pass-1 host-speed sample
+    // overall external-busy percent across each FULL timed pass (the
+    // per-slot ladder localizes a window; this one integer says whether
+    // the pass as a whole ran against a co-tenant)
+    val passExt = scala.collection.mutable.ArrayBuffer.empty[Int]
     val all = (1 to passes).map { i =>
       // later passes re-do real per-query work (cluster labels are a
       // memoized RESULT, not an index) but keep index-like caches warm
       if (i > 1) Caches.clearResultMemos(spark)
       prologue()
+      val j0 = procJiffies()
       val r = onePass()
+      passExt += extBusyPct(j0, procJiffies())
       calibs += calibrate() // post-pass-i host-speed sample
       r
     }
-    val cold = all.head
-    val results = all.last
+    val cold = all.head._1
+    val results = all.last._1
+    val warmExt = all.last._2
+    val warmUtil = all.last._3
     val failures = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
@@ -241,6 +311,25 @@ object Bench {
       val w = warmByName.getOrElse(k, 0.0)
       if (v < 0 || w < 0) Double.NegativeInfinity else -(v - w)
     }.take(24).sortBy(_._1)
+    // the warm-pass external-busy ladder, SPARSE like the cold map: only
+    // slots where other processes held ≥15% of the machine (below that
+    // the effect on a 32-thread stage is within run-to-run noise), capped
+    // at 16 by severity — a quiet round emits {} (~30 chars). Printed
+    // FIRST: under the driver's 2000-char tail window the head of the
+    // FIRST line is what truncation eats, and this is the most expendable.
+    def pctMap(entries: Seq[(String, Int)]): String = entries.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + v }
+      .mkString("{", ",", "}")
+    val extSparse = warmExt.filter(_._2 >= 15).sortBy(-_._2).take(16)
+    println(s"""{"bench_ext_busy_pct":${pctMap(extSparse)}}""")
+    // utilization for the 16 most expensive warm slots — the slots any
+    // drift adjudication is actually about. Always emitted (the quiet-run
+    // values ARE the per-query baselines a contended round is read against)
+    val utilByName = warmUtil.toMap
+    val utilTop = results.filter(_._2 >= 0).sortBy(-_._2).take(16)
+      .map { case (k, _) => k -> utilByName.getOrElse(k, -1) }
+    println(s"""{"bench_self_util_pct":${pctMap(utilTop)}}""")
     println(s"""{"bench_cold_sparse_ds":${fmtShort(coldSparse, 10)}}""")
     println(s"""{"bench_warm_pass_cs":${fmtShort(results, 100)}}""")
     // calib_cs = [pre-pass-1, post-pass-1, …, post-pass-N] probe times in
@@ -258,7 +347,10 @@ object Bench {
     // (quoted if non-numeric — SPARK_GRAFT_CPUS=* is legal for local[*])
     val cpusJson = scala.util.Try(cpus.trim.toInt.toString)
       .getOrElse("\"" + cpus + "\"")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"calib_cs":${csList(calibs.toSeq)},"warmup_waves_cs":${csList(waveDurations.toSeq)},"cpus":$cpusJson,"sf":"$sfDir"}""")
+    // ext_busy_pct = [pass-1, …, pass-N] whole-pass external-busy percent
+    // (-1 = /proc unreadable); the per-slot ladder above localizes windows
+    val extJson = passExt.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"calib_cs":${csList(calibs.toSeq)},"ext_busy_pct":$extJson,"warmup_waves_cs":${csList(waveDurations.toSeq)},"cpus":$cpusJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
