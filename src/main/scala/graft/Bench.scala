@@ -34,38 +34,10 @@ object Bench {
     // per-query ratios against probes that read ~1.2× (the "calib-miss
     // signature"). Instead of more probes (a timed workload per slot would
     // cost ~10 s/pass and perturb the thing it measures), sample the
-    // kernel's own accounting around each timed query: /proc/stat's
-    // aggregate busy jiffies MINUS /proc/self/stat's utime+stime delta =
-    // CPU consumed by OTHER processes during exactly that query's wall
-    // window, as a percent of machine capacity. Zero-cost (two ~1 KB file
-    // reads per slot), measures DURING the slot rather than around the
-    // pass, and makes band adjudication mechanical: a 3× ratio with
-    // ext_busy 50% is contention by measurement, not inference. Linux-only
-    // by construction — on any read/parse failure the sample is None and
-    // the emitted map is empty (telemetry may never break the bench).
-    // busy = user+nice+system+irq+softirq+steal; total = busy+idle+iowait.
-    def procJiffies(): Option[(Long, Long, Long)] =
-      try {
-        val cpu = java.nio.file.Files.lines(java.nio.file.Paths.get("/proc/stat"))
-          .filter(_.startsWith("cpu ")).findFirst.get
-          .trim.split("\\s+").drop(1).map(_.toLong)
-        val busy = cpu(0) + cpu(1) + cpu(2) + cpu(5) + cpu(6) +
-          (if (cpu.length > 7) cpu(7) else 0L)
-        val total = busy + cpu(3) + (if (cpu.length > 4) cpu(4) else 0L)
-        // /proc/self/stat: comm (field 2) may contain spaces — parse
-        // after the last ')'; utime/stime are then fields 12/13 0-indexed
-        val self = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
-        val rest = self.substring(self.lastIndexOf(')') + 2).split(" ")
-        Some((busy, total, rest(11).toLong + rest(12).toLong))
-      } catch { case _: Throwable => None }
-    // external-busy percent of machine capacity between two samples;
-    // -1 when either sample failed or no time elapsed (sub-jiffy slot)
-    def extBusyPct(a: Option[(Long, Long, Long)],
-                   b: Option[(Long, Long, Long)]): Int = (a, b) match {
-      case (Some((b0, t0, s0)), Some((b1, t1, s1))) if t1 > t0 =>
-        (100L * math.max(0L, (b1 - b0) - (s1 - s0)) / (t1 - t0)).toInt
-      case _ => -1
-    }
+    // kernel's own accounting around each timed query — semantics, parsing
+    // and failure behavior in graft.HostStat (test-pinned there): a 3×
+    // ratio with ext_busy 50% is contention by measurement, not inference.
+    import HostStat.{sample => procJiffies, extBusyPct, selfUtilPct}
     // Warmup, timed separately: materialize every shared persisted relation
     // and touch each table once, so the timed loop measures per-query work —
     // not session/scan warmup or first-touch cache fills that would
@@ -181,20 +153,6 @@ object Bench {
     // no type restrictions, pricing the query a consumer actually pays
     // for. The declared denominator and the driver's measurement both run
     // this same protocol, so the gate comparison stays apples-to-apples.
-    // the JVM's own share of the machine between two samples (percent of
-    // all-core capacity). The dilation discriminator: a slot whose wall
-    // time is 3x its floor at its USUAL utilization did 3x the work (a
-    // regression); the same slot at a THIRD of its usual utilization got
-    // a third of the cycles (starved — in-guest co-tenant if ext is high,
-    // hypervisor/memory-level if ext is ~0, the case run-2 confirmation
-    // measured: warm 109 s, calib 1.25x, ext [0,1]). Without this, "did
-    // more work" vs "got fewer cycles" is unanswerable from outside.
-    def selfUtilPct(a: Option[(Long, Long, Long)],
-                    b: Option[(Long, Long, Long)]): Int = (a, b) match {
-      case (Some((_, t0, s0)), Some((_, t1, s1))) if t1 > t0 =>
-        (100L * math.max(0L, s1 - s0) / (t1 - t0)).toInt
-      case _ => -1
-    }
     // returns (per-query seconds, per-query external-busy %, per-query
     // self-utilization %) — the jiffy samples wrap the SAME window the
     // timer wraps, so each entry measures exactly that timed slot
