@@ -127,10 +127,47 @@ object Bench {
     // every detection result the sweep computed, so the timed cold pass
     // still re-pays each query's full per-query work, minus only
     // JIT/codegen/first-touch — which is exactly what warmup_sec is for.
+    // Round 16: the sweep is (a) INSTRUMENTED — r15's wave 3 cost 392.8 s
+    // on the driver host (~3–4× quiet) with no per-slot evidence, and that
+    // unmeasured pressure window was the round's leading q102 hypothesis
+    // (VERDICT r15 items 1/4) — each step gets the same wall + jiffy
+    // brackets as a timed slot, with the top-8 emitted; and (b) BOUNDED —
+    // the replaced wave() helper capped a hung step at 15 minutes, the
+    // first sweep cut didn't (advice r15), so one hang stalled the bench
+    // before the JSON line. Per-step bound 10 min under a 30-min whole-
+    // sweep deadline (quiet cost ≈ 105–130 s; the r15 driver paid 393 s).
     val w3 = System.nanoTime()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      warm { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); 0L }
+    val sweepDeadline = w3 + 30L * 60 * 1000 * 1000 * 1000
+    val sweepStats =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Int, Int)]
+    val sweepJ0 = procJiffies()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val remainingNs = sweepDeadline - System.nanoTime()
+      if (remainingNs <= 0) {
+        // blown deadline: skip (and count) the rest — the timed passes
+        // will surface whatever the sweep left unfilled, and a nonzero
+        // warmup_failures marks the round as warmup-degraded
+        warmupFailed.incrementAndGet()
+        ()
+      } else {
+        val j0 = procJiffies()
+        val t0 = System.nanoTime()
+        try Await.result(Future(warm {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save(); 0L
+        }), 10.minutes.min(remainingNs.nanos))
+        catch { case e: java.util.concurrent.TimeoutException =>
+          warmupFailed.incrementAndGet()
+          System.err.println(s"[bench] warmup sweep step $name timed out: ${e.getMessage}")
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val j1 = procJiffies()
+        sweepStats += ((name, secs, extBusyPct(j0, j1), selfUtilPct(j0, j1)))
+      }
     }
+    val sweepExt = extBusyPct(sweepJ0, procJiffies())
     waveDurations += (System.nanoTime() - w3) / 1e9
     // evict the result memos the sweep just created (BPE merges, cluster
     // labels, verified pairs, kNN rungs): the timed cold pass must still
@@ -140,6 +177,16 @@ object Bench {
     // timed calib values below measure host speed only
     calibrate()
     val warmup = (System.nanoTime() - w0) / 1e9
+    // cached-storage residency (round 16): MEMORY_AND_DISK index artifacts
+    // demoted to disk during a warmup/pass pressure window STAY on disk —
+    // every later read re-pays deserialization, the "did more work on
+    // untouched code" signature r15's q102 showed. Two samples (post-
+    // warmup, post-final-pass) make demotion visible in the JSON.
+    def storageMB: Seq[Long] = {
+      val inf = spark.sparkContext.getRDDStorageInfo
+      Seq(inf.map(_.memSize).sum >> 20, inf.map(_.diskSize).sum >> 20)
+    }
+    val cachedPostWarmup = storageMB
     // deterministic name order; a failed query reports -1 (not its wall
     // time) so breakage can never masquerade as a speedup; failure count is
     // surfaced in the JSON.
@@ -220,6 +267,7 @@ object Bench {
     val results = all.last._1
     val warmExt = all.last._2
     val warmUtil = all.last._3
+    val cachedFinal = storageMB
     val failures = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
@@ -279,14 +327,55 @@ object Bench {
       .map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + v }
       .mkString("{", ",", "}")
-    val extSparse = warmExt.filter(_._2 >= 15).sortBy(-_._2).take(16)
+    // FLOOR-AWARE EMISSION (round 16): driftcheck flags warm/floor above
+    // 2× calib-normalized, but the r15 ladders covered only the top-16
+    // slots by wall time — so the round's five flagged sub-1.3 s slots
+    // carried no ext/util evidence either way (VERDICT r15 item 2). The
+    // bench reads the SAME canonical floor table driftcheck reads (the
+    // LAST floors.py-format table in BASELINE-notes.md) and guarantees
+    // every slot that COULD be flagged — raw ratio ≥ 1.8, which covers
+    // every possible ≥2× normalized flag since the calib multiplier
+    // divides by ≥ ~1 (the floor is a min on this same machine) — an
+    // entry in BOTH ladders, capped at 16 extra by ratio so a fully
+    // contended host can't overflow the driver's 2000-char tail window.
+    // Failures (warm < 0) always qualify. No table (fresh checkout) →
+    // empty set, the pre-r16 behavior.
+    val floors: Map[String, Double] = try {
+      // explicit UTF-8: the notes carry ×/≈ punctuation and a forked JVM's
+      // default charset may not be UTF-8 — a decode throw here would
+      // silently disable flagged-slot emission via the catch below
+      val text = scala.io.Source.fromFile("BASELINE-notes.md")(
+        scala.io.Codec.UTF8).mkString
+      val header = "| query | floor (s) | query | floor (s) | query | floor (s) |"
+      val at = text.lastIndexOf(header)
+      if (at < 0) Map.empty
+      else text.substring(at).linesIterator.drop(2).takeWhile(_.startsWith("|"))
+        .flatMap("""(q\d+) \| ([\d.]+)""".r.findAllMatchIn(_))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val flagged = results.filter { case (k, v) =>
+      v < 0 || floors.get(k).exists(f => f > 0 && v / f >= 1.8)
+    }.sortBy { case (k, v) =>
+      if (v < 0) Double.NegativeInfinity else -(v / floors(k))
+    }.take(16).map(_._1).toSet
+    val extByName = warmExt.toMap
+    // warmup-sweep diagnostics, printed FIRST (most expendable under the
+    // tail window): whole-sweep external-busy % and the 8 most expensive
+    // sweep steps' wall clock — r15's 392.8 s driver wave 3 becomes
+    // attributable per slot instead of one opaque total
+    val sweepTop = sweepStats.sortBy(-_._2).take(8).map(s => s._1 -> s._2).toSeq
+    println(s"""{"warmup_sweep_ext_pct":$sweepExt,"warmup_sweep_top_cs":${fmtShort(sweepTop, 100)}}""")
+    val extSparse = (warmExt.filter(_._2 >= 15).sortBy(-_._2).take(16) ++
+      flagged.map(k => k -> extByName.getOrElse(k, -1))).distinct
     println(s"""{"bench_ext_busy_pct":${pctMap(extSparse)}}""")
-    // utilization for the 16 most expensive warm slots — the slots any
-    // drift adjudication is actually about. Always emitted (the quiet-run
-    // values ARE the per-query baselines a contended round is read against)
+    // utilization for the 16 most expensive warm slots plus every flagged
+    // slot — the slots any drift adjudication is actually about. Always
+    // emitted (the quiet-run values ARE the per-query baselines a
+    // contended round is read against)
     val utilByName = warmUtil.toMap
-    val utilTop = results.filter(_._2 >= 0).sortBy(-_._2).take(16)
-      .map { case (k, _) => k -> utilByName.getOrElse(k, -1) }
+    val utilTop = (results.filter(_._2 >= 0).sortBy(-_._2).take(16).map(_._1)
+      ++ flagged).distinct
+      .map(k => k -> utilByName.getOrElse(k, -1))
     println(s"""{"bench_self_util_pct":${pctMap(utilTop)}}""")
     println(s"""{"bench_cold_sparse_ds":${fmtShort(coldSparse, 10)}}""")
     println(s"""{"bench_warm_pass_cs":${fmtShort(results, 100)}}""")
@@ -308,7 +397,11 @@ object Bench {
     // ext_busy_pct = [pass-1, …, pass-N] whole-pass external-busy percent
     // (-1 = /proc unreadable); the per-slot ladder above localizes windows
     val extJson = passExt.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"calib_cs":${csList(calibs.toSeq)},"ext_busy_pct":$extJson,"warmup_waves_cs":${csList(waveDurations.toSeq)},"cpus":$cpusJson,"sf":"$sfDir"}""")
+    // cached_mb = [mem, disk] MB of persisted blocks post-warmup then
+    // post-final-pass: disk > 0 means index artifacts were demoted under
+    // pressure and later reads re-pay deserialization (the r15 q102 tell)
+    val cachedJson = (cachedPostWarmup ++ cachedFinal).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"calib_cs":${csList(calibs.toSeq)},"ext_busy_pct":$extJson,"warmup_waves_cs":${csList(waveDurations.toSeq)},"cached_mb":$cachedJson,"cpus":$cpusJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

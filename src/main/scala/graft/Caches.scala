@@ -18,6 +18,7 @@ object Caches {
     operators.Dedup.pairsCache, operators.Dedup.simhashSigCache,
     operators.Dedup.embRepCache, operators.Dedup.embPairsCache,
     operators.Similarity.idxCache, operators.Similarity.knnMemo,
+    operators.Sketches.bitsCache, operators.Sketches.bloomMemo,
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache,
     operators.TextAnalysis.tfidfCache, operators.TextAnalysis.dsirCache,
     operators.TextAnalysis.dsirWtCache, operators.TextAnalysis.bigramCache,
@@ -60,6 +61,12 @@ object Caches {
     // re-paid once per pass by each rung's first consumer
     operators.Similarity.knnMemo.keys.filter(_.startsWith(prefix)).foreach { k =>
       operators.Similarity.knnMemo.remove(k).foreach(free)
+    }
+    // the bloom flag relation is a detection RESULT (q102 pays it once
+    // per pass, q119's audit reuses) — the eval BIT-SET stays (index
+    // artifact, built once per eval benchmark)
+    operators.Sketches.bloomMemo.keys.filter(_.startsWith(prefix)).foreach { k =>
+      operators.Sketches.bloomMemo.remove(k).foreach(free)
     }
     // learned BPE merge tables are results too (driver values, no blocks)
     operators.TextAnalysis.mergeMemo.keys.filter(_.startsWith(prefix))

@@ -1457,6 +1457,36 @@ object OracleSql {
          |LEFT JOIN base b ON sp.doc_id = b.doc_id
          |LEFT JOIN fl f ON sp.doc_id = f.doc_id
          |ORDER BY sp.doc_id""".stripMargin) +
+    // q119: q102's CTE chain plus the exact overlap (train shingles IN the
+    // distinct eval shingle set) — n_false_pos = flagged − exact
+    ("q119_bloom_fp_audit" ->
+      s"""WITH $SplitCte, $ShinglesCte,
+         |tr AS (SELECT s.doc_id, s.shingle FROM shingles s
+         |       JOIN splits sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'),
+         |ev AS (SELECT DISTINCT s.shingle FROM shingles s
+         |       JOIN splits sp ON s.doc_id = sp.doc_id WHERE sp.split <> 'train'),
+         |evpos AS (SELECT DISTINCT pos
+         |          FROM (SELECT unnest([${bloomPosSql("shingle")}]) AS pos FROM ev)),
+         |trpos AS (SELECT doc_id, shingle, unnest([${bloomPosSql("shingle")}]) AS pos
+         |          FROM tr),
+         |hit AS (SELECT doc_id, shingle FROM trpos JOIN evpos USING (pos)
+         |        GROUP BY doc_id, shingle
+         |        HAVING COUNT(*) = ${graft.operators.Sketches.BloomK}),
+         |fl AS (SELECT doc_id, COUNT(*) AS n_flagged FROM hit GROUP BY doc_id),
+         |base AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+         |ex AS (SELECT doc_id, COUNT(*) AS n_exact FROM tr
+         |       WHERE shingle IN (SELECT shingle FROM ev) GROUP BY doc_id)
+         |SELECT sp.doc_id,
+         |       CAST(COALESCE(b.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |       CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact,
+         |       CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+         |       CAST(COALESCE(f.n_flagged, 0) - COALESCE(e.n_exact, 0) AS BIGINT)
+         |         AS n_false_pos
+         |FROM (SELECT doc_id FROM splits WHERE split = 'train') sp
+         |LEFT JOIN base b ON sp.doc_id = b.doc_id
+         |LEFT JOIN ex e ON sp.doc_id = e.doc_id
+         |LEFT JOIN fl f ON sp.doc_id = f.doc_id
+         |ORDER BY sp.doc_id""".stripMargin) +
     ("q103_cms_heavy_hitters" -> {
       val S = graft.operators.Sketches
       val idxList = (0 until S.CmsDepth).mkString(", ")

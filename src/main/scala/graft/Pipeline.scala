@@ -376,18 +376,7 @@ object Pipeline {
     // adoption AND appends — so a caller's mismatched count can neither
     // mis-declare the layout nor fail the append
     val b = readBucketSpec(spark, path).getOrElse(buckets)
-    val committed = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
-    }
-    if (!spark.catalog.tableExists(table) && committed) {
-      // catalog-loss recovery: adopt the on-disk bucket files as the
-      // table, at the bucket count they were WRITTEN with
-      spark.sql(s"CREATE TABLE $table (chunk_hash STRING) USING parquet " +
-        s"CLUSTERED BY (chunk_hash) SORTED BY (chunk_hash) INTO $b BUCKETS " +
-        s"LOCATION '$path'")
-    }
+    recoverCatalogIfCommitted(spark, table, path, b)
     if (!spark.catalog.tableExists(table)) {
       sources.Sources.writeBucketed(dumpHashes, table, path, b,
         "chunk_hash", sortCols = Seq("chunk_hash"))
@@ -480,6 +469,13 @@ object Pipeline {
     val staging = path + ".compact-staging"
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // catalog loss with committed part- files on disk and no newer staging
+    // anchor: the on-disk files ARE the latest committed index — heal the
+    // catalog exactly as the incremental update does, so a
+    // compaction-first maintenance job doesn't abort at the require below
+    // on state the update path recovers from (advice r15)
+    recoverCatalogIfCommitted(spark, table, path,
+      readBucketSpec(spark, path).getOrElse(buckets))
     require(spark.catalog.tableExists(table),
       s"compact: table $table does not exist and no committed staging " +
         s"copy at $staging — nothing to compact")
@@ -499,6 +495,29 @@ object Pipeline {
     // earlier instant leaves it as the recovery anchor
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     Map("hashes" -> n, "recovered" -> 0L)
+  }
+
+  /** The shared catalog-loss recovery arm (advice r15): if the table is
+    * unregistered but committed part- files exist at `path`, adopt them as
+    * the table via CREATE TABLE ... LOCATION at the bucket count they were
+    * WRITTEN with (callers pass the sidecar-resolved count). Runs at the
+    * head of both the incremental update and the compaction, so whichever
+    * maintenance job runs first after a metastore loss heals the index.
+    * No-op when the table exists or nothing is committed on disk.
+    */
+  private def recoverCatalogIfCommitted(spark: SparkSession, table: String,
+      path: String, buckets: Int): Unit = {
+    if (spark.catalog.tableExists(table)) return
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
+    if (committed) {
+      spark.sql(s"CREATE TABLE $table (chunk_hash STRING) USING parquet " +
+        s"CLUSTERED BY (chunk_hash) SORTED BY (chunk_hash) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+      ()
+    }
   }
 
   /** The shared crash-recovery arm: if a committed `.compact-staging`

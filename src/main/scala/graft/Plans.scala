@@ -84,7 +84,9 @@ object Plans {
       "q101_token_counts_filescale" ->
         "reference-scale membership: the 235,886-line dictionary file survives as a BroadcastExchange feeding the left-semi BroadcastHashJoin (and the 668-line stop list its left-anti twin) — a few MB of strings, never a shuffled join over the corpus",
       "q102_bloom_decontamination" ->
-        "bloom decontamination: the eval split's distinct bit-position set (≤2^18 rows by construction) survives as a BroadcastExchange feeding a left-semi BroadcastHashJoin over the train side's positions — the train corpus is checked map-side and never shuffled against eval data",
+        "bloom decontamination (round 16 shape): the CACHED eval bit-set artifact (≤2^18 rows by construction) feeds k=4 BroadcastHashJoins over the train side's k position COLUMNS — one train scan, no explode, no shingle-grained Exchange; the only shuffles are the doc-grain partial/final aggregate and the edge join back to the train-doc universe",
+      "q119_bloom_fp_audit" ->
+        "bloom FP audit: q102's plan plus the exact overlap — the distinct eval shingle set survives as a BroadcastExchange feeding a left-semi BroadcastHashJoin over one more train-side scan; every eval-derived side is broadcast (benchmark-bounded), the train side is never shuffled against eval data",
       "q103_cms_heavy_hitters" ->
         "CMS heavy hitters: the report set comes from a distributed TakeOrdered over the CACHED df index artifact (50 rows), the 4×8192 cell grid from one partial-aggregated groupBy over the same relation, broadcast back for the 50-row estimate join — estimates are table probes, not a universe-wide aggregate",
       "q105_knn_pq" ->

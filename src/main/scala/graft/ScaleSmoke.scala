@@ -160,7 +160,12 @@ object ScaleSmoke {
       // configs over the copies× scored-pair relation — same fixed grid
       // grain at any replication; the auto-pick ranks that table per
       // recall target (4 fixed rows)
-      "q117_ann_sweep", "q118_ann_autopick")
+      "q117_ann_sweep", "q118_ann_autopick",
+      // round 16: the FP audit replays q102's replicated train side plus
+      // the exact-overlap broadcast semi-join; like q102 its eval-derived
+      // broadcast sides are replication-invariant while the probed side
+      // grows, and its row count tracks q102's exactly
+      "q119_bloom_fp_audit")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -179,6 +184,8 @@ object ScaleSmoke {
       // text-keyed, so every copy of a doc lands in the same split:
       // 3,973 train docs per sf0.1 copy)
       "q102_bloom_decontamination" -> 3973L,
+      // same grain as q102: one row per train doc
+      "q119_bloom_fp_audit" -> 3973L,
       // one chunk row per (doc, window): 6,923 per sf0.1 copy
       "q106_doc_chunks" -> 6923L,
       // one scrub / purge row per document

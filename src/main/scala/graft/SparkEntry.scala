@@ -276,7 +276,12 @@ object SparkEntry {
     // ANN configuration auto-pick: per recall target, the cheapest sweep
     // config meeting it (min measured candidates, ties to narrower
     // quantizer / smaller radius) — the deployment decision as a relation
-    "q118_ann_autopick" -> ((s, d) => Similarity.annAutoPick(s, d)))
+    "q118_ann_autopick" -> ((s, d) => Similarity.annAutoPick(s, d)),
+    // Bloom false-positive audit: q102's flags against the exact eval-
+    // shingle overlap — n_false_pos = flagged − exact (≥ 0, no false
+    // negatives); the sample-scale calibration that sizes m per eval
+    // benchmark before the sketch deploys at 100 TB
+    "q119_bloom_fp_audit" -> ((s, d) => Sketches.bloomFpAudit(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -2,25 +2,28 @@ package graft.dev
 
 import scala.jdk.CollectionConverters._
 
-/** Cache-residency A/B for the r11 warm-inflation family (VERDICT r11,
-  * "What's wrong" #2): 11 short events/relational queries sat 2–5.7× their
-  * r9 driver-warm and showed warm>cold inversion in the same bench run.
-  * Hypothesis to test: the r11-enlarged resident index-artifact set
-  * (simhash sigs ×3 widths, embedding base, doc aggregates, tf-idf, stats
-  * — all MEMORY_AND_DISK) raises GC/block-manager pressure during the warm
-  * pass and taxes exactly the short untouched queries.
+/** Cache-residency A/B, first built for the r11 warm-inflation family
+  * (VERDICT r11 #2) and re-armed in r16 for the q102 adjudication
+  * (VERDICT r15 #1): MEMORY_AND_DISK index artifacts demoted to disk
+  * during a pressure window STAY on disk — Spark never re-promotes — so
+  * every later consumer re-pays deserialization, which reads as "more
+  * work on untouched code" (wall up, util at-or-above baseline).
   *
-  *   sbt -batch "runMain graft.dev.ResidencyProbe"
+  *   sbt -batch "runMain graft.dev.ResidencyProbe [query...]"
   *
   * Protocol: exact Bench environment (Sessions.start local[32]); ONE full
   * suite pass to fill every cache and JIT every plan (the warm pass's real
   * starting state); then 3 timed family passes with the index caches
   * RESIDENT (clearResultMemos only — Bench's steady protocol), then 3
   * timed family passes with EVERY cache evicted before each pass
-  * (Caches.clear + System.gc). The family queries are events/relational
-  * and touch no graft cache (q29 touches the vector index and is listed
-  * last so its refill cost is visible and separable), so A−B isolates the
-  * residency/GC tax. Per query: wall seconds + JVM GC-time delta (ms).
+  * (Caches.clear + System.gc). A−B isolates the artifact
+  * materialization/residency tax for the family. Terminal is the noop
+  * sink (protocol v2, matching Bench — count() lets Catalyst prune join
+  * trees and under-prices projection-heavy queries; the r11 runs recorded
+  * in BASELINE-notes used count(), so compare those against count-based
+  * runs only). Per query: wall seconds + JVM GC-time delta (ms); per
+  * pass: a per-RDD residency report (memMB/diskMB, cached/total
+  * partitions) naming exactly which artifacts sit demoted.
   */
 object ResidencyProbe {
   val Family: Seq[String] = Seq(
@@ -39,13 +42,24 @@ object ResidencyProbe {
 
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    def cachedMB: Long =
-      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1 << 20)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def storageReport(): Unit = {
+      val inf = spark.sparkContext.getRDDStorageInfo
+      println(f"RESPROBE storage totalMemMB=${inf.map(_.memSize).sum >> 20} " +
+        f"totalDiskMB=${inf.map(_.diskSize).sum >> 20} rdds=${inf.length}")
+      // demoted or partially-cached artifacts first — the suspects
+      inf.sortBy(i => (-i.diskSize, -i.memSize)).take(12).foreach { i =>
+        println(s"RESPROBE rdd id=${i.id} mem=${i.memSize >> 20}MB " +
+          s"disk=${i.diskSize >> 20}MB parts=${i.numCachedPartitions}/" +
+          s"${i.numPartitions} ${i.name.replaceAll("\\s+", " ").take(110)}")
+      }
+    }
 
     // full-suite fill: every cache resident, every plan JIT'd — the state
     // the driver's warm pass actually starts from
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
-      try { fn(spark, sfDir).count(); () }
+      try noop(fn(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[resprobe] fill $n failed: ${e.getMessage}") }
     }
@@ -53,12 +67,13 @@ object ResidencyProbe {
     def pass(label: String, evict: Boolean): Unit = {
       if (evict) { graft.Caches.clear(spark); System.gc() }
       graft.Caches.clearResultMemos(spark)
-      println(s"RESPROBE pass=$label cachedMB=$cachedMB")
+      println(s"RESPROBE pass=$label")
+      storageReport()
       fam.foreach { case (name, fn) =>
         val g0 = gcMs; val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        noop(fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"RESPROBE $label $name $dt%.3f s gc=${gcMs - g0} ms rows=$n")
+        println(f"RESPROBE $label $name $dt%.3f s gc=${gcMs - g0} ms")
       }
     }
     (1 to 3).foreach(i => pass(s"resident$i", evict = false))
@@ -66,7 +81,7 @@ object ResidencyProbe {
     // re-fill and re-run one resident pass LAST so block-order drift
     // (resident measured early, evicted late) can't masquerade as signal
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      try noop(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     pass("resident4", evict = false)
     spark.stop()

@@ -622,10 +622,18 @@ object Similarity {
     * sign-quantizer widths crossed with probe radii 0/1/2, n_cells =
     * Σ_{i≤r} C(bits, i) cells scanned per query out of 2^bits.
     */
-  val SweepBitsMax = 10
   val SweepConfigs: Seq[(Int, Int, Long)] =
     for { b <- Seq(2, 4, 6, 8, 10); r <- Seq(0, 1, 2) }
       yield (b, r, (0 to r).map(i => binom(b, i)).sum)
+
+  /** Width of the ONE sign bucket the sweep computes per vector — DERIVED
+    * from the grid (advice r15): a config's mask keeps its low `bits` bits
+    * of this bucket, so a hand-maintained constant smaller than the grid's
+    * max would silently truncate wider configs to SweepBitsMax in BOTH
+    * engines, invisible to the oracle differential. Deriving makes the
+    * coupling structural.
+    */
+  val SweepBitsMax: Int = SweepConfigs.map(_._1).max
 
   private def binom(n: Int, k: Int): Long =
     (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)

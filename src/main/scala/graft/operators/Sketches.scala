@@ -69,18 +69,43 @@ object Sketches {
   private def md5Val(sqlExpr: String, start: Int, nibbles: Int): Column =
     expr(s"cast(conv(substring(md5($sqlExpr), $start, $nibbles), 16, 10) as bigint)")
 
-  /** The k Bloom bit positions of a shingle: pos_i = 20-bit value of md5
-    * nibbles [5i, 5i+5) mod m (2^20 mod 2^18 stays uniform). All k
-    * positions derive from ONE md5 over disjoint bit ranges (the HLL
-    * device) — the previous per-i md5("i|"+shingle) form paid k hash
-    * computations per shingle; here the k references to md5(shingle) are
-    * common-subexpression-eliminated inside whole-stage codegen, leaving
-    * one md5 + k cheap nibble extractions. 4×20 = 80 bits of the 128
-    * used, ranges disjoint, so positions stay pairwise independent.
+  /** Bloom bit position i of a shingle: the 20-bit value of md5 nibbles
+    * [5i, 5i+5) mod m (2^20 mod 2^18 stays uniform). All k positions
+    * derive from ONE md5 over disjoint bit ranges (the HLL device) — the
+    * k references to md5(shingle) are common-subexpression-eliminated
+    * inside whole-stage codegen, leaving one md5 + k cheap nibble
+    * extractions per shingle. 4×20 = 80 bits of the 128 used, ranges
+    * disjoint, so positions stay pairwise independent.
     */
+  private def bloomPosition(i: Int): Column =
+    md5Val("shingle", 1 + 5 * i, 5) % BloomBits
+
   private def bloomPositions: Column =
-    array((0 until BloomK).map(i =>
-      md5Val("shingle", 1 + 5 * i, 5) % BloomBits): _*)
+    array((0 until BloomK).map(bloomPosition): _*)
+
+  private[graft] val bitsCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  /** The eval (val+test) split's Bloom bit-set as a relation — the
+    * distinct bit positions set by any eval shingle, ≤ BloomBits rows no
+    * matter how large the eval corpus. Cached as an INDEX ARTIFACT
+    * (CLAUDE.md cache taxonomy): a deployed decontamination pipeline
+    * builds the bit-set once per eval benchmark and keeps it resident —
+    * benchmarks don't change per ingest batch — so q102's repeated runs
+    * must not re-pay the eval-side shingle scan (adjudicated round 16:
+    * the un-cached eval leg was the artifact-eviction-sensitive half of
+    * the r15 q102 anomaly).
+    */
+  def bloomEvalBits(spark: SparkSession, dir: String): DataFrame =
+    bitsCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
+        Dedup.shingles(spark, dir)
+          .join(splits.filter(col("split") =!= "train").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .select(explode(bloomPositions).as("pos")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
 
   /** Per-train-doc contamination counts against a Bloom filter of the
     * eval (val+test) split's 5-gram shingles: `n_flagged` = shingles whose
@@ -88,32 +113,85 @@ object Sketches {
     * superset of the exact overlap — Bloom never false-negatives), next to
     * the doc's total shingle count. Same split and shingle definitions as
     * q56/q59. Scale shape: the eval side collapses to ≤ m DISTINCT bit
-    * positions (broadcast, constant-size); the train side — the 100 TB
-    * side — is touched once, map-side, by a broadcast semi-join + partial
-    * count, never shuffled against eval data.
+    * positions (the cached [[bloomEvalBits]] artifact, broadcast,
+    * constant-size); the train side — the 100 TB side — is read ONCE,
+    * entirely map-side: the k positions are projected as k columns (no
+    * explode — the r15 form inflated the train side 4× and shuffled it on
+    * (doc_id, shingle) for the all-k-hit test), each tested by its own
+    * broadcast left join against the bit-set, and the all-hit flag plus
+    * the shingle count collapse in ONE partial-aggregated groupBy(doc_id).
+    * The only shuffles are doc-grained: the partial agg and the edge join
+    * back to the train-doc universe.
     */
-  def bloomDecontamination(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] val bloomMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The unsorted per-train-doc flag relation — a RESULT MEMO (a detection
+    * OUTPUT, same cache class as the verified-pair relations): within a
+    * pass the alphabetically-first consumer (q102) pays the train-side
+    * scan once and q119's audit reuses it; `Caches.clearResultMemos`
+    * evicts it so every bench pass re-pays the detection.
+    */
+  private def bloomFlags(spark: SparkSession, dir: String): DataFrame =
+    bloomMemo.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
+        val trainDocs = splits.filter(col("split") === "train").select("doc_id")
+        val bits = bloomEvalBits(spark, dir)
+        val tagged = Dedup.shingles(spark, dir)
+          .join(trainDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id") +:
+            (0 until BloomK).map(i => bloomPosition(i).as(s"_pos$i")): _*)
+        val hit = (0 until BloomK).foldLeft(tagged) { (df, i) =>
+          df.join(broadcast(bits.select(col("pos").as(s"_hit$i"))),
+            df(s"_pos$i") === col(s"_hit$i"), "left")
+        }
+        val allHit =
+          (0 until BloomK).map(i => col(s"_hit$i").isNotNull).reduce(_ && _)
+        val agg = hit.groupBy("doc_id").agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(allHit, lit(1L)).otherwise(lit(0L))).as("n_flagged"))
+        trainDocs
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+  def bloomDecontamination(spark: SparkSession, dir: String): DataFrame =
+    bloomFlags(spark, dir).orderBy("doc_id")
+
+  /** Per-train-doc Bloom FALSE-POSITIVE audit (q119) — the q102 flags
+    * joined against the exact eval-shingle overlap: `n_exact` = shingles
+    * literally present in the eval split's shingle set, `n_false_pos` =
+    * n_flagged − n_exact (≥ 0 — Bloom never false-negatives, so flags are
+    * a superset). This is the calibration run a pipeline does at SAMPLE
+    * scale before trusting the sketch at 100 TB: if the measured FP rate
+    * says the filter is saturating (kn/m too high — at sf0.1 the suite's
+    * 2^18-bit filter holds ~70k eval shingles and measurably over-flags),
+    * resize m per eval benchmark. The exact side joins train shingles
+    * against the BROADCAST distinct eval shingle set — affordable
+    * precisely because eval benchmarks are bounded; the unbounded train
+    * side is still read once, map-side.
+    */
+  def bloomFpAudit(spark: SparkSession, dir: String): DataFrame = {
     val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
     val sh = Dedup.shingles(spark, dir)
-    val trainDocs = splits.filter(col("split") === "train").select("doc_id")
-    val trainSh = sh.join(trainDocs, Seq("doc_id"), "left_semi")
-    val evalSh = sh.join(
+    val evalShingles = sh.join(
       splits.filter(col("split") =!= "train").select("doc_id"),
       Seq("doc_id"), "left_semi")
-    val bits = evalSh.select(explode(bloomPositions).as("pos")).distinct()
-    val flagged = trainSh
-      .select(col("doc_id"), col("shingle"), explode(bloomPositions).as("pos"))
-      .join(broadcast(bits), Seq("pos"), "left_semi")
-      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("n_hit"))
-      .filter(col("n_hit") === BloomK)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
-    val base = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    trainDocs
-      .join(base, Seq("doc_id"), "left")
-      .join(flagged, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .select("shingle").distinct()
+    val exact = sh.join(
+      splits.filter(col("split") === "train").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    bloomFlags(spark, dir)
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("n_flagged"),
+        (col("n_flagged") - coalesce(col("n_exact"), lit(0L))).as("n_false_pos"))
       .orderBy("doc_id")
   }
 

@@ -143,6 +143,24 @@ class BucketedIndexSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compaction-first maintenance heals a catalog loss like an update does (advice r15)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_catc").toString
+    val (table, path) = ("graft_bidx_t7", s"$tmp/idx")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      Pipeline.updateChunkIndexBucketed(spark,
+        toks(Seq(1L -> base, 2L -> fresh)), table, path)
+      val before = spark.table(table).as[String].collect().sorted.toSeq
+      spark.sql(s"DROP TABLE $table") // lost metastore, surviving files
+      assert(partFiles(path).nonEmpty, "drop must keep the external data files")
+      // no staging anchor exists, so pre-fix this aborted at
+      // require(tableExists) with a misleading "nothing to compact"
+      val m = Pipeline.compactChunkIndexBucketed(spark, table, path)
+      assert(m("hashes") === before.size.toLong && m("recovered") === 0L)
+      assert(spark.table(table).as[String].collect().sorted.toSeq === before)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("point probe prunes to one bucket; compaction folds generations, set unchanged") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bidx_cmp").toString
     val (table, path) = ("graft_bidx_t5", s"$tmp/idx")

@@ -24,6 +24,23 @@ class PropertySpec extends AnyFunSuite {
     assert(prefixes.distinct.size === prefixes.size)
   }
 
+  test("README's inventory count matches the query map (CLAUDE.md invariant)") {
+    // the third leg of the queries/oracleSql/README sync rule — hand-
+    // maintained until r15, so a query could land without its README row.
+    // Forked tests run with cwd = the build base directory.
+    // explicit codec: the README carries UTF-8 punctuation and the forked
+    // test JVM's default charset is not guaranteed UTF-8
+    val readme = scala.io.Source.fromFile("README.md")(scala.io.Codec.UTF8)
+    val counts = try readme.getLines()
+      .flatMap("""^(\d+) queries total""".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).toList
+    finally readme.close()
+    assert(counts.size === 1, "README must state the count exactly once")
+    assert(counts.head === SparkEntry.queries.size,
+      s"README says ${counts.head} queries, SparkEntry has " +
+        s"${SparkEntry.queries.size} — update the README inventory")
+  }
+
   private val weird: Gen[String] = Gen.listOf(Gen.oneOf(
     Gen.alphaNumChar, Gen.const(' '), Gen.const('é'), Gen.const('!'),
     Gen.const('_'), Gen.const('中'))).map(_.mkString)

@@ -36,6 +36,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(bloom.count() === nTrain)
   }
 
+  test("fp audit: exact ≤ flagged ≤ total, false-pos is their gap, grain = q102") {
+    val audit = Sketches.bloomFpAudit(spark, sf)
+    assert(audit.filter($"n_exact" > $"n_flagged").count() === 0,
+      "a Bloom filter can never false-negative: exact ⊆ flagged")
+    assert(audit.filter($"n_flagged" > $"n_shingles").count() === 0)
+    assert(audit.filter(
+      $"n_false_pos" =!= $"n_flagged" - $"n_exact").count() === 0)
+    // same doc universe and flag counts as q102 itself
+    val bloom = Sketches.bloomDecontamination(spark, sf)
+    assert(audit.select("doc_id", "n_shingles", "n_flagged")
+      .exceptAll(bloom).count() === 0)
+    assert(audit.count() === bloom.count())
+    // n_exact agrees with an independently-built exact overlap
+    val splits = TextAnalysis.hashSplit(spark, sf).select("doc_id", "split")
+    val sh = Dedup.shingles(spark, sf)
+    val evalShingles = sh.join(
+      splits.filter($"split" =!= "train").select("doc_id"),
+      Seq("doc_id"), "left_semi").select("shingle").distinct()
+    val exact = sh.join(
+      splits.filter($"split" === "train").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .join(evalShingles, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("e"))
+    assert(audit.join(exact, Seq("doc_id"), "left")
+      .filter($"n_exact" =!= coalesce($"e", lit(0L))).count() === 0)
+  }
+
   test("cms estimates never undercount and respect the e·N/w grid bound") {
     val rows = Sketches.cmsHeavyHitters(spark, sf).collect()
     assert(rows.nonEmpty)
