@@ -344,20 +344,10 @@ object Bench {
       // explicit UTF-8: the notes carry ×/≈ punctuation and a forked JVM's
       // default charset may not be UTF-8 — a decode throw here would
       // silently disable flagged-slot emission via the catch below
-      val text = scala.io.Source.fromFile("BASELINE-notes.md")(
-        scala.io.Codec.UTF8).mkString
-      val header = "| query | floor (s) | query | floor (s) | query | floor (s) |"
-      val at = text.lastIndexOf(header)
-      if (at < 0) Map.empty
-      else text.substring(at).linesIterator.drop(2).takeWhile(_.startsWith("|"))
-        .flatMap("""(q\d+) \| ([\d.]+)""".r.findAllMatchIn(_))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      Bench.parseFloorTable(scala.io.Source.fromFile("BASELINE-notes.md")(
+        scala.io.Codec.UTF8).mkString)
     } catch { case _: Throwable => Map.empty }
-    val flagged = results.filter { case (k, v) =>
-      v < 0 || floors.get(k).exists(f => f > 0 && v / f >= 1.8)
-    }.sortBy { case (k, v) =>
-      if (v < 0) Double.NegativeInfinity else -(v / floors(k))
-    }.take(16).map(_._1).toSet
+    val flagged = Bench.flaggedSlots(results, floors)
     val extByName = warmExt.toMap
     // warmup-sweep diagnostics, printed FIRST (most expendable under the
     // tail window): whole-sweep external-busy % and the 8 most expensive
@@ -403,5 +393,37 @@ object Bench {
     val cachedJson = (cachedPostWarmup ++ cachedFinal).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"calib_cs":${csList(calibs.toSeq)},"ext_busy_pct":$extJson,"warmup_waves_cs":${csList(waveDurations.toSeq)},"cached_mb":$cachedJson,"cpus":$cpusJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** The LAST floors.py-format table in BASELINE-notes.md, keyed by SHORT
+    * query id ("q102") — the same anchor dev/driftcheck.py uses, so the
+    * bench and the offline adjudicator can never disagree on which table
+    * is canonical. Test-pinned (BenchEmissionSpec).
+    */
+  private[graft] def parseFloorTable(text: String): Map[String, Double] = {
+    val header = "| query | floor (s) | query | floor (s) | query | floor (s) |"
+    val at = text.lastIndexOf(header)
+    if (at < 0) Map.empty
+    else text.substring(at).linesIterator.drop(2).takeWhile(_.startsWith("|"))
+      .flatMap("""(q\d+) \| ([\d.]+)""".r.findAllMatchIn(_))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Every warm slot that COULD be driftcheck-flagged — raw warm/floor ≥
+    * 1.8 (covers any ≥2× calib-normalized flag, since the floor is a min
+    * on this same machine) plus every failure — capped at 16 by severity
+    * so a fully contended host can't overflow the driver's 2000-char tail
+    * window. The table keys are SHORT ids; results carry full query names
+    * — normalized at lookup (the first cut matched full names against
+    * short keys, so only failures ever flagged; test-pinned now).
+    */
+  private[graft] def flaggedSlots(results: Seq[(String, Double)],
+      floors: Map[String, Double]): Set[String] = {
+    def floorOf(k: String): Option[Double] = floors.get(k.takeWhile(_ != '_'))
+    results.filter { case (k, v) =>
+      v < 0 || floorOf(k).exists(f => f > 0 && v / f >= 1.8)
+    }.sortBy { case (k, v) =>
+      if (v < 0) Double.NegativeInfinity else -(v / floorOf(k).get)
+    }.take(16).map(_._1).toSet
   }
 }

@@ -75,10 +75,17 @@ object Sketches {
     * k references to md5(shingle) are common-subexpression-eliminated
     * inside whole-stage codegen, leaving one md5 + k cheap nibble
     * extractions per shingle. 4×20 = 80 bits of the 128 used, ranges
-    * disjoint, so positions stay pairwise independent.
+    * disjoint, so positions stay pairwise independent. The Column form
+    * exists so the streaming twin (StreamingOps.bloomFlagStream) hashes
+    * lambda-bound array elements through THE SAME definition — batch and
+    * stream cannot drift apart.
     */
+  private[graft] def bloomPositionOf(s: Column, i: Int): Column =
+    conv(substring(md5(s.cast("binary")), 1 + 5 * i, 5), 16, 10)
+      .cast("long") % BloomBits
+
   private def bloomPosition(i: Int): Column =
-    md5Val("shingle", 1 + 5 * i, 5) % BloomBits
+    bloomPositionOf(col("shingle"), i)
 
   private def bloomPositions: Column =
     array((0 until BloomK).map(bloomPosition): _*)
@@ -106,6 +113,30 @@ object Sketches {
           .select(explode(bloomPositions).as("pos")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
+
+  /** The eval bit-set packed into a BloomBits/4-character hex string —
+    * the SERIALIZED form of the filter, the thing a deployed pipeline
+    * actually ships: 2^18 bits = 64 KiB of hex, built once per eval
+    * benchmark from the cached [[bloomEvalBits]] artifact and embedded as
+    * a literal in every ingest executor's plan (exactly how Spark's own
+    * runtime bloom-join pruning ships its filter). The collect is bounded
+    * by construction: ≤ BloomBits rows regardless of eval-corpus size.
+    * Packing: bit p lives at hex char p >> 2 (0-based), bit p & 3 within
+    * the nibble — [[StreamingOps.bloomFlagStream]] tests the same layout.
+    */
+  def evalBitsHex(spark: SparkSession, dir: String): String =
+    packBitsHex(bloomEvalBits(spark, dir).collect().map(_.getLong(0)))
+
+  private[graft] def packBitsHex(positions: Array[Long]): String = {
+    val nib = new Array[Int](BloomBits / 4)
+    positions.foreach { p =>
+      require(p >= 0 && p < BloomBits, s"bloom position $p out of [0, $BloomBits)")
+      nib((p >> 2).toInt) |= 1 << (p & 3).toInt
+    }
+    val sb = new java.lang.StringBuilder(nib.length)
+    nib.foreach(v => sb.append("0123456789abcdef".charAt(v)))
+    sb.toString
+  }
 
   /** Per-train-doc contamination counts against a Bloom filter of the
     * eval (val+test) split's 5-gram shingles: `n_flagged` = shingles whose

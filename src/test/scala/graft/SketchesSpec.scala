@@ -142,6 +142,31 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("packBitsHex layout: bit p at hex char p>>2, bit p&3 within the nibble") {
+    val hex = Sketches.packBitsHex(Array(0L, 3L, 4L, (Sketches.BloomBits - 1).toLong))
+    assert(hex.length === Sketches.BloomBits / 4)
+    assert(hex.charAt(0) === '9') // bits 0 and 3 → 0b1001
+    assert(hex.charAt(1) === '1') // bit 4 → bit 0 of char 1
+    assert(hex.charAt(hex.length - 1) === '8') // the last bit → 0b1000
+    assert(hex.count(_ != '0') === 3)
+    intercept[IllegalArgumentException] {
+      Sketches.packBitsHex(Array(Sketches.BloomBits.toLong))
+    }
+  }
+
+  test("evalBitsHex round-trips exactly the bloomEvalBits positions") {
+    val hex = Sketches.evalBitsHex(spark, sf)
+    val want = Sketches.bloomEvalBits(spark, sf)
+      .as[Long].collect().toSet
+    val got = (for {
+      i <- hex.indices
+      v = Integer.parseInt(hex.charAt(i).toString, 16)
+      b <- 0 until 4 if (v & (1 << b)) != 0
+    } yield (i.toLong << 2) | b).toSet
+    assert(got === want)
+    assert(want.nonEmpty) // the fixture eval split is never shingle-less
+  }
+
   test("histogram sketch state is bounded: at most QBins cells per source") {
     // the 100 TB claim — per-source state never exceeds the grid size
     // regardless of corpus cardinality (the mergeable-sketch property)

@@ -111,6 +111,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("streaming bloom flags equal batch q102 doc-for-doc on the train split") {
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // stage exactly the batch operator's universe: the train split (the
+    // stream twin flags whatever arrives; q102 is scoped to train docs)
+    val trainIds = graft.operators.TextAnalysis.hashSplit(spark, sf)
+      .filter($"split" === "train").select("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("bloom_stream")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .join(trainIds, Seq("doc_id"), "left_semi")
+      .write.parquet(dir.resolve("train").toString)
+    // the deployment sequence: serialize the filter once in batch...
+    val bits = graft.operators.Sketches.evalBitsHex(spark, sf)
+    // ...then flag the arriving stream per-row, stateless append mode
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(dir.resolve("train").toString)
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.bloomFlagStream(stream, bits), "bloom_flag_test",
+      mode = "append")
+    val want = graft.operators.Sketches.bloomDecontamination(spark, sf)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("gopherKeep admits exactly the q75 keep-set (batch-checked on the corpus)") {
     val kept = StreamingOps.gopherKeep(
       Tables.documents(spark, sf).select("doc_id", "text"))
