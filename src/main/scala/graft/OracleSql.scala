@@ -1487,6 +1487,30 @@ object OracleSql {
          |LEFT JOIN ex e ON sp.doc_id = e.doc_id
          |LEFT JOIN fl f ON sp.doc_id = f.doc_id
          |ORDER BY sp.doc_id""".stripMargin) +
+    // q120: per-doc placement in the concatenate-and-chunk packed token
+    // stream — exclusive running token total in doc_id order, integer-
+    // divided into fixed context windows (DuckDB's one-partition window
+    // IS the oracle semantics; the Spark side runs the distributed
+    // two-job prefix sum and must agree exactly)
+    ("q120_context_packing" -> {
+      val cap = graft.operators.Packing.ContextTokens
+      s"""WITH $ArrCte,
+         |t AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_toks FROM base),
+         |c AS (SELECT doc_id, n_toks,
+         |        CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |          AS start_tok
+         |      FROM t)
+         |SELECT doc_id, n_toks, start_tok,
+         |       CAST(start_tok // $cap AS BIGINT) AS first_win,
+         |       CAST(CASE WHEN n_toks > 0 THEN (start_tok + n_toks - 1) // $cap
+         |            ELSE start_tok // $cap END AS BIGINT) AS last_win,
+         |       CAST(CASE WHEN n_toks > 0
+         |            THEN (start_tok + n_toks - 1) // $cap - start_tok // $cap + 1
+         |            ELSE 0 END AS BIGINT) AS n_windows
+         |FROM c
+         |ORDER BY doc_id""".stripMargin
+    }) +
     ("q103_cms_heavy_hitters" -> {
       val S = graft.operators.Sketches
       val idxList = (0 until S.CmsDepth).mkString(", ")

@@ -165,7 +165,10 @@ object ScaleSmoke {
       // the exact-overlap broadcast semi-join; like q102 its eval-derived
       // broadcast sides are replication-invariant while the probed side
       // grows, and its row count tracks q102's exactly
-      "q119_bloom_fp_audit")
+      "q119_bloom_fp_audit",
+      // round 16b: context packing's two-job prefix sum sorts copies×
+      // count rows (16 bytes each); one placement row out per document
+      "q120_context_packing")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -190,6 +193,8 @@ object ScaleSmoke {
       "q106_doc_chunks" -> 6923L,
       // one scrub / purge row per document
       "q110_pii_redaction" -> 5000L, "q111_chunk_purge" -> 5000L,
+      // one placement row per document
+      "q120_context_packing" -> 5000L,
       // one row per INCOMING (odd doc_id) document
       "q113_cross_corpus_purge" -> 2500L
     ).map { case (k, v) => k -> v * copies } ++

@@ -281,7 +281,11 @@ object SparkEntry {
     // shingle overlap — n_false_pos = flagged − exact (≥ 0, no false
     // negatives); the sample-scale calibration that sizes m per eval
     // benchmark before the sketch deploys at 100 TB
-    "q119_bloom_fp_audit" -> ((s, d) => Sketches.bloomFpAudit(s, d)))
+    "q119_bloom_fp_audit" -> ((s, d) => Sketches.bloomFpAudit(s, d)),
+    // Context-window packing: the concatenate-and-chunk placement map a
+    // pretraining data loader needs — built on a distributed exclusive
+    // prefix sum (the Ids.withDenseId idiom), never a one-partition window
+    "q120_context_packing" -> ((s, d) => Packing.contextPacking(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible
