@@ -31,6 +31,11 @@ USAGE = "usage: python3 dev/driftcheck.py BENCH_r{N}.json|bench.log [--ratio 2.0
 # floors.py emits exactly this header; the LAST block under it is canonical
 FLOOR_HEADER = "| query | floor (s) | query | floor (s) | query | floor (s) |"
 
+# floors.py's r17 quiet-util table header (VERDICT r16 item 2); the LAST
+# block under it is canonical, same convention as the floor table
+UTIL_HEADER = ("| query | util % (min-max) | query | util % (min-max) "
+               "| query | util % (min-max) |")
+
 
 def bench_text(path):
     """The bench stdout (driver json wraps it as an escaped 'tail' string)."""
@@ -104,6 +109,45 @@ def floor_table():
     return rows
 
 
+def quiet_util_table():
+    """The LAST committed quiet-util table in BASELINE-notes.md ->
+    {q: (lo, hi)} quiet self-utilization range per query, or {} (pre-r17
+    notes). This is what makes flagged-slot reading MECHANICAL (VERDICT
+    r16 item 2): a flagged slot at >= 80% of its quiet-low util did more
+    WORK; at <= 50% of quiet-low it was STARVED of cycles."""
+    try:
+        text = open("BASELINE-notes.md").read()
+    except OSError:
+        return {}
+    at = text.rfind(UTIL_HEADER)
+    if at < 0:
+        return {}
+    rows = {}
+    for line in text[at:].splitlines()[2:]:  # skip header + |---| separator
+        if not line.startswith("|"):
+            break
+        for m in re.finditer(r"(q\d+) \| (\d+)-(\d+)", line):
+            rows[m.group(1).lstrip("q")] = (int(m.group(2)), int(m.group(3)))
+    return rows
+
+
+def util_verdict(u, quiet):
+    """Label a flagged slot's util against its quiet range, or None when
+    either side is missing. Thresholds follow the documented reading
+    recipe (same util = more work, proportionally lower = starved), with
+    a band between left ambiguous rather than force-labeled."""
+    if u is None or u < 0 or quiet is None:
+        return None
+    lo = quiet[0]
+    if lo <= 0:
+        return None
+    if u >= 0.8 * lo:
+        return "WORK"
+    if u <= 0.5 * lo:
+        return "STARVED"
+    return "AMBIGUOUS"
+
+
 def calib_floor(cpus=None):
     """The LAST declared quiet-host calib value in BASELINE-notes.md.
 
@@ -144,7 +188,8 @@ def main():
         cmult = max((calib[-2] + calib[-1]) / 2.0 / cfloor, 0.01)
     slots, pass_ext = ext_busy(text)
     utils = self_util(text)
-    flagged, measured = [], []
+    quiet = quiet_util_table()
+    flagged, measured, starved = [], [], []
     missing = []
     for q in sorted(warm, key=lambda k: int(k)):
         w = warm[q]
@@ -163,10 +208,24 @@ def main():
         if above and w >= 0 and ext is not None and ext >= 35:
             measured.append((q, r, ext))
             above = False
+        # util vs the committed quiet range (r17): proportionally-low util
+        # = fewer cycles, not more work — adjudicated as starvation by
+        # measurement. WORK/AMBIGUOUS labels stay flagged for QProbe.
+        uverdict = util_verdict(utils.get(q), quiet.get(q)) if above else None
+        if above and w >= 0 and uverdict == "STARVED":
+            starved.append((q, r, utils[q], quiet[q][0]))
+            above = False
         mark = "  <-- ABOVE RATIO" if above else ""
+        if uverdict and not above:
+            mark = "  <-- starved (util vs quiet)"
+        elif uverdict:
+            mark += f" [{uverdict.lower()}]"
         exts = f"  ext {ext:3d}%" if ext is not None else ""
         u = utils.get(q)
+        qu = quiet.get(q)
         us = f"  util {u:3d}%" if u is not None else ""
+        if u is not None and qu is not None:
+            us += f" (quiet {qu[0]}-{qu[1]})"
         norm = f"  norm {rn:5.2f}" if rn is not None else ""
         print(f"q{q:>3}  warm {w:6.2f}  floor {f:5.2f}  ratio {r:5.2f}{norm}{exts}{us}{mark}")
         if above:
@@ -211,6 +270,14 @@ def main():
         print(f"{len(measured)} flagged slot(s) adjudicated as contention by "
               f"per-slot measurement (ext >= 35%): "
               + ", ".join(f"q{q} ({r:.2f}x @ ext {e}%)" for q, r, e in measured))
+    if starved:
+        print(f"{len(starved)} flagged slot(s) adjudicated as STARVED by the "
+              f"quiet-util table (util <= half its quiet-low): "
+              + ", ".join(f"q{q} ({r:.2f}x @ util {u}% vs quiet-low {lo}%)"
+                          for q, r, u, lo in starved))
+    if not quiet:
+        print("no quiet-util table in BASELINE-notes.md yet — run r17+ "
+              "bench logs through dev/floors.py and commit its second table")
     if missing:
         print(f"no committed floor yet (new queries?): {', '.join('q' + q for q in missing)}")
     if flagged:

@@ -354,6 +354,17 @@ object Bench {
     // sweep steps' wall clock — r15's 392.8 s driver wave 3 becomes
     // attributable per slot instead of one opaque total
     val sweepTop = sweepStats.sortBy(-_._2).take(8).map(s => s._1 -> s._2).toSeq
+    // COMPLETE warm-pass utilization map, printed FIRST of all JSON lines
+    // (round 17, VERDICT r16 item 2): the sparse bench_self_util_pct below
+    // covers only top-16 + flagged slots, so quiet declaration runs carried
+    // no util baseline for the other ~100 queries — exactly the gap that
+    // made the r16 q53/q54/q55 band non-adjudicable ("q53's 59% util is
+    // unreadable without its quiet number"). ~1 KB at 120 queries: the
+    // driver's 2000-char tail window truncates from the HEAD, so this line
+    // is sacrificed first there — it exists for LOCAL logs, which
+    // dev/floors.py folds into the committed 120-slot quiet-util table
+    // that driftcheck reads to label flagged slots mechanically.
+    println(s"""{"bench_self_util_all_pct":${pctMap(warmUtil)}}""")
     println(s"""{"warmup_sweep_ext_pct":$sweepExt,"warmup_sweep_top_cs":${fmtShort(sweepTop, 100)}}""")
     val extSparse = (warmExt.filter(_._2 >= 15).sortBy(-_._2).take(16) ++
       flagged.map(k => k -> extByName.getOrElse(k, -1))).distinct
