@@ -83,33 +83,56 @@ object Bench {
     }
     // wave 1: raw table scans + the two base relations everything else
     // derives from (token hub, shingles) + the embedding base
-    wave(Seq[() => Long](
-      () => Tables.events(spark, sfDir).count(),
-      () => operators.TokenPipeline.docTokenCounts(spark, sfDir).count(),
-      () => operators.Dedup.shingles(spark, sfDir).count(),
-      () => operators.Similarity.vectorIndex(spark, sfDir).count()) ++
+    def wave1Steps(dir: String): Seq[() => Long] = Seq[() => Long](
+      () => Tables.events(spark, dir).count(),
+      () => operators.TokenPipeline.docTokenCounts(spark, dir).count(),
+      () => operators.Dedup.shingles(spark, dir).count(),
+      () => operators.Similarity.vectorIndex(spark, dir).count()) ++
       Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
         "region", "documents", "embeddings")
-        .map(t => () => Tables.load(spark, sfDir, t).count()): _*)
+        .map(t => () => Tables.load(spark, dir, t).count())
     // wave 2: index artifacts built from wave 1's relations (disjoint keys)
-    wave(
-      () => operators.TokenPipeline.tokenDictionary(spark, sfDir).count(),
-      () => operators.TokenPipeline.docAggregates(spark, sfDir).count(),
-      () => operators.TextAnalysis.tfidfRaw(spark, sfDir).count(),
+    def wave2Steps(dir: String): Seq[() => Long] = Seq(
+      () => operators.TokenPipeline.tokenDictionary(spark, dir).count(),
+      () => operators.TokenPipeline.docAggregates(spark, dir).count(),
+      () => operators.TextAnalysis.tfidfRaw(spark, dir).count(),
       // ordered-token relation (q70/q84/q106/q107 share it; q106 sorts
       // first in a pass and would otherwise absorb the fill in cold),
       // then the bigram adjacency artifact (q70/q84 fold over it, round
       // 13) — the latter reads the former, so ONE thunk fills both
       // sequentially (no intra-wave cache race on the rawTokens key)
       () => {
-        operators.TextAnalysis.rawTokens(spark, sfDir).count()
-        operators.TextAnalysis.bigramCounts(spark, sfDir).count()
+        operators.TextAnalysis.rawTokens(spark, dir).count()
+        operators.TextAnalysis.bigramCounts(spark, dir).count()
       },
-      () => operators.Dedup.shingleDf(spark, sfDir).count(),
-      () => operators.Dedup.minhashSignatures(spark, sfDir).count(),
-      () => operators.Dedup.simhashSignature(spark, sfDir, 16).count(),
-      () => operators.Dedup.simhashSignature(spark, sfDir, 32).count(),
-      () => operators.Dedup.simhashSignature(spark, sfDir, 64).count())
+      () => operators.Dedup.shingleDf(spark, dir).count(),
+      () => operators.Dedup.minhashSignatures(spark, dir).count(),
+      () => operators.Dedup.simhashSignature(spark, dir, 16).count(),
+      () => operators.Dedup.simhashSignature(spark, dir, 32).count(),
+      () => operators.Dedup.simhashSignature(spark, dir, 64).count())
+    // wave 2b (round 17): the index artifacts waves 1–2 did NOT fill —
+    // enumerated against Caches' index/result split and verified by the
+    // index_fills_post_warmup instrument below (0 on a complete list).
+    // Needed because wave 3 no longer touches the target dir (see below),
+    // so any artifact missed here would land in the timed cold pass.
+    // cappedShingles is deliberately absent: both its consumers (q26,
+    // q59) run with maxShingleDf = None in the suite. verbatimReps /
+    // repFlagCache are a driver boolean + a dup-gated relation (sf0.1 is
+    // dup-light, the gate says skip) — cold pays one tiny cached-input
+    // aggregate at most. dsirWeightTable reads dsirDocBuckets, so ONE
+    // thunk fills both sequentially (no intra-wave cache race).
+    def wave2bSteps(dir: String): Seq[() => Long] = Seq(
+      () => operators.Dedup.fingerprints(spark, dir).count(),
+      () => operators.Dedup.embeddingRepMap(spark, dir).count(),
+      () => operators.Sketches.bloomEvalBits(spark, dir).count(),
+      () => operators.TextAnalysis.sourceTokens(spark, dir).count(),
+      () => {
+        operators.TextAnalysis.dsirDocBuckets(spark, dir).count()
+        operators.TextAnalysis.dsirWeightTable(spark, dir).count()
+      })
+    wave(wave1Steps(sfDir): _*)
+    wave(wave2Steps(sfDir): _*)
+    wave(wave2bSteps(sfDir): _*)
     // wave 3 (round 15): the GENERIC sweep — execute EVERY queries entry
     // once through the exact bench protocol (noop sink, timed passes'
     // name order), replacing rounds 10–14's per-plan pre-fill waves.
@@ -136,12 +159,46 @@ object Bench {
     // first sweep cut didn't (advice r15), so one hang stalled the bench
     // before the JSON line. Per-step bound 10 min under a 30-min whole-
     // sweep deadline (quiet cost ≈ 105–130 s; the r15 driver paid 393 s).
+    // Round 17 (VERDICT r16 item 3): the sweep runs at the SMALLEST
+    // available scale factor, not the target dir. Its remaining job after
+    // wave 2b is plan compilation — Spark's codegen cache keys on the
+    // generated source BODY, which is identical across input dirs of the
+    // same schema, so a sf0.001 execution JITs the exact classes the
+    // timed sf0.1 passes run while the data cost collapses (~110–120 s
+    // quiet → tiny-dir cost; r16 measured the top-8 steps at ~50 s of
+    // pure result recomputation that clearResultMemos evicted anyway).
+    // Residual cold-pass exposure — AQE picking different join physicals
+    // at the tiny scale and codegen'ing a variant — is bounded and
+    // visible: cold_sparse plus the index_fills_post_warmup count below.
+    // Falls back to the target dir when the tiny dir is absent.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    val sweepDir =
+      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) warmDir
+      else sfDir
     val w3 = System.nanoTime()
     val sweepDeadline = w3 + 30L * 60 * 1000 * 1000 * 1000
     val sweepStats =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double, Int, Int)]
     val sweepJ0 = procJiffies()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // base prefill of the SWEEP dir (waves 1–2b shapes, sequential —
+    // seconds at sf0.001) so the concurrent sweep below cannot race two
+    // threads into the same unfilled INDEX-cache key; the only remaining
+    // getOrElseUpdate races are tiny-dir RESULT memos, where a losing
+    // thunk's relation is either deduped by CacheManager's canonical-plan
+    // match or an unmaterialized entry — bounded at this scale and
+    // evicted with everything else by clearResultMemos below.
+    if (sweepDir != sfDir)
+      (wave1Steps(sweepDir) ++ wave2Steps(sweepDir) ++ wave2bSteps(sweepDir))
+        .foreach(s => warm(s()))
+    // the sweep itself: groups of 8 concurrent steps at the tiny dir —
+    // the per-step cost there is plan analysis + janino codegen compile
+    // (measured ~1 s/query regardless of data size), which parallelizes
+    // cleanly across threads; sequential when sweeping the target dir
+    // (fallback), preserving the alphabetical shared-memo landing the
+    // timed passes charge
+    val sweepPar = if (sweepDir != sfDir) 8 else 1
+    SparkEntry.queries.toSeq.sortBy(_._1).grouped(sweepPar).foreach { group =>
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
       implicit val ec: ExecutionContext = ExecutionContext.global
@@ -150,21 +207,30 @@ object Bench {
         // blown deadline: skip (and count) the rest — the timed passes
         // will surface whatever the sweep left unfilled, and a nonzero
         // warmup_failures marks the round as warmup-degraded
-        warmupFailed.incrementAndGet()
+        warmupFailed.addAndGet(group.size)
         ()
       } else {
-        val j0 = procJiffies()
-        val t0 = System.nanoTime()
-        try Await.result(Future(warm {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save(); 0L
+        try Await.result(Future.sequence(group.map { case (name, fn) =>
+          Future {
+            val j0 = procJiffies()
+            val t0 = System.nanoTime()
+            warm {
+              fn(spark, sweepDir).write.mode("overwrite").format("noop")
+                .save(); 0L
+            }
+            val secs = (System.nanoTime() - t0) / 1e9
+            val j1 = procJiffies()
+            sweepStats.synchronized {
+              sweepStats +=
+                ((name, secs, extBusyPct(j0, j1), selfUtilPct(j0, j1)))
+            }
+          }
         }), 10.minutes.min(remainingNs.nanos))
         catch { case e: java.util.concurrent.TimeoutException =>
           warmupFailed.incrementAndGet()
-          System.err.println(s"[bench] warmup sweep step $name timed out: ${e.getMessage}")
+          System.err.println(s"[bench] warmup sweep group " +
+            s"${group.map(_._1).mkString(",")} timed out: ${e.getMessage}")
         }
-        val secs = (System.nanoTime() - t0) / 1e9
-        val j1 = procJiffies()
-        sweepStats += ((name, secs, extBusyPct(j0, j1), selfUtilPct(j0, j1)))
       }
     }
     val sweepExt = extBusyPct(sweepJ0, procJiffies())
@@ -187,6 +253,12 @@ object Bench {
       Seq(inf.map(_.memSize).sum >> 20, inf.map(_.diskSize).sum >> 20)
     }
     val cachedPostWarmup = storageMB
+    // warmup-completeness instrument (round 17): target-dir INDEX-cache
+    // keys that exist after the passes but not here were artifacts the
+    // warmup failed to prefill — the timed cold pass paid them. Emitted
+    // as "index_fills_post_warmup" (0 = wave 2b's list is complete);
+    // names go to stderr for the adjudication trail.
+    val idxKeys0 = Caches.indexKeys(spark, sfDir)
     // deterministic name order; a failed query reports -1 (not its wall
     // time) so breakage can never masquerade as a speedup; failure count is
     // surfaced in the JSON.
@@ -268,6 +340,10 @@ object Bench {
     val warmExt = all.last._2
     val warmUtil = all.last._3
     val cachedFinal = storageMB
+    val idxFills = Caches.indexKeys(spark, sfDir).diff(idxKeys0)
+    if (idxFills.nonEmpty) System.err.println(
+      s"[bench] index artifacts filled AFTER warmup (extend wave 2b): " +
+        idxFills.toSeq.sorted.mkString(", "))
     val failures = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
@@ -402,7 +478,7 @@ object Bench {
     // post-final-pass: disk > 0 means index artifacts were demoted under
     // pressure and later reads re-pay deserialization (the r15 q102 tell)
     val cachedJson = (cachedPostWarmup ++ cachedFinal).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"calib_cs":${csList(calibs.toSeq)},"ext_busy_pct":$extJson,"warmup_waves_cs":${csList(waveDurations.toSeq)},"cached_mb":$cachedJson,"cpus":$cpusJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","failures":$failures,"warmup_sec":${s3(warmup)},"warmup_failures":$warmupFailures,"passes":$passes,"cold_total":${s3(coldTotal)},"calib_cs":${csList(calibs.toSeq)},"ext_busy_pct":$extJson,"warmup_waves_cs":${csList(waveDurations.toSeq)},"cached_mb":$cachedJson,"index_fills_post_warmup":${idxFills.size},"cpus":$cpusJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

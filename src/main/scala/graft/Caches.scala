@@ -24,6 +24,29 @@ object Caches {
     operators.TextAnalysis.dsirWtCache, operators.TextAnalysis.bigramCache,
     operators.TextAnalysis.verdictCache)
 
+  /** The RESULT-MEMO subset of [[maps]] (detection/search outputs evicted
+    * per bench pass by [[clearResultMemos]]); everything else in maps is
+    * an INDEX ARTIFACT a deployment keeps resident. mergeMemo (driver
+    * values, no blocks) is result-class too but lives outside maps.
+    */
+  private def resultMaps = Seq(
+    operators.Dedup.clusterCache, operators.Dedup.pairsCache,
+    operators.Dedup.embPairsCache, operators.Similarity.knnMemo,
+    operators.Sketches.bloomMemo, operators.TextAnalysis.verdictCache)
+
+  /** Every INDEX-class cache key for (`spark`, `dir`) — the bench's
+    * warmup-completeness instrument (round 17, VERDICT r16 item 3): keys
+    * present after the final pass but absent after warmup are artifacts
+    * the warmup failed to prefill, so the timed cold pass paid them.
+    * Parameterized entries ("…#dir#param") count like plain ones.
+    */
+  def indexKeys(spark: SparkSession, dir: String): Set[String] = {
+    val key = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#" + dir
+    maps.filterNot(m => resultMaps.exists(_ eq m))
+      .flatMap(_.keys.filter(k => k == key || k.startsWith(key + "#")))
+      .toSet
+  }
+
   /** Unpersist and drop every cached relation belonging to `spark`
     * (other sessions' entries are untouched).
     */

@@ -239,7 +239,8 @@ object TextAnalysis {
     * re-aliased exprIds defeat exchange reuse, so without the persist the
     * hub-join + distinct would execute once per reference.
     */
-  private def sourceTokens(spark: SparkSession, dir: String): DataFrame =
+  // private[graft]: Bench's warmup wave 2b prefills this index artifact
+  private[graft] def sourceTokens(spark: SparkSession, dir: String): DataFrame =
     srcTokCache.getOrElseUpdate(
       s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
         TokenPipeline.docTokenCounts(spark, dir)
