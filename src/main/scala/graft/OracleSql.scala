@@ -1511,6 +1511,42 @@ object OracleSql {
          |FROM c
          |ORDER BY doc_id""".stripMargin
     }) +
+    // q121: the incremental packing index's per-batch summary, recomputed
+    // INDEPENDENTLY from the one-shot prefix sum — the oracle does NOT
+    // model the bootstrap/append mechanics, only the placement a full
+    // recompute yields plus the doc_id-range batch cut (thirds of the max
+    // id, integer division exactly as the Spark side's Long math), so a
+    // green hash IS the batch/delta equivalence proof
+    ("q121_packing_index" -> {
+      val cap = graft.operators.Packing.ContextTokens
+      s"""WITH $ArrCte,
+         |t AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_toks FROM base),
+         |c AS (SELECT doc_id, n_toks,
+         |        CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |          AS start_tok
+         |      FROM t),
+         |m AS (SELECT MAX(doc_id) AS mx FROM t),
+         |w AS (SELECT c.doc_id, c.n_toks, c.start_tok,
+         |        CAST(CASE WHEN c.doc_id <= mx // 3 THEN 0
+         |             WHEN c.doc_id <= (2 * mx) // 3 THEN 1
+         |             ELSE 2 END AS BIGINT) AS batch,
+         |        CAST(CASE WHEN c.n_toks > 0
+         |             THEN (c.start_tok + c.n_toks - 1) // $cap - c.start_tok // $cap + 1
+         |             ELSE 0 END AS BIGINT) AS n_windows
+         |      FROM c, m)
+         |SELECT batch,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       MIN(doc_id) AS min_doc,
+         |       MAX(doc_id) AS max_doc,
+         |       CAST(SUM(n_toks) AS BIGINT) AS tok_sum,
+         |       CAST(SUM(start_tok) AS BIGINT) AS start_sum,
+         |       CAST(MAX(start_tok + n_toks) AS BIGINT) AS end_max,
+         |       CAST(SUM(n_windows) AS BIGINT) AS win_sum
+         |FROM w
+         |GROUP BY batch
+         |ORDER BY batch""".stripMargin
+    }) +
     ("q103_cms_heavy_hitters" -> {
       val S = graft.operators.Sketches
       val idxList = (0 until S.CmsDepth).mkString(", ")

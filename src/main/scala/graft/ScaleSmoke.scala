@@ -168,7 +168,12 @@ object ScaleSmoke {
       "q119_bloom_fp_audit",
       // round 16b: context packing's two-job prefix sum sorts copies×
       // count rows (16 bytes each); one placement row out per document
-      "q120_context_packing")
+      "q120_context_packing",
+      // round 17: the incremental packing index replays bootstrap + two
+      // appends over the replicated corpus; output is the 3-row per-batch
+      // summary at any replication (batch cut = thirds of the doc_id
+      // range, and every rung populates all three ranges)
+      "q121_packing_index")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -223,7 +228,11 @@ object ScaleSmoke {
       (if (copies >= 2) Map("q112_cluster_keepers" -> 4756L) else Map.empty) ++
       // q108: one row per source (20 at sf0.1) whatever the corpus size;
       // q109: the draw is exactly k = 200 rows by construction
-      Map("q108_histogram_quantiles" -> 20L, "q109_dsir_select" -> 200L)
+      Map("q108_histogram_quantiles" -> 20L, "q109_dsir_select" -> 200L,
+        // q121: one summary row per batch — the three-way doc_id-range
+        // cut holds at every replication (copies sit at 1e6 offsets, so
+        // all three thirds of the range are populated)
+        "q121_packing_index" -> 3L)
     var bad = 0
     heavy.filter(n => only.isEmpty || only(n)).foreach { name =>
       val t0 = System.nanoTime()
@@ -335,6 +344,55 @@ object ScaleSmoke {
         "no-new-hashes update touched the stored table's files")
       require(delta("hashes_after") == verb("hashes_after"),
         "index size moved on a no-new-hashes update")
+    }
+
+    // q121 packing-index rung (round 17): the placement map's delta
+    // posture — VERDICT r16 item 4's "append-leg rung like the index's".
+    //   bootstrap   — wipe, ONE batch = the full replicated corpus (the
+    //                 recompute-every-run cost: sorts copies× count rows);
+    //   incremental — append a one-copy "next ingest day" whose doc_ids
+    //                 sit above the stored max (the monotone-id regime):
+    //                 O(batch) sort + O(batch) write, flat across rungs.
+    // Invariants: the appended batch's first start_tok equals the
+    // bootstrap's committed token total (placement continues EXACTLY —
+    // no re-sort, no gap, no overlap), its row count is one copy's docs,
+    // and the stored relation grows by exactly that count.
+    if (only.isEmpty || only("q121_packing_index")) {
+      val path = operators.Packing.PackingIndexPath(spark, out)
+      val counts = operators.Packing.tokenCounts(spark, out)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val baseDocs = counts.where(col("doc_id") < 1000000L).count()
+      val (boot, ta) = timed {
+        operators.Packing.deletePackingIndex(spark, path)
+        operators.Packing.updatePackingIndex(spark, counts, path)
+      }
+      val day = counts.where(col("doc_id") < 1000000L)
+        .withColumn("doc_id", col("doc_id") + lit(copies * 1000000L))
+      val (incr, tb) = timed {
+        operators.Packing.updatePackingIndex(spark, day, path)
+      }
+      counts.unpersist()
+      println(f"[scale] q121 packing bootstrap   $ta%8.2f s  ${boot.toSeq.sorted.mkString(", ")}")
+      println(f"[scale] q121 packing incremental $tb%8.2f s  ${incr.toSeq.sorted.mkString(", ")}")
+      require(incr("docs_added") == baseDocs,
+        s"append wrote ${incr("docs_added")} placement rows, expected $baseDocs")
+      val app = operators.Packing.readPackingIndex(spark, path)
+        .where(col("batch") === 1L)
+        .agg(min("start_tok"), count(lit(1))).head()
+      require(app.getLong(0) == boot("total_tokens_after"),
+        s"appended batch starts at ${app.getLong(0)}, stored total was " +
+          s"${boot("total_tokens_after")} — placement did not continue exactly")
+      require(app.getLong(1) == baseDocs,
+        s"stored appended batch holds ${app.getLong(1)} rows, expected $baseDocs")
+      // same hard-gate posture as the q114 rung: wall-clock only where
+      // the intrinsic margin (copies× vs 1×) dwarfs host noise
+      if (copies >= 50)
+        require(tb < ta,
+          f"incremental append ($tb%.2f s) did not beat bootstrap ($ta%.2f s)")
+      else if (tb >= ta)
+        println(f"[scale] WARNING: incremental ($tb%.2f s) did not beat " +
+          f"bootstrap ($ta%.2f s) at ${copies}x — margin is small at this " +
+          "rung; check the 100x/200x anchors before reading it as a regression")
     }
     spark.stop()
   }

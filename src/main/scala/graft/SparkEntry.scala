@@ -285,7 +285,11 @@ object SparkEntry {
     // Context-window packing: the concatenate-and-chunk placement map a
     // pretraining data loader needs — built on a distributed exclusive
     // prefix sum (the Ids.withDenseId idiom), never a one-partition window
-    "q120_context_packing" -> ((s, d) => Packing.contextPacking(s, d)))
+    "q120_context_packing" -> ((s, d) => Packing.contextPacking(s, d)),
+    // Incremental packing index: bootstrap + two O(batch) appends seeded
+    // from the stored running total (no corpus re-sort), summarized from
+    // the STORED relation — the batch/delta equivalence as an oracle check
+    "q121_packing_index" -> ((s, d) => Packing.packingIndexSummary(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

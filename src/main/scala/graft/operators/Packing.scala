@@ -45,7 +45,17 @@ object Packing {
     * same input (the zipWithIndex determinism argument, round 2).
     */
   def withExclusivePrefixSum(df: DataFrame, valCol: String, out: String,
-      orderCols: Column*): DataFrame = {
+      orderCols: Column*): DataFrame =
+    withSeededPrefixSum(df, valCol, out, 0L, orderCols: _*)
+
+  /** [[withExclusivePrefixSum]] seeded at `seed` instead of 0 — the
+    * incremental form: an append batch's running totals continue from
+    * the stored corpus's committed token total, so extending the
+    * placement map costs O(batch), never a re-sort of the corpus
+    * (round 17, VERDICT r16 item 4).
+    */
+  def withSeededPrefixSum(df: DataFrame, valCol: String, out: String,
+      seed: Long, orderCols: Column*): DataFrame = {
     val sorted = df.orderBy(orderCols: _*)
     val vi = sorted.schema.fieldIndex(valCol)
     require(sorted.schema(vi).dataType == LongType,
@@ -54,7 +64,7 @@ object Packing {
     val partTotals = rdd0.mapPartitionsWithIndex { case (i, it) =>
       var s = 0L; it.foreach(r => s += r.getLong(vi)); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val offsets = partTotals.scanLeft(seed)(_ + _)
     val schema = sorted.schema.add(out, LongType, nullable = false)
     val rows = rdd0.mapPartitionsWithIndex { case (i, it) =>
       var acc = offsets(i)
@@ -75,11 +85,24 @@ object Packing {
   def contextPacking(spark: SparkSession, dir: String,
       capacity: Long = ContextTokens): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val counts = TextAnalysis.rawTokens(spark, dir)
+    val placed = withExclusivePrefixSum(tokenCounts(spark, dir), "n_toks",
+      "start_tok", col("doc_id"))
+    windowCols(placed, capacity).orderBy("doc_id")
+  }
+
+  /** (doc_id, n_toks) — the 16-byte/doc relation every packing form
+    * sorts; token arrays themselves never move.
+    */
+  private[graft] def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rawTokens(spark, dir)
       .select(col("doc_id"),
         coalesce(size(col("toks")), lit(0)).cast("long").as("n_toks"))
-    val placed = withExclusivePrefixSum(counts, "n_toks", "start_tok",
-      col("doc_id"))
+
+  /** The window-geometry projection shared by the one-shot packing and
+    * the incremental index: first/last window and span from an already-
+    * placed (n_toks, start_tok) row.
+    */
+  private def windowCols(placed: DataFrame, capacity: Long): DataFrame =
     placed
       .select(col("doc_id"), col("n_toks"), col("start_tok"),
         expr(s"start_tok div $capacity").as("first_win"),
@@ -89,6 +112,160 @@ object Packing {
       .withColumn("n_windows",
         when(col("n_toks") > lit(0L),
           col("last_win") - col("first_win") + lit(1L)).otherwise(lit(0L)))
-      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  // The INCREMENTAL packing index (round 17, VERDICT r16 item 4): a real
+  // 100 TB pipeline appends an ingest batch and extends the placement map
+  // WITHOUT re-sorting the corpus — the q114/q116 stored-index posture
+  // applied to packing. The stored artifact is the placement relation
+  // partitioned by ingest batch (`<path>/batch=N/`) plus a tiny state
+  // sidecar carrying (next batch number, committed token total, max
+  // doc_id); an append sorts ONLY the new batch and seeds its prefix sum
+  // from the committed total, so the work and the write are both
+  // O(batch) — bootstrap linear, append flat (rung in ScaleSmoke).
+  //
+  // Contracts: batches are doc_id-MONOTONE (every appended doc_id >
+  // every stored one — the append-only ingest-id regime packing's
+  // deterministic corpus order comes from; violations throw rather than
+  // silently corrupt placement) and ONE writer at a time (the chunk
+  // index's rule). Crash safety: the state sidecar is written only
+  // AFTER a batch's parquet commits, and a batch write is an overwrite
+  // of its own `batch=N` dir — replaying a crashed append rewrites the
+  // same rows and re-commits the same state, so the recovery is "run
+  // the same append again" (idempotent at the job level).
+  // ------------------------------------------------------------------
+
+  /** State sidecar: "<nextBatch> <totalTokens> <maxDocId>". */
+  private val StateFile = "_graft_packing_state"
+
+  private def statePath(path: String) =
+    new org.apache.hadoop.fs.Path(path, StateFile)
+
+  private def readState(spark: SparkSession,
+      path: String): Option[(Long, Long, Long)] = {
+    val p = statePath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val parts =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+        finally in.close()
+      Some((parts(0).toLong, parts(1).toLong, parts(2).toLong))
+    }
+  }
+
+  private def writeState(spark: SparkSession, path: String, nextBatch: Long,
+      totalToks: Long, maxDoc: Long): Unit = {
+    val p = statePath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$nextBatch $totalToks $maxDoc"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Bootstrap-or-append one ingest batch of (doc_id, n_toks) rows into
+    * the stored placement index at `path`. Returns the batch's manifest
+    * counts. An EMPTY batch is a no-op (no batch dir, no state change) —
+    * an idempotent replayed micro-batch costs zero index I/O.
+    */
+  def updatePackingIndex(spark: SparkSession, counts: DataFrame,
+      path: String, capacity: Long = ContextTokens): Map[String, Long] = {
+    require(capacity > 0, "capacity must be positive")
+    val (batch, seedTok, maxStored) =
+      readState(spark, path).getOrElse((0L, 0L, -1L))
+    // one bounded aggregate decides empty/monotone before any write
+    val stats = counts.agg(count(lit(1)), min("doc_id"), max("doc_id"),
+      coalesce(sum("n_toks"), lit(0L))).head()
+    val n = stats.getLong(0)
+    if (n == 0L)
+      return Map("batch" -> batch, "docs_added" -> 0L, "tokens_added" -> 0L,
+        "total_tokens_after" -> seedTok)
+    val (minDoc, maxDoc, tokSum) =
+      (stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    require(minDoc > maxStored,
+      s"packing index append must be doc_id-monotone: batch min doc_id " +
+        s"$minDoc <= stored max $maxStored")
+    val placed = windowCols(
+      withSeededPrefixSum(counts, "n_toks", "start_tok", seedTok,
+        col("doc_id")), capacity)
+    placed.write.mode("overwrite").parquet(s"$path/batch=$batch")
+    writeState(spark, path, batch + 1L, seedTok + tokSum, maxDoc)
+    Map("batch" -> batch, "docs_added" -> n, "tokens_added" -> tokSum,
+      "total_tokens_after" -> (seedTok + tokSum))
+  }
+
+  /** The full stored placement relation (+ its `batch` partition column,
+    * LONG). An index with no committed batches reads as an empty,
+    * correctly-typed relation.
+    */
+  def readPackingIndex(spark: SparkSession, path: String): DataFrame = {
+    val schema = "doc_id BIGINT, n_toks BIGINT, start_tok BIGINT, " +
+      "first_win BIGINT, last_win BIGINT, n_windows BIGINT"
+    if (readState(spark, path).isEmpty)
+      spark.read.schema(schema).parquet() // no batches committed
+        .withColumn("batch", lit(0L).cast("long")).limit(0)
+    else
+      spark.read.option("basePath", path).parquet(path)
+        .withColumn("batch", col("batch").cast("long"))
+  }
+
+  /** Where the q121 round-trip keeps its per-(session, dir) index —
+    * the ChunkIndexPath convention.
+    */
+  def PackingIndexPath(spark: SparkSession, dir: String): String =
+    "/tmp/graft-packing-index/" +
+      org.apache.spark.sql.GraftBridge.sessionKey(spark) + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+
+  /** Wipe a stored packing index — forces the bootstrap path. */
+  def deletePackingIndex(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** q121 — the incremental-packing round-trip as an oracle-checked
+    * query: wipe, bootstrap the index from the first third of the doc_id
+    * range, append the middle and last thirds (two O(batch) appends
+    * seeded from the committed totals), then summarize the STORED
+    * placement relation per batch with integer-exact digests (doc/token
+    * counts, start-offset sum, window-span sum, min/max doc). The oracle
+    * recomputes the summary INDEPENDENTLY from the one-shot full prefix
+    * sum over the documents table — a green hash proves
+    * bootstrap+append+append lands bit-identical placement to packing
+    * the whole corpus at once (the batch/delta equivalence), through the
+    * storage round-trip.
+    */
+  def packingIndexSummary(spark: SparkSession, dir: String,
+      capacity: Long = ContextTokens): DataFrame = {
+    val path = PackingIndexPath(spark, dir)
+    deletePackingIndex(spark, path)
+    val counts = tokenCounts(spark, dir)
+    // bounded driver scalar (one MAX row) — same class as the manifest
+    // counts; null on an empty corpus → all three batches are empty
+    // no-ops and the summary is the empty relation
+    val mxRow = counts.agg(max("doc_id")).head()
+    val mx = if (mxRow.isNullAt(0)) -1L else mxRow.getLong(0)
+    val (t1, t2) = (mx / 3, 2 * mx / 3)
+    updatePackingIndex(spark, counts.filter(col("doc_id") <= t1), path, capacity)
+    updatePackingIndex(spark,
+      counts.filter(col("doc_id") > t1 && col("doc_id") <= t2), path, capacity)
+    updatePackingIndex(spark, counts.filter(col("doc_id") > t2), path, capacity)
+    readPackingIndex(spark, path)
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        sum("n_toks").as("tok_sum"),
+        sum("start_tok").as("start_sum"),
+        max(col("start_tok") + col("n_toks")).as("end_max"),
+        sum("n_windows").as("win_sum"))
+      .orderBy("batch")
   }
 }

@@ -62,4 +62,82 @@ class PackingSpec extends AnyFunSuite {
     val total = rows.map(_._2).sum
     assert(rows.filter(_._2 > 0).map(_._5).max === (total - 1) / cap)
   }
+
+  // ---- incremental packing index (round 17) ----
+
+  private def tmpIndex(): String =
+    java.nio.file.Files.createTempDirectory("graft-packidx")
+      .resolve("idx").toString
+
+  test("bootstrap + appends land bit-identical placement to the one-shot packing") {
+    val path = tmpIndex()
+    val counts = Packing.tokenCounts(spark, sf)
+    // three monotone batches by doc_id range (the q121 cut)
+    val mx = counts.agg(max("doc_id")).head().getLong(0)
+    val (t1, t2) = (mx / 3, 2 * mx / 3)
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") <= t1), path)
+    Packing.updatePackingIndex(spark,
+      counts.filter(col("doc_id") > t1 && col("doc_id") <= t2), path)
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") > t2), path)
+    val stored = Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
+        "n_windows")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val oneShot = Packing.contextPacking(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(stored.length === oneShot.length && stored.nonEmpty)
+    assert(stored.toSeq === oneShot.toSeq)
+  }
+
+  test("append rejects non-monotone doc_ids instead of corrupting placement") {
+    val path = tmpIndex()
+    val counts = Packing.tokenCounts(spark, sf)
+    Packing.updatePackingIndex(spark, counts, path)
+    val e = intercept[IllegalArgumentException] {
+      Packing.updatePackingIndex(spark, counts.limit(1), path)
+    }
+    assert(e.getMessage.contains("monotone"))
+  }
+
+  test("empty batch is a no-op; appended totals chain exactly") {
+    val path = tmpIndex()
+    val counts = Packing.tokenCounts(spark, sf)
+    // empty bootstrap: nothing committed, index reads empty
+    val r0 = Packing.updatePackingIndex(spark, counts.limit(0), path)
+    assert(r0("docs_added") === 0L)
+    assert(Packing.readPackingIndex(spark, path).count() === 0L)
+    val boot = Packing.updatePackingIndex(spark, counts, path)
+    val day = counts.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val a1 = Packing.updatePackingIndex(spark, day, path)
+    assert(a1("batch") === 1L)
+    assert(a1("total_tokens_after") ===
+      boot("total_tokens_after") + a1("tokens_added"))
+    assert(Packing.readPackingIndex(spark, path).count() ===
+      boot("docs_added") + a1("docs_added"))
+    val mn = Packing.readPackingIndex(spark, path)
+      .where(col("batch") === 1L).agg(min("start_tok")).head().getLong(0)
+    assert(mn === boot("total_tokens_after"))
+  }
+
+  test("crashed-append replay is idempotent (sidecar rolled back, rerun)") {
+    val path = tmpIndex()
+    val counts = Packing.tokenCounts(spark, sf)
+    val boot = Packing.updatePackingIndex(spark, counts, path)
+    val state = java.nio.file.Paths.get(path, "_graft_packing_state")
+    val preAppend = java.nio.file.Files.readAllBytes(state)
+    val day = counts.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val a1 = Packing.updatePackingIndex(spark, day, path)
+    // crash model: batch=1 parquet committed but the sidecar write was
+    // lost — roll the sidecar back and replay the SAME append (drop the
+    // Hadoop LocalFileSystem CRC shadow too: the raw rewrite would
+    // otherwise fail its checksum, which is a test artifact — production
+    // writes go through fs.create and keep the CRC in step)
+    java.nio.file.Files.write(state, preAppend)
+    java.nio.file.Files.deleteIfExists(
+      state.getParent.resolve("._graft_packing_state.crc"))
+    val a2 = Packing.updatePackingIndex(spark, day, path)
+    assert(a2 === a1) // same batch number, same totals
+    assert(Packing.readPackingIndex(spark, path).count() ===
+      boot("docs_added") + a1("docs_added")) // no duplicate rows
+  }
 }
