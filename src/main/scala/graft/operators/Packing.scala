@@ -135,14 +135,23 @@ object Packing {
   // the same append again" (idempotent at the job level).
   // ------------------------------------------------------------------
 
-  /** State sidecar: "<nextBatch> <totalTokens> <maxDocId>". */
+  /** State sidecar: "<nextBatch> <totalTokens> <maxDocId> <lastMinDoc>
+    * <lastSeedTok>" — the last two are the LAST committed batch's min
+    * doc_id and its prefix-sum seed, which is what lets an exactly-
+    * redelivered batch (a streaming restart replaying its un-checkpointed
+    * micro-batch) be recognized and replayed idempotently instead of
+    * rejected by the monotonicity check.
+    */
   private val StateFile = "_graft_packing_state"
+
+  private case class IndexState(nextBatch: Long, totalToks: Long,
+      maxDoc: Long, lastMinDoc: Long, lastSeedTok: Long)
 
   private def statePath(path: String) =
     new org.apache.hadoop.fs.Path(path, StateFile)
 
   private def readState(spark: SparkSession,
-      path: String): Option[(Long, Long, Long)] = {
+      path: String): Option[IndexState] = {
     val p = statePath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -152,17 +161,23 @@ object Packing {
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
         finally in.close()
-      Some((parts(0).toLong, parts(1).toLong, parts(2).toLong))
+      Some(IndexState(parts(0).toLong, parts(1).toLong, parts(2).toLong,
+        // legacy 3-field sidecars (pre-streaming-twin) read with the
+        // replay arm disabled
+        if (parts.length >= 5) parts(3).toLong else -1L,
+        if (parts.length >= 5) parts(4).toLong else -1L))
     }
   }
 
-  private def writeState(spark: SparkSession, path: String, nextBatch: Long,
-      totalToks: Long, maxDoc: Long): Unit = {
+  private def writeState(spark: SparkSession, path: String,
+      st: IndexState): Unit = {
     val p = statePath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(s"$nextBatch $totalToks $maxDoc"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(
+      (s"${st.nextBatch} ${st.totalToks} ${st.maxDoc} ${st.lastMinDoc} " +
+        s"${st.lastSeedTok}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -174,25 +189,38 @@ object Packing {
   def updatePackingIndex(spark: SparkSession, counts: DataFrame,
       path: String, capacity: Long = ContextTokens): Map[String, Long] = {
     require(capacity > 0, "capacity must be positive")
-    val (batch, seedTok, maxStored) =
-      readState(spark, path).getOrElse((0L, 0L, -1L))
-    // one bounded aggregate decides empty/monotone before any write
+    val st = readState(spark, path)
+      .getOrElse(IndexState(0L, 0L, -1L, -1L, -1L))
+    // one bounded aggregate decides empty/monotone/replay before any write
     val stats = counts.agg(count(lit(1)), min("doc_id"), max("doc_id"),
       coalesce(sum("n_toks"), lit(0L))).head()
     val n = stats.getLong(0)
     if (n == 0L)
-      return Map("batch" -> batch, "docs_added" -> 0L, "tokens_added" -> 0L,
-        "total_tokens_after" -> seedTok)
+      return Map("batch" -> st.nextBatch, "docs_added" -> 0L,
+        "tokens_added" -> 0L, "total_tokens_after" -> st.totalToks)
     val (minDoc, maxDoc, tokSum) =
       (stats.getLong(1), stats.getLong(2), stats.getLong(3))
-    require(minDoc > maxStored,
-      s"packing index append must be doc_id-monotone: batch min doc_id " +
-        s"$minDoc <= stored max $maxStored")
+    // exact redelivery of the LAST committed batch (same doc_id range) —
+    // a streaming restart replaying its un-checkpointed micro-batch, or a
+    // crashed append whose sidecar write was lost being rerun after the
+    // NEXT reader already advanced it: rewrite that batch's dir from its
+    // recorded seed and re-commit the same state. Any other non-monotone
+    // batch is a corruption risk and throws.
+    val (batch, seedTok) =
+      if (minDoc > st.maxDoc) (st.nextBatch, st.totalToks)
+      else if (minDoc == st.lastMinDoc && maxDoc == st.maxDoc &&
+          st.nextBatch > 0L)
+        (st.nextBatch - 1L, st.lastSeedTok)
+      else throw new IllegalArgumentException(
+        s"packing index append must be doc_id-monotone: batch " +
+          s"[$minDoc, $maxDoc] vs stored max ${st.maxDoc} (last batch " +
+          s"started at ${st.lastMinDoc})")
     val placed = windowCols(
       withSeededPrefixSum(counts, "n_toks", "start_tok", seedTok,
         col("doc_id")), capacity)
     placed.write.mode("overwrite").parquet(s"$path/batch=$batch")
-    writeState(spark, path, batch + 1L, seedTok + tokSum, maxDoc)
+    writeState(spark, path,
+      IndexState(batch + 1L, seedTok + tokSum, maxDoc, minDoc, seedTok))
     Map("batch" -> batch, "docs_added" -> n, "tokens_added" -> tokSum,
       "total_tokens_after" -> (seedTok + tokSum))
   }

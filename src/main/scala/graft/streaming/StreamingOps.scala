@@ -687,6 +687,45 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming maintenance of the INCREMENTAL PACKING index (round 17 —
+    * the q121 twin): each micro-batch of (doc_id, text) rows becomes one
+    * ingest batch of the stored placement map, its prefix sum seeded
+    * from the committed token total (Packing.updatePackingIndex), so a
+    * continuous ingest and a daily batch job extend the SAME artifact
+    * interchangeably — the indexIngest posture applied to placement.
+    *
+    * Contracts inherited from the batch op: doc_ids are MONOTONE across
+    * micro-batches (the append-only ingest-id regime; a violating batch
+    * fails the query rather than corrupt placement) and one writer at a
+    * time (micro-batches are inherently sequential). Unlike the chunk
+    * index this artifact is NOT a set — replay safety comes from the
+    * sidecar's last-batch record instead: a restart that redelivers the
+    * un-checkpointed final micro-batch (same doc_id range) rewrites that
+    * batch's dir from its recorded seed and re-commits identical state,
+    * so replay converges doc-for-doc. Empty micro-batches are zero-I/O
+    * no-ops.
+    */
+  def packingIngest(docs: DataFrame, path: String,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    require(docs.columns.toSet == Set("doc_id", "text"),
+      s"packingIngest places (doc_id, text) rows; project the input " +
+        s"first — got (${docs.columns.mkString(", ")})")
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Packing.updatePackingIndex(spark,
+          batch.select(col("doc_id").cast("long").as("doc_id"),
+            coalesce(size(graft.functions.TextFns.tokenize(col("text"))),
+              lit(0)).cast("long").as("n_toks")),
+          path)
+        ()
+      }
+      .outputMode("append")
+      .options(options) // checkpointLocation for restartable source offsets
+      .start()
+  }
+
   /** Streaming maintenance of the BUCKETED chunk index — the DEFAULT
     * streaming index twin (r15), over the default deployment layout
     * (Pipeline.updateChunkIndexBucketed,

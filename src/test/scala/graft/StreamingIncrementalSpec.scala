@@ -705,6 +705,55 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("packingIngest: micro-batches extend placement; redelivery replays idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Packing
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pack_stream")
+    val path = tmp.resolve("idx").toString
+    def text(pfx: String, n: Int): String =
+      (1 to n).map(i => s"$pfx$i").mkString(" ")
+    def placed(): Seq[(Long, Long, Long, Long, Long, Long)] =
+      Packing.readPackingIndex(spark, path)
+        .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
+          "n_windows")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.packingIngest(
+      input.toDS().toDF("doc_id", "text"), path)
+    try {
+      input.addData((1L, text("a", 5)), (2L, text("b", 3)))
+      q.processAllAvailable()
+      input.addData((3L, text("c", 7)))
+      q.processAllAvailable()
+      val after = placed()
+      // placement continues across micro-batches with no gap or overlap
+      assert(after.map(t => (t._1, t._2, t._3)) ===
+        Seq((1L, 5L, 0L), (2L, 3L, 5L), (3L, 7L, 8L)))
+      // restart model: the source redelivers the un-checkpointed last
+      // micro-batch — same doc_id range, recognized by the sidecar's
+      // last-batch record and replayed in place, not rejected, not
+      // duplicated
+      input.addData((3L, text("c", 7)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"replay failed: ${q.exception}")
+      assert(placed() === after)
+      // batch/stream interchangeability: the daily-job form over the same
+      // ingest cuts lands the identical stored relation
+      val bpath = tmp.resolve("batch_idx").toString
+      Packing.updatePackingIndex(spark,
+        Seq((1L, 5L), (2L, 3L)).toDF("doc_id", "n_toks"), bpath)
+      Packing.updatePackingIndex(spark,
+        Seq((3L, 7L)).toDF("doc_id", "n_toks"), bpath)
+      assert(Packing.readPackingIndex(spark, bpath)
+        .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
+          "n_windows")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+        .toSeq === after)
+    } finally q.stop()
+  }
+
   test("indexIngest: mid-swap crash recovered on restart, index equals batch build") {
     // VERDICT r13 #5: the two-rename swap's `.old` adoption is unit-tested
     // batch-side; this drives the SAME durability claim through the
