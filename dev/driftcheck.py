@@ -79,13 +79,20 @@ def ext_busy(text):
 
 
 def self_util(text):
-    """{q: JVM share of the machine %} for the 16 most expensive warm
-    slots (r15+). The dilation discriminator: a slot 3x its floor at its
-    usual utilization did 3x the work; at a third of its usual
-    utilization it got a third of the cycles (starved). Quiet-round
-    values are the baselines a contended round is read against."""
+    """{q: JVM share of the machine %}. The dilation discriminator: a
+    slot 3x its floor at its usual utilization did 3x the work; at a
+    third of its usual utilization it got a third of the cycles
+    (starved). Reads the complete r17+ map when the log carries it
+    (local logs; the driver's tail window truncates it), overlaid with
+    the sparse top-16+flagged map that always survives."""
+    out = {}
+    a = re.search(r'\{"bench_self_util_all_pct":(\{[^}]*\})\}', text)
+    if a:
+        out.update({k.lstrip("q"): v for k, v in json.loads(a.group(1)).items()})
     m = re.search(r'\{"bench_self_util_pct":(\{[^}]*\})\}', text)
-    return {k.lstrip("q"): v for k, v in json.loads(m.group(1)).items()} if m else {}
+    if m:
+        out.update({k.lstrip("q"): v for k, v in json.loads(m.group(1)).items()})
+    return out
 
 
 def floor_table():
