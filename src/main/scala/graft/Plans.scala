@@ -116,7 +116,11 @@ object Plans {
       "q117_ann_sweep" ->
         "ANN operating-point sweep: ONE scored-pair pass (corpus scan against the 8-row broadcast query set, codegen graft_dot) crossed with the BROADCAST 15-row config grid; candidate membership is a codegen'd masked-popcount filter, ranking windows partition by (bits, radius, query) over K·|queries|·configs rows — 15 probe joins collapsed into one diagnostic-priced pass",
       "q118_ann_autopick" ->
-        "ANN auto-pick: one ROW_NUMBER window over the MEMOIZED 15-row sweep table crossed with the 4-row broadcast target list — the deployment decision costs nothing beyond the sweep it reads")
+        "ANN auto-pick: one ROW_NUMBER window over the MEMOIZED 15-row sweep table crossed with the 4-row broadcast target list — the deployment decision costs nothing beyond the sweep it reads",
+      "q120_context_packing" ->
+        "context packing: the global exclusive prefix sum is TWO jobs over the 16-byte (doc_id, n_toks) relation — range-partitioned total sort, per-partition subtotals (#partitions values) to the driver, seeded per-partition scan — so the final plan below is Scan ExistingRDD + the window-geometry Project and the edge sort; NO window function, no single-partition funnel anywhere (the one-liner `sum over (order by)` alternative would execute as ONE partition)",
+      "q121_packing_index" ->
+        "incremental packing summary: the STORED placement relation (batch=N partition dirs + running-total sidecar) scanned with partition discovery into one partial/final hash aggregate at batch grain — constant aggregation state (count/min/max/sum); the appends that built it are O(batch) seeded prefix sums (q120's two-job idiom) that read ZERO stored rows — the sidecar seed replaces the corpus re-sort")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")
