@@ -173,7 +173,12 @@ object ScaleSmoke {
       // appends over the replicated corpus; output is the 3-row per-batch
       // summary at any replication (batch cut = thirds of the doc_id
       // range, and every rung populates all three ranges)
-      "q121_packing_index")
+      "q121_packing_index",
+      // round 17b: the window-segment map explodes copies× placement rows
+      // into Σ n_windows segments; row count is NOT derivable from copies
+      // alone (window alignment shifts per copy because total tokens mod
+      // capacity ≠ 0), so this leg checks execution, not an expectRows pin
+      "q122_window_segments")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly

@@ -289,7 +289,11 @@ object SparkEntry {
     // Incremental packing index: bootstrap + two O(batch) appends seeded
     // from the stored running total (no corpus re-sort), summarized from
     // the STORED relation — the batch/delta equivalence as an oracle check
-    "q121_packing_index" -> ((s, d) => Packing.packingIndexSummary(s, d)))
+    "q121_packing_index" -> ((s, d) => Packing.packingIndexSummary(s, d)),
+    // Window-segment map: the per-window inverse of q120's placement —
+    // one row per (window, doc) segment with offsets and head/tail
+    // flags, the composition map a loader/attention-mask builder reads
+    "q122_window_segments" -> ((s, d) => Packing.windowSegments(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

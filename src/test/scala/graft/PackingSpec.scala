@@ -63,6 +63,44 @@ class PackingSpec extends AnyFunSuite {
     assert(rows.filter(_._2 > 0).map(_._5).max === (total - 1) / cap)
   }
 
+  test("window segments reconstruct every doc and tile every window exactly") {
+    val cap = Packing.ContextTokens
+    val segs = Packing.windowSegments(spark, sf)
+      .select("win", "doc_id", "doc_off", "win_off", "seg_len", "is_head",
+        "is_tail")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(segs.nonEmpty)
+    val place = Packing.contextPacking(spark, sf)
+      .select("doc_id", "n_toks")
+      .as[(Long, Long)].collect().toMap
+    // per-doc: segments cover [0, n_toks) contiguously, one head, one tail
+    segs.groupBy(_._2).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"doc $doc")
+      assert(sorted.map(_._5).sum === place(doc), s"doc $doc")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._5, s"doc $doc")
+        case _ =>
+      }
+      assert(ss.map(_._6).sum === 1L && ss.map(_._7).sum === 1L, s"doc $doc")
+    }
+    // empty docs contribute nothing
+    assert(segs.map(_._2).toSet === place.filter(_._2 > 0).keySet)
+    // per-window: segments abut from offset 0 and fill the capacity
+    // (except the final, possibly partial, window)
+    val lastWin = segs.map(_._1).max
+    segs.groupBy(_._1).foreach { case (win, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 === 0L, s"win $win")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._4 + a._5, s"win $win")
+        case _ =>
+      }
+      if (win != lastWin)
+        assert(sorted.map(_._5).sum === cap, s"win $win")
+    }
+  }
+
   // ---- incremental packing index (round 17) ----
 
   private def tmpIndex(): String =
