@@ -382,9 +382,12 @@ object Bench {
     // Bounded on BOTH axes (review finding): the ratio test alone can
     // flag most of the suite on a contended host (cold ≥ 2× a 50 ms
     // warm is pure JIT noise), reproducing the overflow. An absolute
-    // floor ANDed with the ratio, plus a hard top-24-by-gap cap, bounds
-    // the line at ~250 chars regardless of host state; failures always
-    // survive the cap (they sort to the top via the +inf gap).
+    // floor ANDed with the ratio, plus a hard top-16-by-gap cap
+    // (24 until round 17 — tightened when the 122-query warm map left
+    // the must-survive suffix [warm + metric + cold] at the window
+    // boundary; BenchEmissionSpec pins the budget), bounds the line
+    // regardless of host state; failures always survive the cap (they
+    // sort to the top via the +inf gap).
     val warmByName = results.toMap
     val coldSparse = cold.filter { case (k, v) =>
       val w = warmByName.getOrElse(k, 0.0)
@@ -392,7 +395,7 @@ object Bench {
     }.sortBy { case (k, v) =>
       val w = warmByName.getOrElse(k, 0.0)
       if (v < 0 || w < 0) Double.NegativeInfinity else -(v - w)
-    }.take(24).sortBy(_._1)
+    }.take(16).sortBy(_._1)
     // the warm-pass external-busy ladder, SPARSE like the cold map: only
     // slots where other processes held ≥15% of the machine (below that
     // the effect on a 32-thread stage is within run-to-run noise), capped

@@ -64,6 +64,31 @@ class BenchEmissionSpec extends AnyFunSuite {
     assert(flagged === Set("q02_y"))
   }
 
+  test("worst-case tail lines fit the driver's 2000-char archive window") {
+    // The driver archives only the LAST 2000 chars of Bench stdout and
+    // parses the final {"metric":...} line; truncation eats from the
+    // HEAD, so the print order makes earlier lines (full util map, sweep
+    // stats, ext ladder, sparse util ladder) deliberately expendable.
+    // The MUST-SURVIVE suffix is the last three lines: the sparse cold
+    // map (hard-capped at 16 entries since r17), the COMPLETE warm map
+    // (driftcheck's input — rounds 1–5 and 8–9 lost it to overflow), and
+    // the metric line. Budget them at contended-host worst case (4-digit
+    // centisecond values — a 100 s single slot would time out to -100
+    // first) so adding query #N trips this test BEFORE the driver
+    // archive starts truncating drift evidence.
+    val n = SparkEntry.queries.size
+    // warm entry: "NNN":9999, → 2 quotes + ≤3-digit key + colon + 4-digit
+    // value (or -100) + comma = 11 chars
+    val warmLine = 24 + n * 11
+    val metricLine = 310 // measured 302 with failures/3-decimal totals
+    val coldLine = 30 + 16 * 12 // ds values, 16-entry cap
+    val total = warmLine + metricLine + coldLine + 3
+    assert(total < 2000,
+      s"worst-case must-survive suffix $total chars >= 2000 at $n " +
+        "queries — shrink the cold cap or re-encode the warm map before " +
+        "adding queries")
+  }
+
   test("the repo's own BASELINE-notes parses and covers the suite") {
     val text = scala.io.Source.fromFile("BASELINE-notes.md")(
       scala.io.Codec.UTF8).mkString
