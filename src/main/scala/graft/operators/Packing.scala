@@ -83,11 +83,20 @@ object Packing {
     * ceil((start%C + n)/C) windows.
     */
   def contextPacking(spark: SparkSession, dir: String,
-      capacity: Long = ContextTokens): DataFrame = {
+      capacity: Long = ContextTokens): DataFrame =
+    placementRaw(spark, dir, capacity).orderBy("doc_id")
+
+  /** UNSORTED placement relation — building-block form (the
+    * survivorsRaw convention): q120 sorts at its edge; q122 re-sorts by
+    * (win, doc_id) and must not pay a discarded doc_id range exchange
+    * first.
+    */
+  private def placementRaw(spark: SparkSession, dir: String,
+      capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val placed = withExclusivePrefixSum(tokenCounts(spark, dir), "n_toks",
       "start_tok", col("doc_id"))
-    windowCols(placed, capacity).orderBy("doc_id")
+    windowCols(placed, capacity)
   }
 
   /** (doc_id, n_toks) — the 16-byte/doc relation every packing form
@@ -134,7 +143,7 @@ object Packing {
     */
   def windowSegments(spark: SparkSession, dir: String,
       capacity: Long = ContextTokens): DataFrame = {
-    val p = contextPacking(spark, dir, capacity)
+    val p = placementRaw(spark, dir, capacity)
     val winStart = col("win") * capacity
     val segFrom = greatest(winStart, col("start_tok"))
     val segTo = least(winStart + capacity, col("start_tok") + col("n_toks"))
