@@ -173,8 +173,15 @@ object Bench {
     // Falls back to the target dir when the tiny dir is absent.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
+    // canonical-path compare: a trailing-slash or symlink spelling of the
+    // target dir must select the SEQUENTIAL same-dir arm — a concurrent
+    // sweep over the timed dir would race its unfilled cache keys and
+    // move the shared-memo landing the timed passes charge
+    def canon(p: String) =
+      try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
     val sweepDir =
-      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) warmDir
+      if (new java.io.File(warmDir).isDirectory && canon(warmDir) != canon(sfDir))
+        warmDir
       else sfDir
     val w3 = System.nanoTime()
     val sweepDeadline = w3 + 30L * 60 * 1000 * 1000 * 1000
