@@ -234,7 +234,10 @@ object Bench {
           }
         }), 10.minutes.min(remainingNs.nanos))
         catch { case e: java.util.concurrent.TimeoutException =>
-          warmupFailed.incrementAndGet()
+          // the whole group's steps were abandoned, not one (advice r17) —
+          // and the abandoned futures keep running, so sweepStats stays
+          // lock-guarded and is snapshotted before any read below
+          warmupFailed.addAndGet(group.size)
           System.err.println(s"[bench] warmup sweep group " +
             s"${group.map(_._1).mkString(",")} timed out: ${e.getMessage}")
         }
@@ -439,7 +442,11 @@ object Bench {
     // tail window): whole-sweep external-busy % and the 8 most expensive
     // sweep steps' wall clock — r15's 392.8 s driver wave 3 becomes
     // attributable per slot instead of one opaque total
-    val sweepTop = sweepStats.sortBy(-_._2).take(8).map(s => s._1 -> s._2).toSeq
+    // snapshot under the same lock the sweep futures append with — a
+    // timed-out group's abandoned futures may still be running here
+    // (advice r17: the unsynchronized sort raced their appends)
+    val sweepTop = sweepStats.synchronized(sweepStats.toList)
+      .sortBy(-_._2).take(8).map(s => s._1 -> s._2)
     // COMPLETE warm-pass utilization map, printed FIRST of all JSON lines
     // (round 17, VERDICT r16 item 2): the sparse bench_self_util_pct below
     // covers only top-16 + flagged slots, so quiet declaration runs carried

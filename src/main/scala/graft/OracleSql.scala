@@ -1549,8 +1549,14 @@ object OracleSql {
     // INDEPENDENTLY from the one-shot prefix sum — the oracle does NOT
     // model the bootstrap/append mechanics, only the placement a full
     // recompute yields plus the doc_id-range batch cut (thirds of the max
-    // id, integer division exactly as the Spark side's Long math), so a
-    // green hash IS the batch/delta equivalence proof
+    // id, integer division exactly as the Spark side's Long math). Batch
+    // ids are DENSE over the non-empty thirds (advice r17): the Spark
+    // side's updatePackingIndex treats an empty batch as a no-op that
+    // consumes no batch number, so a corpus whose doc_ids leave a third
+    // empty must not shift the oracle's labels — dense_rank over the
+    // populated thirds mirrors that exactly (PackingSpec pins the Spark
+    // side's dense numbering on a sparse corpus). A green hash IS the
+    // batch/delta equivalence proof.
     ("q121_packing_index" -> {
       val cap = graft.operators.Packing.ContextTokens
       s"""WITH $ArrCte,
@@ -1564,11 +1570,13 @@ object OracleSql {
          |w AS (SELECT c.doc_id, c.n_toks, c.start_tok,
          |        CAST(CASE WHEN c.doc_id <= mx // 3 THEN 0
          |             WHEN c.doc_id <= (2 * mx) // 3 THEN 1
-         |             ELSE 2 END AS BIGINT) AS batch,
+         |             ELSE 2 END AS BIGINT) AS third,
          |        CAST(CASE WHEN c.n_toks > 0
          |             THEN (c.start_tok + c.n_toks - 1) // $cap - c.start_tok // $cap + 1
          |             ELSE 0 END AS BIGINT) AS n_windows
-         |      FROM c, m)
+         |      FROM c, m),
+         |wb AS (SELECT *, CAST(DENSE_RANK() OVER (ORDER BY third) - 1 AS BIGINT)
+         |         AS batch FROM w)
          |SELECT batch,
          |       CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       MIN(doc_id) AS min_doc,
@@ -1577,7 +1585,7 @@ object OracleSql {
          |       CAST(SUM(start_tok) AS BIGINT) AS start_sum,
          |       CAST(MAX(start_tok + n_toks) AS BIGINT) AS end_max,
          |       CAST(SUM(n_windows) AS BIGINT) AS win_sum
-         |FROM w
+         |FROM wb
          |GROUP BY batch
          |ORDER BY batch""".stripMargin
     }) +

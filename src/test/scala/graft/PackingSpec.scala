@@ -157,6 +157,67 @@ class PackingSpec extends AnyFunSuite {
     assert(mn === boot("total_tokens_after"))
   }
 
+  test("summary batches are numbered densely when a doc_id third is empty") {
+    // advice r17: every doc_id above 2/3 of the max — the first two thirds
+    // of the q121 cut are EMPTY batches (no-ops that consume no batch
+    // number), so the one populated third must read back as batch 0, not 2
+    // (the oracle's dense_rank over populated thirds mirrors this)
+    val docs = (800L to 809L).map(i => i -> s"alpha beta gamma doc $i")
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sparse").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Packing.packingIndexSummary(spark, dir)
+      .select("batch", "n_docs").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(0L -> 10L))
+    // two populated thirds with the MIDDLE empty → batches 0, 1
+    val docs2 = ((10L to 14L) ++ (800L to 804L))
+      .map(i => i -> s"alpha beta gamma doc $i").toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sparse2").toString
+    docs2.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got2 = Packing.packingIndexSummary(spark, dir2)
+      .select("batch", "n_docs", "min_doc").as[(Long, Long, Long)].collect().toSeq
+    assert(got2 === Seq((0L, 5L, 10L), (1L, 5L, 800L)))
+  }
+
+  test("replay arm rejects an impostor batch sharing only the doc_id endpoints") {
+    val path = tmpIndex()
+    val counts = Packing.tokenCounts(spark, sf)
+    Packing.updatePackingIndex(spark, counts, path)
+    val day = counts.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    Packing.updatePackingIndex(spark, day, path)
+    // same min/max doc_id as the last committed batch, but interior rows
+    // dropped (an upstream dedup/filter change between delivery attempts)
+    val (mn, mx) = {
+      val r = day.agg(min("doc_id"), max("doc_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val impostor = day.filter(
+      col("doc_id") === mn || col("doc_id") === mx)
+    val e = intercept[IllegalArgumentException] {
+      Packing.updatePackingIndex(spark, impostor, path)
+    }
+    assert(e.getMessage.contains("replay rejected"))
+    // the TRUE redelivery still replays idempotently after the rejection
+    val again = Packing.updatePackingIndex(spark, day, path)
+    assert(again("docs_added") === day.count())
+  }
+
+  test("readPackingIndex hides a batch dir committed past the sidecar") {
+    val path = tmpIndex()
+    val counts = Packing.tokenCounts(spark, sf)
+    Packing.updatePackingIndex(spark, counts, path)
+    val visible = Packing.readPackingIndex(spark, path).count()
+    // crash model: the NEXT append's parquet committed but its sidecar
+    // write was lost — the orphaned batch=1 dir must stay invisible
+    Packing.contextPacking(spark, sf)
+      .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
+        "n_windows")
+      .write.mode("overwrite").parquet(s"$path/batch=1")
+    assert(Packing.readPackingIndex(spark, path).count() === visible)
+    assert(Packing.readPackingIndex(spark, path)
+      .agg(max("batch")).head().getLong(0) === 0L)
+  }
+
   test("crashed-append replay is idempotent (sidecar rolled back, rerun)") {
     val path = tmpIndex()
     val counts = Packing.tokenCounts(spark, sf)
