@@ -129,7 +129,10 @@ object Bench {
       () => {
         operators.TextAnalysis.dsirDocBuckets(spark, dir).count()
         operators.TextAnalysis.dsirWeightTable(spark, dir).count()
-      })
+      },
+      // the stored placement artifact (q123's read side — bootstraps the
+      // on-disk index once per session, then persists the doc-grain read)
+      () => operators.Packing.storedPlacement(spark, dir).count())
     wave(wave1Steps(sfDir): _*)
     wave(wave2Steps(sfDir): _*)
     wave(wave2bSteps(sfDir): _*)

@@ -22,7 +22,7 @@ object Caches {
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache,
     operators.TextAnalysis.tfidfCache, operators.TextAnalysis.dsirCache,
     operators.TextAnalysis.dsirWtCache, operators.TextAnalysis.bigramCache,
-    operators.TextAnalysis.verdictCache)
+    operators.TextAnalysis.verdictCache, operators.Packing.placementCache)
 
   /** The RESULT-MEMO subset of [[maps]] (detection/search outputs evicted
     * per bench pass by [[clearResultMemos]]); everything else in maps is

@@ -100,6 +100,44 @@ object OracleSql {
        |        FROM documents))""".stripMargin
   }
 
+  /** The window-segment map recompute shared VERBATIM by q122 (one-shot
+    * Spark derivation) and q123 (derivation from the STORED q121
+    * placement artifact): one row per (window, doc) segment from the
+    * one-partition prefix sum + generate_series explode, with the same
+    * integer min/max geometry as Packing.segmentsOf; empty docs contribute
+    * no rows; (win, doc_id) is a total order.
+    */
+  private lazy val windowSegmentsSql: String = {
+    val cap = graft.operators.Packing.ContextTokens
+    s"""WITH $ArrCte,
+       |t AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_toks FROM base),
+       |c AS (SELECT doc_id, n_toks,
+       |        CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |          AS start_tok
+       |      FROM t),
+       |w AS (SELECT doc_id, n_toks, start_tok,
+       |        start_tok // $cap AS first_win,
+       |        (start_tok + n_toks - 1) // $cap AS last_win
+       |      FROM c WHERE n_toks > 0),
+       |s AS (SELECT doc_id, n_toks, start_tok, first_win, last_win,
+       |        unnest(generate_series(first_win, last_win)) AS win
+       |      FROM w)
+       |SELECT CAST(win AS BIGINT) AS win, doc_id,
+       |       CAST(GREATEST(win * $cap, start_tok) - start_tok AS BIGINT)
+       |         AS doc_off,
+       |       CAST(GREATEST(win * $cap, start_tok) - win * $cap AS BIGINT)
+       |         AS win_off,
+       |       CAST(LEAST((win + 1) * $cap, start_tok + n_toks)
+       |            - GREATEST(win * $cap, start_tok) AS BIGINT) AS seg_len,
+       |       CAST(CASE WHEN win = first_win THEN 1 ELSE 0 END AS BIGINT)
+       |         AS is_head,
+       |       CAST(CASE WHEN win = last_win THEN 1 ELSE 0 END AS BIGINT)
+       |         AS is_tail
+       |FROM s
+       |ORDER BY win, doc_id""".stripMargin
+  }
+
   /** MinHash signatures + LSH band buckets, mirroring Dedup.minhash*. */
   val SigsCte: String = {
     val mins = (0 until Dedup_Hashes)
@@ -1514,37 +1552,12 @@ object OracleSql {
     // q122: the window-grain inverse of q120 — explode each placed doc's
     // window span (generate_series) and derive segment geometry with the
     // same integer min/max arithmetic as the Spark side; empty docs
-    // contribute no rows; (win, doc_id) is a total order
-    ("q122_window_segments" -> {
-      val cap = graft.operators.Packing.ContextTokens
-      s"""WITH $ArrCte,
-         |t AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_toks FROM base),
-         |c AS (SELECT doc_id, n_toks,
-         |        CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |          AS start_tok
-         |      FROM t),
-         |w AS (SELECT doc_id, n_toks, start_tok,
-         |        start_tok // $cap AS first_win,
-         |        (start_tok + n_toks - 1) // $cap AS last_win
-         |      FROM c WHERE n_toks > 0),
-         |s AS (SELECT doc_id, n_toks, start_tok, first_win, last_win,
-         |        unnest(generate_series(first_win, last_win)) AS win
-         |      FROM w)
-         |SELECT CAST(win AS BIGINT) AS win, doc_id,
-         |       CAST(GREATEST(win * $cap, start_tok) - start_tok AS BIGINT)
-         |         AS doc_off,
-         |       CAST(GREATEST(win * $cap, start_tok) - win * $cap AS BIGINT)
-         |         AS win_off,
-         |       CAST(LEAST((win + 1) * $cap, start_tok + n_toks)
-         |            - GREATEST(win * $cap, start_tok) AS BIGINT) AS seg_len,
-         |       CAST(CASE WHEN win = first_win THEN 1 ELSE 0 END AS BIGINT)
-         |         AS is_head,
-         |       CAST(CASE WHEN win = last_win THEN 1 ELSE 0 END AS BIGINT)
-         |         AS is_tail
-         |FROM s
-         |ORDER BY win, doc_id""".stripMargin
-    }) +
+    // contribute no rows; (win, doc_id) is a total order.
+    // q123 reuses this SQL VERBATIM (see below): its Spark side derives
+    // the identical map from the STORED q121 placement artifact, so the
+    // shared oracle is the stored-derived ≡ one-shot equivalence proof.
+    ("q122_window_segments" -> windowSegmentsSql) +
+    ("q123_window_segments_stored" -> windowSegmentsSql) +
     // q121: the incremental packing index's per-batch summary, recomputed
     // INDEPENDENTLY from the one-shot prefix sum — the oracle does NOT
     // model the bootstrap/append mechanics, only the placement a full

@@ -178,7 +178,11 @@ object ScaleSmoke {
       // into Σ n_windows segments; row count is NOT derivable from copies
       // alone (window alignment shifts per copy because total tokens mod
       // capacity ≠ 0), so this leg checks execution, not an expectRows pin
-      "q122_window_segments")
+      "q122_window_segments",
+      // round 18: the same map from the STORED placement artifact —
+      // bootstraps the on-disk index once (session-cached), then the
+      // derivation is a map-side explode of the committed 48-byte/doc rows
+      "q123_window_segments_stored")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -377,8 +381,19 @@ object ScaleSmoke {
         operators.Packing.updatePackingIndex(spark, day, path)
       }
       counts.unpersist()
+      // round 18 (VERDICT r17 item 1): extending the loader's composition
+      // map after the append is O(batch) — the segment derivation reads
+      // ONLY the appended batch=1 dir (partition-pruned) and explodes it
+      // map-side; flat across replication rungs while bootstrap grows
+      val (nSeg, tc) = timed {
+        operators.Packing.windowSegmentsForBatch(spark, path, 1L).count()
+      }
       println(f"[scale] q121 packing bootstrap   $ta%8.2f s  ${boot.toSeq.sorted.mkString(", ")}")
       println(f"[scale] q121 packing incremental $tb%8.2f s  ${incr.toSeq.sorted.mkString(", ")}")
+      println(f"[scale] q121 segment extension   $tc%8.2f s  segments=$nSeg")
+      require(nSeg >= baseDocs,
+        s"appended batch's segment map holds $nSeg rows for $baseDocs docs" +
+          " — every non-empty doc must contribute at least one segment")
       require(incr("docs_added") == baseDocs,
         s"append wrote ${incr("docs_added")} placement rows, expected $baseDocs")
       val app = operators.Packing.readPackingIndex(spark, path)

@@ -293,7 +293,12 @@ object SparkEntry {
     // Window-segment map: the per-window inverse of q120's placement —
     // one row per (window, doc) segment with offsets and head/tail
     // flags, the composition map a loader/attention-mask builder reads
-    "q122_window_segments" -> ((s, d) => Packing.windowSegments(s, d)))
+    "q122_window_segments" -> ((s, d) => Packing.windowSegments(s, d)),
+    // The same map derived from the STORED q121 placement artifact
+    // (map-side explode of the committed index — no corpus re-sort);
+    // oracle = q122's one-shot recompute, so a green hash proves
+    // stored-derived ≡ one-shot through the storage round-trip
+    "q123_window_segments_stored" -> ((s, d) => Packing.windowSegmentsFromIndex(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -151,12 +151,22 @@ object Packing {
     * abut within every window.
     */
   def windowSegments(spark: SparkSession, dir: String,
-      capacity: Long = ContextTokens): DataFrame = {
-    val p = placementRaw(spark, dir, capacity)
+      capacity: Long = ContextTokens): DataFrame =
+    segmentsOf(placementRaw(spark, dir, capacity), capacity)
+      .orderBy("win", "doc_id")
+
+  /** The map-side segment explosion shared by every window-segment form
+    * (one-shot q122, stored-index q123, per-batch rung): `placed` must
+    * carry (doc_id, n_toks, start_tok, first_win, last_win) computed at
+    * the SAME `capacity` — the window ids were fixed when the placement
+    * was derived, so a mismatched capacity here would silently shear the
+    * segment geometry off the stored window grid.
+    */
+  private[graft] def segmentsOf(placed: DataFrame, capacity: Long): DataFrame = {
     val winStart = col("win") * capacity
     val segFrom = greatest(winStart, col("start_tok"))
     val segTo = least(winStart + capacity, col("start_tok") + col("n_toks"))
-    p.filter(col("n_toks") > 0)
+    placed.filter(col("n_toks") > 0)
       .select(col("doc_id"), col("n_toks"), col("start_tok"),
         col("first_win"), col("last_win"),
         explode(sequence(col("first_win"), col("last_win"))).as("win"))
@@ -168,8 +178,62 @@ object Packing {
           .as("is_head"),
         when(col("win") === col("last_win"), lit(1L)).otherwise(lit(0L))
           .as("is_tail"))
-      .orderBy("win", "doc_id")
   }
+
+  /** The per-(session, dir) STORED placement relation — an INDEX ARTIFACT
+    * (CLAUDE.md cache taxonomy): the committed q121-layout index a
+    * deployment maintains incrementally, bootstrapped here once per
+    * (session, dir) at a dedicated `-stored` path (so q121's per-run
+    * wipe-and-rebuild round-trip never races it) and kept resident as the
+    * doc-grain placement columns. Everything a loader derives — q123's
+    * window-segment map, the per-batch extension — reads THIS relation,
+    * never a corpus re-sort.
+    */
+  private[graft] val placementCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def storedPlacement(spark: SparkSession, dir: String): DataFrame =
+    placementCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        val path = PackingIndexPath(spark, dir) + "-stored"
+        if (readState(spark, path).isEmpty)
+          updatePackingIndex(spark, tokenCounts(spark, dir), path)
+        readPackingIndex(spark, path)
+          .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
+            "n_windows")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** q123 — the q122 window-segment map derived from the STORED q121
+    * placement artifact instead of a per-run corpus re-sort (VERDICT r17
+    * item 1): at 100 TB the loader's composition map must come from the
+    * committed placement index — the corpus's token counts were sorted
+    * once, at ingest, and every later consumer explodes the stored
+    * 48-byte/doc rows map-side. Oracle: the SAME SQL as q122 (the
+    * one-shot recompute), so a green hash proves stored-derived segments
+    * ≡ one-shot segments through the index's storage round-trip.
+    * `capacity` must match the stored index's build capacity (see
+    * [[segmentsOf]]).
+    */
+  def windowSegmentsFromIndex(spark: SparkSession, dir: String,
+      capacity: Long = ContextTokens): DataFrame =
+    segmentsOf(storedPlacement(spark, dir), capacity)
+      .orderBy("win", "doc_id")
+
+  /** Window segments of ONE stored batch — the O(batch) incremental form
+    * a loader uses after an append: the read is pruned to the `batch=N`
+    * dir (partition-column filter), so extending the composition map
+    * costs the new batch's segment explosion, never a corpus pass
+    * (ScaleSmoke's q121 rung times it flat across replications). Segments
+    * are complete for every doc IN the batch: a window shared with the
+    * previous batch's tail appears with the new docs' segments only —
+    * the earlier segments are already in the previous batches' maps.
+    */
+  def windowSegmentsForBatch(spark: SparkSession, path: String, batch: Long,
+      capacity: Long = ContextTokens): DataFrame =
+    segmentsOf(readPackingIndex(spark, path).filter(col("batch") === batch),
+      capacity)
+      .orderBy("win", "doc_id")
 
   // ------------------------------------------------------------------
   // The INCREMENTAL packing index (round 17, VERDICT r16 item 4): a real

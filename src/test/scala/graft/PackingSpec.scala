@@ -157,6 +157,20 @@ class PackingSpec extends AnyFunSuite {
     assert(mn === boot("total_tokens_after"))
   }
 
+  test("segments from the stored index equal the one-shot derivation") {
+    val oneShot = Packing.windowSegments(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val stored = Packing.windowSegmentsFromIndex(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored.nonEmpty && stored === oneShot)
+    // the per-batch form over the whole stored index (batch 0 holds the
+    // bootstrap — everything) reproduces the same map
+    val path = Packing.PackingIndexPath(spark, sf) + "-stored"
+    val perBatch = Packing.windowSegmentsForBatch(spark, path, 0L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(perBatch === oneShot)
+  }
+
   test("summary batches are numbered densely when a doc_id third is empty") {
     // advice r17: every doc_id above 2/3 of the max — the first two thirds
     // of the q121 cut are EMPTY batches (no-ops that consume no batch
