@@ -1558,6 +1558,53 @@ object OracleSql {
     // shared oracle is the stored-derived ≡ one-shot equivalence proof.
     ("q122_window_segments" -> windowSegmentsSql) +
     ("q123_window_segments_stored" -> windowSegmentsSql) +
+    // q124: per-shard digest of the packed-window artifact, recomputed
+    // INDEPENDENTLY from the documents table — the oracle does not model
+    // the materialize/write mechanics, only the window contents a full
+    // recompute yields: each window's text is sliced out of the token
+    // arrays via the shared placement geometry (1-based inclusive list
+    // slicing = Spark's slice(toks, doc_off+1, seg_len)), assembled in
+    // win_off order, and digested with the first-8-nibble md5 sum (the
+    // q114 commutative-digest idiom)
+    ("q124_packed_shards" -> {
+      val cap = graft.operators.Packing.ContextTokens
+      val wps = graft.Pipeline.PackedWindowsPerShard
+      s"""WITH $ArrCte,
+         |t AS (SELECT doc_id, arr, CAST(len(arr) AS BIGINT) AS n_toks FROM base),
+         |c AS (SELECT doc_id, arr, n_toks,
+         |        CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |          AS start_tok
+         |      FROM t),
+         |w AS (SELECT doc_id, arr, n_toks, start_tok,
+         |        start_tok // $cap AS first_win,
+         |        (start_tok + n_toks - 1) // $cap AS last_win
+         |      FROM c WHERE n_toks > 0),
+         |s AS (SELECT doc_id, arr, n_toks, start_tok,
+         |        unnest(generate_series(first_win, last_win)) AS win
+         |      FROM w),
+         |seg AS (SELECT win,
+         |          GREATEST(win * $cap, start_tok) - win * $cap AS win_off,
+         |          LEAST((win + 1) * $cap, start_tok + n_toks)
+         |            - GREATEST(win * $cap, start_tok) AS seg_len,
+         |          array_to_string(arr[
+         |            CAST(GREATEST(win * $cap, start_tok) - start_tok + 1 AS BIGINT) :
+         |            CAST(LEAST((win + 1) * $cap, start_tok + n_toks) - start_tok AS BIGINT)],
+         |            ' ') AS segtxt
+         |        FROM s),
+         |wt AS (SELECT win, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         |          CAST(SUM(seg_len) AS BIGINT) AS n_toks,
+         |          string_agg(segtxt, ' ' ORDER BY win_off) AS txt
+         |        FROM seg GROUP BY win)
+         |SELECT CAST(win // $wps AS BIGINT) AS shard,
+         |       CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |       CAST(SUM(n_segs) AS BIGINT) AS n_segs,
+         |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(${hexValSql("txt", 1, 8)}) AS BIGINT) AS win_digest
+         |FROM wt
+         |GROUP BY shard
+         |ORDER BY shard""".stripMargin
+    }) +
     // q121: the incremental packing index's per-batch summary, recomputed
     // INDEPENDENTLY from the one-shot prefix sum — the oracle does NOT
     // model the bootstrap/append mechanics, only the placement a full

@@ -182,7 +182,13 @@ object ScaleSmoke {
       // round 18: the same map from the STORED placement artifact —
       // bootstraps the on-disk index once (session-cached), then the
       // derivation is a map-side explode of the committed 48-byte/doc rows
-      "q123_window_segments_stored")
+      "q123_window_segments_stored",
+      // round 18b: the packed-shard materializer moves the copies× token
+      // stream exactly once (slice map-side, one capacity-bounded
+      // groupBy(win), partitioned write) then digests the written
+      // artifact; the heaviest I/O leg in the suite by design — the
+      // output IS the training artifact
+      "q124_packed_shards")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly

@@ -298,7 +298,12 @@ object SparkEntry {
     // (map-side explode of the committed index — no corpus re-sort);
     // oracle = q122's one-shot recompute, so a green hash proves
     // stored-derived ≡ one-shot through the storage round-trip
-    "q123_window_segments_stored" -> ((s, d) => Packing.windowSegmentsFromIndex(s, d)))
+    "q123_window_segments_stored" -> ((s, d) => Packing.windowSegmentsFromIndex(s, d)),
+    // Packed window CONTENTS — the loader-ready shard artifact: wipe,
+    // materialize window-grain rows (token stream + segment boundary
+    // metadata) partitioned by shard, then digest the WRITTEN artifact
+    // per shard (commutative md5 content sums, the q114 pattern)
+    "q124_packed_shards" -> ((s, d) => Pipeline.packedShardDigest(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

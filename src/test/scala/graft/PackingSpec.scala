@@ -171,6 +171,47 @@ class PackingSpec extends AnyFunSuite {
     assert(perBatch === oneShot)
   }
 
+  test("materialized packed windows re-concatenate to the corpus token stream") {
+    val out = java.nio.file.Files.createTempDirectory("graft_packed")
+      .resolve("shards").toString
+    val counts = Pipeline.materializePacked(spark, sf, out)
+    val win = spark.read.parquet(s"$out/windows")
+    val cap = Packing.ContextTokens
+    // every window except the last is exactly capacity-long (dense packing)
+    val sizes = win.select(col("win"),
+      size(col("tokens")).cast("long").as("n"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(sizes.nonEmpty)
+    assert(sizes.map(_._1).toSeq === sizes.indices.map(_.toLong)) // dense win ids
+    sizes.dropRight(1).foreach { case (w, n) => assert(n === cap, s"win $w") }
+    assert(sizes.last._2 > 0 && sizes.last._2 <= cap)
+    // reconstruction: window streams in win order == corpus tokens in
+    // doc_id order (the per-doc analogue lives in the q122 tiling test)
+    val got = win.select(col("win"), col("tokens"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1).flatMap(_._2).toSeq
+    val want = operators.TextAnalysis.rawTokens(spark, sf)
+      .select("doc_id", "toks").as[(Long, Seq[String])]
+      .collect().sortBy(_._1).flatMap(_._2).toSeq
+    assert(got === want)
+    assert(counts("tokens_written") === want.size.toLong)
+    // the embedded boundary metadata IS the q122 segment map
+    val meta = win
+      .select(col("win"), explode(col("segments")).as("g"))
+      .select(col("win"), col("g.doc_id"), col("g.win_off"),
+        col("g.seg_len"), col("g.is_head"), col("g.is_tail"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val segMap = Packing.windowSegments(spark, sf)
+      .select("win", "doc_id", "win_off", "seg_len", "is_head", "is_tail")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(meta === segMap)
+    // shard ids are the declared pure function of window ids
+    val shards = win.select(col("win"), col("shard").cast("long"))
+      .as[(Long, Long)].collect()
+    shards.foreach { case (w, s) =>
+      assert(s === w / Pipeline.PackedWindowsPerShard)
+    }
+  }
+
   test("summary batches are numbered densely when a doc_id third is empty") {
     // advice r17: every doc_id above 2/3 of the max — the first two thirds
     // of the q121 cut are EMPTY batches (no-ops that consume no batch
