@@ -394,6 +394,128 @@ object Packing {
     }
   }
 
+  /** Doc-grain schema of a stored placement row (no batch column). */
+  private val PlacementSchema = "doc_id BIGINT, n_toks BIGINT, " +
+    "start_tok BIGINT, first_win BIGINT, last_win BIGINT, n_windows BIGINT"
+
+  /** Fold all committed `batch=N` dirs into ONE `batch=0` dir — the
+    * chunk index's compaction applied to the packing index (VERDICT r17
+    * item 3): daily appends accumulate a dir per ingest day, and after N
+    * days every full read lists N dirs; compaction folds them back to one
+    * generation with the PLACEMENT UNCHANGED (PackingSpec proves the
+    * doc-grain rows identical before/after) and the sidecar rewritten so
+    * later appends chain exactly as before (the folded batch becomes "the
+    * last committed batch": replay identity fields cover the whole fold).
+    *
+    * Contract: a MAINTENANCE-WINDOW op under the index's single-writer
+    * rule. Crash safety rides a committed `.compact-staging` anchor (the
+    * chunk-index convention): the full placement is staged OUT first, the
+    * fold happens, the sidecar commits, and only then is staging dropped —
+    * a death at any instant leaves either the original dirs intact (no
+    * committed staging → restage fresh) or a committed staging copy that
+    * the next compaction call RESUMES from (re-deletes, re-folds,
+    * re-commits — idempotent). Readers racing a crashed fold are protected
+    * by readPackingIndex's `batch < nextBatch` gate only up to the sidecar
+    * commit; like the chunk-index compaction, pause readers for the
+    * window.
+    */
+  def compactPackingIndex(spark: SparkSession, path: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
+    val resume = fs.exists(
+      new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+    val st = readState(spark, path)
+    if (!resume) {
+      if (st.isEmpty || st.get.nextBatch <= 1L)
+        return Map("batches_folded" -> st.map(_.nextBatch).getOrElse(0L),
+          "docs" -> -1L, "recovered" -> 0L) // empty or single-batch: no-op
+      readPackingIndex(spark, path)
+        .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
+          "n_windows")
+        .write.mode("overwrite").parquet(staging.toString)
+    }
+    val staged = spark.read.schema(PlacementSchema).parquet(staging.toString)
+    // the folded batch's identity fields, from the STAGED copy (always
+    // correct on resume, whether or not the old sidecar survived)
+    val s = staged.agg(count(lit(1)), min("doc_id"), max("doc_id"),
+      coalesce(sum("n_toks"), lit(0L))).head()
+    val (n, minDoc, maxDoc, tokSum) =
+      (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+    val folded = st.map(_.nextBatch).getOrElse(-1L)
+    fs.listStatus(p).filter(_.getPath.getName.startsWith("batch="))
+      .foreach(d => fs.delete(d.getPath, true))
+    staged.write.mode("overwrite").parquet(s"$path/batch=0")
+    writeState(spark, path,
+      IndexState(1L, tokSum, maxDoc, minDoc, 0L, n, tokSum))
+    fs.delete(staging, true)
+    Map("batches_folded" -> folded, "docs" -> n,
+      "recovered" -> (if (resume) 1L else 0L))
+  }
+
+  /** Rewind the index to its first `keepBatches` committed batches — the
+    * re-pack entry point for NON-MONOTONE ingest (VERDICT r17 item 3):
+    * updatePackingIndex THROWS on a late batch (doc_ids at or below the
+    * stored max) rather than corrupt placement; the recovery is to
+    * truncate back to the last batch that wholly precedes the late data,
+    * then re-append everything from there in doc_id order:
+    *
+    *  1. find K = the first stored batch containing any doc_id ≥ the late
+    *     batch's min (one bounded per-batch aggregate over the index);
+    *  2. BEFORE truncating, MATERIALIZE the tail's token counts out of the
+    *     index (batches ≥ K hold exactly (doc_id, n_toks) — no corpus
+    *     re-tokenize needed): stage them to a temp path or localCheckpoint
+    *     the read — truncation deletes the very dirs a lazy plan over the
+    *     tail would read (the self-overwrite trap);
+    *  3. truncate to K, union the late rows into the staged tail, and
+    *     re-append the merged, doc_id-sorted counts; placement is then
+    *     bit-identical to packing the corrected corpus one-shot
+    *     (PackingSpec executes this exact procedure).
+    *
+    * Crash safety: the NEW sidecar commits FIRST — from that instant the
+    * doomed `batch ≥ keepBatches` dirs are invisible to every reader
+    * (the `batch < nextBatch` gate), so the deletions that follow are
+    * cleanup, not correctness, and the next append simply overwrites
+    * `batch=keepBatches` (the replay-overwrite discipline). Truncating to
+    * 0 resets to the bootstrap state (sidecar removed).
+    */
+  def truncatePackingIndex(spark: SparkSession, path: String,
+      keepBatches: Long): Map[String, Long] = {
+    require(keepBatches >= 0, "keepBatches must be >= 0")
+    val st = readState(spark, path).getOrElse(
+      return Map("batches_kept" -> 0L, "batches_dropped" -> 0L))
+    if (keepBatches >= st.nextBatch)
+      return Map("batches_kept" -> st.nextBatch, "batches_dropped" -> 0L)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (keepBatches == 0L) {
+      fs.delete(statePath(path), false)
+    } else {
+      // kept-prefix identity from the stored rows: the last kept batch's
+      // seed (min start_tok), count, token sum, min/max doc — bounded
+      // aggregates over the partition-pruned kept read
+      val kept = spark.read.option("basePath", path).parquet(path)
+        .withColumn("batch", col("batch").cast("long"))
+        .filter(col("batch") < keepBatches)
+      val last = kept.filter(col("batch") === keepBatches - 1L)
+        .agg(count(lit(1)), min("doc_id"), min("start_tok"),
+          coalesce(sum("n_toks"), lit(0L))).head()
+      val (lc, lmin, lseed, lsum) =
+        (last.getLong(0), last.getLong(1), last.getLong(2), last.getLong(3))
+      val mx = kept.agg(max("doc_id")).head().getLong(0)
+      writeState(spark, path,
+        IndexState(keepBatches, lseed + lsum, mx, lmin, lseed, lc, lsum))
+    }
+    // cleanup: from here the dropped dirs are already invisible
+    fs.listStatus(p).filter { d =>
+      val nm = d.getPath.getName
+      nm.startsWith("batch=") &&
+        nm.stripPrefix("batch=").toLongOption.exists(_ >= keepBatches)
+    }.foreach(d => fs.delete(d.getPath, true))
+    Map("batches_kept" -> keepBatches,
+      "batches_dropped" -> (st.nextBatch - keepBatches))
+  }
+
   /** Where the q121 round-trip keeps its per-(session, dir) index —
     * the ChunkIndexPath convention.
     */

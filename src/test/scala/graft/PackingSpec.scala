@@ -273,6 +273,102 @@ class PackingSpec extends AnyFunSuite {
       .agg(max("batch")).head().getLong(0) === 0L)
   }
 
+  test("compaction folds batch dirs with placement unchanged; appends still chain") {
+    val path = tmpIndex()
+    val counts = Packing.tokenCounts(spark, sf)
+    val mx = counts.agg(max("doc_id")).head().getLong(0)
+    val (t1, t2) = (mx / 3, 2 * mx / 3)
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") <= t1), path)
+    Packing.updatePackingIndex(spark,
+      counts.filter(col("doc_id") > t1 && col("doc_id") <= t2), path)
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") > t2), path)
+    val before = Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
+        "n_windows")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val r = Packing.compactPackingIndex(spark, path)
+    assert(r("batches_folded") === 3L && r("recovered") === 0L)
+    val after = Packing.readPackingIndex(spark, path)
+    assert(after.agg(max("batch")).head().getLong(0) === 0L)
+    assert(after.select("doc_id", "n_toks", "start_tok", "first_win",
+      "last_win", "n_windows")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      === before)
+    // one physical batch dir remains; the staging anchor is gone
+    val dirs = new java.io.File(path).listFiles
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs === Set("batch=0"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + ".compact-staging")))
+    // a later append chains from the folded total exactly
+    val day = counts.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val a = Packing.updatePackingIndex(spark, day, path)
+    assert(a("batch") === 1L)
+    val mn = Packing.readPackingIndex(spark, path)
+      .where(col("batch") === 1L).agg(min("start_tok")).head().getLong(0)
+    assert(mn === before.map(_._2).sum)
+    // compacting a single-batch index is a no-op
+    Packing.compactPackingIndex(spark, path) // folds 2 → 1 again
+    assert(Packing.compactPackingIndex(spark, path)("batches_folded") === 1L)
+  }
+
+  test("non-monotone ingest recovers via truncate + re-append (the re-pack procedure)") {
+    val path = tmpIndex()
+    val counts = Packing.tokenCounts(spark, sf)
+    val mx = counts.agg(max("doc_id")).head().getLong(0)
+    val (t1, t2) = (mx / 3, 2 * mx / 3)
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") <= t1), path)
+    Packing.updatePackingIndex(spark,
+      counts.filter(col("doc_id") > t1 && col("doc_id") <= t2), path)
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") > t2), path)
+    // a LATE batch arrives whose doc_ids fall inside batch 1's range —
+    // the monotone contract rejects it rather than corrupt placement
+    val late = counts.filter(col("doc_id") > t1 && col("doc_id") <= t2)
+      .withColumn("doc_id", col("doc_id") + lit(1L))
+      .withColumn("n_toks", lit(7L))
+    intercept[IllegalArgumentException] {
+      Packing.updatePackingIndex(spark, late, path)
+    }
+    // recovery, exactly as documented on truncatePackingIndex: K = first
+    // batch containing any doc_id >= the late min; truncate to K; re-read
+    // the truncated tail's counts FROM THE INDEX; union the late rows
+    // (late wins on doc_id collision — the corrected ingest); re-append
+    val lateMin = late.agg(min("doc_id")).head().getLong(0)
+    val perBatch = Packing.readPackingIndex(spark, path)
+      .groupBy("batch").agg(max("doc_id").as("mx")).orderBy("batch")
+      .as[(Long, Long)].collect()
+    val k = perBatch.collectFirst { case (b, m) if m >= lateMin => b }.get
+    assert(k === 1L)
+    // MATERIALIZE the tail before truncating (procedure step 2): the
+    // truncation deletes the dirs a lazy plan over the tail would read
+    val tail = Packing.readPackingIndex(spark, path)
+      .filter(col("batch") >= k).select("doc_id", "n_toks")
+      .localCheckpoint()
+    val merged = tail.join(late.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(late.select("doc_id", "n_toks"))
+    val mergedRows = merged.as[(Long, Long)].collect().sortBy(_._1)
+    Packing.truncatePackingIndex(spark, path, k)
+    Packing.updatePackingIndex(spark, merged, path)
+    // the repaired index equals packing the corrected corpus one-shot
+    val keptHead = counts.filter(col("doc_id") <= t1)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val corrected = (keptHead ++ mergedRows).toSeq
+    val got = Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    var acc = 0L
+    corrected.zip(got).foreach { case ((id, n), (gid, gn, gstart)) =>
+      assert(gid === id && gn === n && gstart === acc, s"doc $id")
+      acc += n
+    }
+    assert(got.length === corrected.length)
+    // truncate-to-zero resets to bootstrap state
+    Packing.truncatePackingIndex(spark, path, 0L)
+    assert(Packing.readPackingIndex(spark, path).count() === 0L)
+    val boot = Packing.updatePackingIndex(spark, counts, path)
+    assert(boot("batch") === 0L)
+  }
+
   test("crashed-append replay is idempotent (sidecar rolled back, rerun)") {
     val path = tmpIndex()
     val counts = Packing.tokenCounts(spark, sf)
