@@ -132,7 +132,9 @@ object Bench {
       },
       // the stored placement artifact (q123's read side — bootstraps the
       // on-disk index once per session, then persists the doc-grain read)
-      () => operators.Packing.storedPlacement(spark, dir).count())
+      () => operators.Packing.storedPlacement(spark, dir).count(),
+      // the per-benchmark bloom bit-sets (q125's index side)
+      () => operators.Sketches.benchEvalBits(spark, dir).count())
     wave(wave1Steps(sfDir): _*)
     wave(wave2Steps(sfDir): _*)
     wave(wave2bSteps(sfDir): _*)

@@ -19,6 +19,7 @@ object Caches {
     operators.Dedup.embRepCache, operators.Dedup.embPairsCache,
     operators.Similarity.idxCache, operators.Similarity.knnMemo,
     operators.Sketches.bitsCache, operators.Sketches.bloomMemo,
+    operators.Sketches.benchBitsCache, operators.Sketches.multiBloomMemo,
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache,
     operators.TextAnalysis.tfidfCache, operators.TextAnalysis.dsirCache,
     operators.TextAnalysis.dsirWtCache, operators.TextAnalysis.bigramCache,
@@ -32,7 +33,8 @@ object Caches {
   private def resultMaps = Seq(
     operators.Dedup.clusterCache, operators.Dedup.pairsCache,
     operators.Dedup.embPairsCache, operators.Similarity.knnMemo,
-    operators.Sketches.bloomMemo, operators.TextAnalysis.verdictCache)
+    operators.Sketches.bloomMemo, operators.Sketches.multiBloomMemo,
+    operators.TextAnalysis.verdictCache)
 
   /** Every INDEX-class cache key for (`spark`, `dir`) — the bench's
     * warmup-completeness instrument (round 17, VERDICT r16 item 3): keys
@@ -90,6 +92,11 @@ object Caches {
     // artifact, built once per eval benchmark)
     operators.Sketches.bloomMemo.keys.filter(_.startsWith(prefix)).foreach { k =>
       operators.Sketches.bloomMemo.remove(k).foreach(free)
+    }
+    // likewise the multi-benchmark flag relation (q125's detection
+    // output) — the per-benchmark BIT-SETS stay (index artifacts)
+    operators.Sketches.multiBloomMemo.keys.filter(_.startsWith(prefix)).foreach { k =>
+      operators.Sketches.multiBloomMemo.remove(k).foreach(free)
     }
     // learned BPE merge tables are results too (driver values, no blocks)
     operators.TextAnalysis.mergeMemo.keys.filter(_.startsWith(prefix))

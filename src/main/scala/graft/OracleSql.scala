@@ -1495,6 +1495,41 @@ object OracleSql {
          |LEFT JOIN base b ON sp.doc_id = b.doc_id
          |LEFT JOIN fl f ON sp.doc_id = f.doc_id
          |ORDER BY sp.doc_id""".stripMargin) +
+    // q125: the multi-benchmark form of q102 — benchmark = eval source,
+    // per-benchmark DISTINCT bit-position sets, a train shingle flagged
+    // for a benchmark when all k positions land in THAT benchmark's set
+    // (the same duplicate-position equivalence argument as q102's
+    // HAVING COUNT(*) = k), universe = train docs × benchmarks
+    ("q125_multibench_bloom" ->
+      s"""WITH $SplitCte, $ShinglesCte,
+         |tr AS (SELECT s.doc_id, s.shingle FROM shingles s
+         |       JOIN splits sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'),
+         |ev AS (SELECT DISTINCT d.source AS benchmark, s.shingle
+         |       FROM shingles s
+         |       JOIN splits sp ON s.doc_id = sp.doc_id
+         |       JOIN documents d ON s.doc_id = d.doc_id
+         |       WHERE sp.split <> 'train'),
+         |evpos AS (SELECT DISTINCT benchmark, pos
+         |          FROM (SELECT benchmark, unnest([${bloomPosSql("shingle")}]) AS pos
+         |                FROM ev)),
+         |trpos AS (SELECT doc_id, shingle, unnest([${bloomPosSql("shingle")}]) AS pos
+         |          FROM tr),
+         |hit AS (SELECT t.doc_id, t.shingle, e.benchmark
+         |        FROM trpos t JOIN evpos e USING (pos)
+         |        GROUP BY t.doc_id, t.shingle, e.benchmark
+         |        HAVING COUNT(*) = ${graft.operators.Sketches.BloomK}),
+         |fl AS (SELECT doc_id, benchmark, COUNT(*) AS n_flagged
+         |       FROM hit GROUP BY doc_id, benchmark),
+         |base AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+         |bm AS (SELECT DISTINCT benchmark FROM ev)
+         |SELECT sp.doc_id, bm.benchmark,
+         |       CAST(COALESCE(b.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |       CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged
+         |FROM (SELECT doc_id FROM splits WHERE split = 'train') sp
+         |CROSS JOIN bm
+         |LEFT JOIN base b ON sp.doc_id = b.doc_id
+         |LEFT JOIN fl f ON sp.doc_id = f.doc_id AND bm.benchmark = f.benchmark
+         |ORDER BY sp.doc_id, bm.benchmark""".stripMargin) +
     // q119: q102's CTE chain plus the exact overlap (train shingles IN the
     // distinct eval shingle set) — n_false_pos = flagged − exact
     ("q119_bloom_fp_audit" ->

@@ -188,7 +188,12 @@ object ScaleSmoke {
       // groupBy(win), partitioned write) then digests the written
       // artifact; the heaviest I/O leg in the suite by design — the
       // output IS the training artifact
-      "q124_packed_shards")
+      "q124_packed_shards",
+      // round 18c: multi-benchmark bloom — the per-benchmark bit-sets are
+      // replication-INVARIANT (verbatim copies add no eval shingles or
+      // sources) while the flagged train side grows copies×; one row per
+      // (train doc, benchmark)
+      "q125_multibench_bloom")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -209,6 +214,10 @@ object ScaleSmoke {
       "q102_bloom_decontamination" -> 3973L,
       // same grain as q102: one row per train doc
       "q119_bloom_fp_audit" -> 3973L,
+      // one row per (train doc, benchmark): 3,973 train docs × the 20
+      // eval sources per sf0.1 copy (both factors replication-stable —
+      // content-hash split and verbatim copies)
+      "q125_multibench_bloom" -> (3973L * 20L),
       // one chunk row per (doc, window): 6,923 per sf0.1 copy
       "q106_doc_chunks" -> 6923L,
       // one scrub / purge row per document

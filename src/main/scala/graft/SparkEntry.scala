@@ -303,7 +303,12 @@ object SparkEntry {
     // materialize window-grain rows (token stream + segment boundary
     // metadata) partitioned by shard, then digest the WRITTEN artifact
     // per shard (commutative md5 content sums, the q114 pattern)
-    "q124_packed_shards" -> ((s, d) => Pipeline.packedShardDigest(s, d)))
+    "q124_packed_shards" -> ((s, d) => Pipeline.packedShardDigest(s, d)),
+    // Multi-benchmark Bloom decontamination: per-benchmark bit-sets
+    // (benchmark = eval source), ONE train-side pass flagging every doc
+    // against every benchmark's packed filter map-side — one row per
+    // (train doc, benchmark); streaming twin bloomFlagMultiStream
+    "q125_multibench_bloom" -> ((s, d) => Sketches.multiBenchDecontamination(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -138,6 +138,130 @@ object Sketches {
     sb.toString
   }
 
+  /** Bit `p` of a packBitsHex-packed bit-set carried in `hexLit` — bit p
+    * lives at hex char p >> 2 (0-based), bit p & 3 within the nibble;
+    * masks via element_at keeps the extraction integer-exact (no
+    * Column-valued shift exists). ONE definition shared by the streaming
+    * twins (bloomFlagStream / bloomFlagMultiStream) and the batch
+    * multi-benchmark gate, so the packed layout cannot drift between
+    * producers and consumers.
+    */
+  private[graft] def bitInHex(hexLit: Column, p: Column): Column = {
+    val masks = typedlit(Seq(1, 2, 4, 8))
+    val nibble = conv(
+      hexLit.substr(floor(p / lit(4)).cast("int") + lit(1), lit(1)), 16, 10)
+      .cast("int")
+    nibble.bitwiseAND(element_at(masks, (p % 4).cast("int") + lit(1))) > lit(0)
+  }
+
+  private[graft] val benchBitsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** PER-BENCHMARK Bloom bit-sets — the multi-benchmark form of
+    * [[bloomEvalBits]] (VERDICT r17 item 4): real pipelines screen one
+    * train-side pass against DOZENS of eval benchmarks, each with its own
+    * filter, not one merged set. Benchmarks here are the eval (val+test)
+    * split's sources — each source's eval documents form one benchmark —
+    * and the relation is (benchmark, pos) distinct: ≤ BloomBits rows per
+    * benchmark no matter how large its eval set, because eval benchmarks
+    * are bounded (the thing that makes the whole sketch affordable).
+    * INDEX ARTIFACT cache class: built once per benchmark suite, kept
+    * resident across passes.
+    */
+  def benchEvalBits(spark: SparkSession, dir: String): DataFrame =
+    benchBitsCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
+        val evalDocs = splits.filter(col("split") =!= "train")
+          .select("doc_id")
+          .join(Tables.documents(spark, dir)
+            .select(col("doc_id"), col("source").as("benchmark")), Seq("doc_id"))
+        Dedup.shingles(spark, dir)
+          .join(evalDocs, Seq("doc_id"))
+          .select(col("benchmark"), explode(bloomPositions).as("pos"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** The per-benchmark bit-sets SERIALIZED — (benchmark, 64 KiB hex)
+    * pairs sorted by benchmark, the blobs an ingest executor ships as
+    * plan literals (the evalBitsHex shape, one per benchmark). Collect is
+    * bounded by construction: ≤ BloomBits rows per benchmark, and the
+    * benchmark universe is the eval split's source list.
+    */
+  def benchBitsHex(spark: SparkSession, dir: String): Seq[(String, String)] =
+    benchEvalBits(spark, dir).collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (b, rows) => b -> packBitsHex(rows.map(_.getLong(1))) }
+
+  private[graft] val multiBloomMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The unsorted per-(train doc, benchmark) flag relation — a RESULT
+    * MEMO like [[bloomMemo]] (evicted per bench pass by
+    * Caches.clearResultMemos). Scale shape: the train side — the 100 TB
+    * side — is read ONCE, entirely map-side: the k bit positions are
+    * projected once per shingle (shared across benchmarks), each
+    * benchmark's all-k-hit flag is a per-row test against its OWN packed
+    * bit-set literal (no join — the filter rides the task binary, exactly
+    * how the streaming gate ships it), and everything collapses in ONE
+    * partial-aggregated groupBy(doc_id) carrying one counter per
+    * benchmark. The per-benchmark columns then stack to the tall
+    * (doc, benchmark) grain map-side, and the only other shuffle is the
+    * edge join back to the train-doc × benchmark universe.
+    */
+  private def multiBenchFlags(spark: SparkSession, dir: String): DataFrame =
+    multiBloomMemo.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        import spark.implicits._
+        val benches = benchBitsHex(spark, dir)
+        val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
+        val trainDocs = splits.filter(col("split") === "train").select("doc_id")
+        val out =
+          if (benches.isEmpty)
+            // no eval docs → no benchmarks: empty, correctly-typed
+            trainDocs.select(col("doc_id"), lit("").as("benchmark"),
+              lit(0L).as("n_shingles"), lit(0L).as("n_flagged")).limit(0)
+          else {
+            val tagged = Dedup.shingles(spark, dir)
+              .join(trainDocs, Seq("doc_id"), "left_semi")
+              .select(col("doc_id") +:
+                (0 until BloomK).map(i => bloomPosition(i).as(s"_pos$i")): _*)
+            val aggCols = count(lit(1)).as("n_shingles") +:
+              benches.zipWithIndex.map { case ((_, hex), bi) =>
+                val h = lit(hex)
+                val allHit = (0 until BloomK)
+                  .map(i => bitInHex(h, col(s"_pos$i"))).reduce(_ && _)
+                sum(when(allHit, lit(1L)).otherwise(lit(0L))).as(s"_f$bi")
+              }
+            val agg = tagged.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+            val stacked = agg.select(col("doc_id"), col("n_shingles"),
+              explode(array(benches.zipWithIndex.map { case ((b, _), bi) =>
+                struct(lit(b).as("benchmark"), col(s"_f$bi").as("n_flagged"))
+              }: _*)).as("bf"))
+              .select(col("doc_id"), col("bf.benchmark"),
+                col("n_shingles"), col("bf.n_flagged"))
+            trainDocs
+              .crossJoin(broadcast(benches.map(_._1).toDF("benchmark")))
+              .join(stacked, Seq("doc_id", "benchmark"), "left")
+              .select(col("doc_id"), col("benchmark"),
+                coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+                coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+          }
+        out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** q125 — multi-benchmark Bloom decontamination: q102's gate run
+    * against EVERY benchmark's bit-set in the same single train-side
+    * pass, one row per (train doc, benchmark). n_flagged against a
+    * benchmark is ≤ the q102 union-filter count by construction (the
+    * union set's bits are a superset — SketchesSpec pins it), and the
+    * streaming twin (StreamingOps.bloomFlagMultiStream) flags arriving
+    * docs against the same serialized blobs bit-identically.
+    */
+  def multiBenchDecontamination(spark: SparkSession, dir: String): DataFrame =
+    multiBenchFlags(spark, dir).orderBy("doc_id", "benchmark")
+
   /** Per-train-doc contamination counts against a Bloom filter of the
     * eval (val+test) split's 5-gram shingles: `n_flagged` = shingles whose
     * k positions are ALL set in the eval bit-set (possible contamination,

@@ -133,16 +133,8 @@ object StreamingOps {
     require(bitsHex.length == Sketches.BloomBits / 4,
       s"bitsHex must be ${Sketches.BloomBits / 4} hex chars (got ${bitsHex.length})")
     val hex = lit(bitsHex)
-    // bit p lives at hex char p >> 2, bit p & 3 within the nibble —
-    // Sketches.packBitsHex's layout; masks via element_at keeps the
-    // extraction integer-exact (no Column-valued shift exists)
-    val masks = typedlit(Seq(1, 2, 4, 8))
-    def bitSet(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val nibble = conv(
-        hex.substr(floor(p / lit(4)).cast("int") + lit(1), lit(1)), 16, 10)
-        .cast("int")
-      nibble.bitwiseAND(element_at(masks, (p % 4).cast("int") + lit(1))) > lit(0)
-    }
+    // bit extraction through THE shared packed-layout definition
+    // (Sketches.bitInHex) — producer and consumers cannot drift
     val sh = array_distinct(graft.functions.TextFns.shingleArray(
       graft.functions.TextFns.tokenize(col("text")), Dedup.ShingleSize))
     docs
@@ -151,8 +143,46 @@ object StreamingOps {
         size(col("_sh")).cast("long").as("n_shingles"),
         size(filter(col("_sh"), s =>
           (0 until Sketches.BloomK)
-            .map(i => bitSet(Sketches.bloomPositionOf(s, i)))
+            .map(i => Sketches.bitInHex(hex, Sketches.bloomPositionOf(s, i)))
             .reduce(_ && _))).cast("long").as("n_flagged"))
+  }
+
+  /** Multi-benchmark streaming Bloom decontamination — the q125 twin:
+    * every arriving document is flagged against EVERY benchmark's packed
+    * bit-set in one per-row pass (`benchBits` =
+    * Sketches.benchBitsHex(...) — one 64 KiB blob per benchmark, shipped
+    * as plan literals), emitting one row per (doc, benchmark). Stateless,
+    * shuffle-free, append-safe like [[bloomFlagStream]]; the per-doc
+    * distinct shingles are hashed ONCE through the shared position
+    * definition and each benchmark contributes only its own bit tests —
+    * re-benchmarking rebuilds blobs, never re-reads the train stream.
+    * BIT-IDENTICAL to batch q125 on the same rows (StreamingSpec pins it
+    * row-for-row).
+    */
+  def bloomFlagMultiStream(docs: DataFrame,
+      benchBits: Seq[(String, String)]): DataFrame = {
+    import graft.operators.{Dedup, Sketches}
+    require(benchBits.nonEmpty, "need at least one benchmark bit-set")
+    benchBits.foreach { case (b, hex) =>
+      require(hex.length == Sketches.BloomBits / 4,
+        s"benchmark '$b': bitsHex must be ${Sketches.BloomBits / 4} hex " +
+          s"chars (got ${hex.length})")
+    }
+    val sh = array_distinct(graft.functions.TextFns.shingleArray(
+      graft.functions.TextFns.tokenize(col("text")), Dedup.ShingleSize))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), sh.as("_sh"))
+      .select(col("doc_id"), size(col("_sh")).cast("long").as("n_shingles"),
+        explode(array(benchBits.map { case (b, hex) =>
+          val h = lit(hex)
+          struct(lit(b).as("benchmark"),
+            size(filter(col("_sh"), s =>
+              (0 until Sketches.BloomK)
+                .map(i => Sketches.bitInHex(h, Sketches.bloomPositionOf(s, i)))
+                .reduce(_ && _))).cast("long").as("n_flagged"))
+        }: _*)).as("bf"))
+      .select(col("doc_id"), col("bf.benchmark"),
+        col("n_shingles"), col("bf.n_flagged"))
   }
 
   /** Watermarked hourly tumbling counts per event type — the streaming twin

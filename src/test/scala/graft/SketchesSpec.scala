@@ -36,6 +36,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(bloom.count() === nTrain)
   }
 
+  test("multi-benchmark bloom: per-benchmark flags bounded by the q102 union gate") {
+    val multi = Sketches.multiBenchDecontamination(spark, sf)
+    val union = Sketches.bloomDecontamination(spark, sf)
+    val benches = Sketches.benchBitsHex(spark, sf)
+    assert(benches.nonEmpty)
+    // universe: every (train doc × benchmark) exactly once
+    assert(multi.count() === union.count() * benches.size)
+    assert(multi.select("benchmark").distinct().count() === benches.size.toLong)
+    // per-benchmark n_shingles is the doc's total (shared across rows)
+    assert(multi.join(union.select($"doc_id", $"n_shingles".as("n_u")),
+      Seq("doc_id")).filter($"n_shingles" =!= $"n_u").count() === 0)
+    // a shingle flagged against one benchmark's bit-set is necessarily
+    // flagged by the union filter (q102's set is the superset of bits),
+    // so every per-benchmark count ≤ the union count, and ≤ n_shingles
+    assert(multi.filter($"n_flagged" > $"n_shingles").count() === 0)
+    assert(multi.join(union.select($"doc_id", $"n_flagged".as("f_u")),
+      Seq("doc_id")).filter($"n_flagged" > $"f_u").count() === 0)
+    // the per-benchmark bit-sets union to exactly the q102 bit-set
+    val unionBits = Sketches.bloomEvalBits(spark, sf)
+      .select("pos").as[Long].collect().toSet
+    val benchUnion = Sketches.benchEvalBits(spark, sf)
+      .select("pos").distinct().as[Long].collect().toSet
+    assert(benchUnion === unionBits)
+  }
+
   test("fp audit: exact ≤ flagged ≤ total, false-pos is their gap, grain = q102") {
     val audit = Sketches.bloomFpAudit(spark, sf)
     assert(audit.filter($"n_exact" > $"n_flagged").count() === 0,

@@ -139,6 +139,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("multi-benchmark streaming bloom flags equal batch q125 row-for-row") {
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val trainIds = graft.operators.TextAnalysis.hashSplit(spark, sf)
+      .filter($"split" === "train").select("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("mbloom_stream")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .join(trainIds, Seq("doc_id"), "left_semi")
+      .write.parquet(dir.resolve("train").toString)
+    // serialize every benchmark's filter once in batch, ship as literals
+    val benchBits = graft.operators.Sketches.benchBitsHex(spark, sf)
+    assert(benchBits.nonEmpty)
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(dir.resolve("train").toString)
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.bloomFlagMultiStream(stream, benchBits), "mbloom_test",
+      mode = "append")
+    val want = graft.operators.Sketches.multiBenchDecontamination(spark, sf)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("gopherKeep admits exactly the q75 keep-set (batch-checked on the corpus)") {
     val kept = StreamingOps.gopherKeep(
       Tables.documents(spark, sf).select("doc_id", "text"))
