@@ -120,7 +120,13 @@ object Plans {
       "q120_context_packing" ->
         "context packing: the global exclusive prefix sum is TWO jobs over the 16-byte (doc_id, n_toks) relation — range-partitioned total sort, per-partition subtotals (#partitions values) to the driver, seeded per-partition scan — so the final plan below is Scan ExistingRDD + the window-geometry Project and the edge sort; NO window function, no single-partition funnel anywhere (the one-liner `sum over (order by)` alternative would execute as ONE partition)",
       "q121_packing_index" ->
-        "incremental packing summary: the STORED placement relation (batch=N partition dirs + running-total sidecar) scanned with partition discovery into one partial/final hash aggregate at batch grain — constant aggregation state (count/min/max/sum); the appends that built it are O(batch) seeded prefix sums (q120's two-job idiom) that read ZERO stored rows — the sidecar seed replaces the corpus re-sort")
+        "incremental packing summary: the STORED placement relation (batch=N partition dirs + running-total sidecar) scanned with partition discovery into one partial/final hash aggregate at batch grain — constant aggregation state (count/min/max/sum); the appends that built it are O(batch) seeded prefix sums (q120's two-job idiom) that read ZERO stored rows — the sidecar seed replaces the corpus re-sort",
+      "q123_window_segments_stored" ->
+        "stored-derived segment map: the persisted placement artifact (an InMemoryTableScan over the committed index's doc-grain read — NO prefix sum, no corpus re-sort anywhere in the plan) into one Generate (explode of each doc's window span) + the integer segment-geometry Project; the only exchange is the edge sort — the loader's composition map is a map-side derivation of the committed 48-byte/doc rows",
+      "q124_packed_shards" ->
+        "packed-shard digest: a parquet scan of the WRITTEN window artifact (shard partition dirs) — per-window md5 content digest computed map-side in the Project, then ONE partial/final hash aggregate at shard grain with constant state (count/sum); the materializer that built it moved tokens exactly once (map-side slice, one capacity-bounded groupBy(win), partitioned write)",
+      "q125_multibench_bloom" ->
+        "multi-benchmark bloom: the k bloom positions projected ONCE per train shingle (one md5, CSE'd nibble extractions), every benchmark's all-k-hit flag a map-side graft_bitset_contains probe (custom codegen expression: unboxed word array shipped by task reference, one index+shift per test, constant-size rendering — the hex-substr first cut cost 24.7 s warm and an array LITERAL OOMed plan stringification; no join anywhere below the doc-grain aggregate, the filters ride the task binary); ONE partial/final groupBy(doc_id) carries a counter per benchmark, the per-benchmark columns stack map-side (Generate over a literal struct array), and the only other shuffle is the edge join to the train-doc × benchmark universe")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `runMain graft.Plans`)\n\n")

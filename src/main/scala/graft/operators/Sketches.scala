@@ -138,20 +138,35 @@ object Sketches {
     sb.toString
   }
 
-  /** Bit `p` of a packBitsHex-packed bit-set carried in `hexLit` — bit p
-    * lives at hex char p >> 2 (0-based), bit p & 3 within the nibble;
-    * masks via element_at keeps the extraction integer-exact (no
-    * Column-valued shift exists). ONE definition shared by the streaming
-    * twins (bloomFlagStream / bloomFlagMultiStream) and the batch
-    * multi-benchmark gate, so the packed layout cannot drift between
-    * producers and consumers.
+  /** Decode a packBitsHex blob to the unboxed word array
+    * [[graft.plans.BitSetContains]] probes — bit p at hex char p >> 2 /
+    * bit p & 3 on the wire, re-packed to word p >> 6 / bit p & 63 in
+    * memory. ONE definition shared by the batch multi-benchmark gate and
+    * the streaming twins, so the packed layout cannot drift between
+    * producers and consumers (SketchesSpec pins it as packBitsHex's exact
+    * inverse). Why not a composable Column form: see BitSetContains's
+    * scaladoc — the hex-substr probe cost 24.7 s warm and the
+    * array-literal probe OOMed plan stringification (both measured r18).
     */
-  private[graft] def bitInHex(hexLit: Column, p: Column): Column = {
-    val masks = typedlit(Seq(1, 2, 4, 8))
-    val nibble = conv(
-      hexLit.substr(floor(p / lit(4)).cast("int") + lit(1), lit(1)), 16, 10)
-      .cast("int")
-    nibble.bitwiseAND(element_at(masks, (p % 4).cast("int") + lit(1))) > lit(0)
+  private[graft] def hexBitWords(hex: String): Array[Long] = {
+    require(hex.length == BloomBits / 4,
+      s"packed bit-set must be ${BloomBits / 4} hex chars (got ${hex.length})")
+    val out = new Array[Long](BloomBits / 64)
+    var i = 0
+    while (i < hex.length) {
+      val v = Character.digit(hex.charAt(i), 16)
+      require(v >= 0, s"non-hex char '${hex.charAt(i)}' at $i")
+      var b = 0
+      while (b < 4) {
+        if ((v & (1 << b)) != 0) {
+          val p = 4 * i + b
+          out(p >> 6) |= 1L << (p & 63)
+        }
+        b += 1
+      }
+      i += 1
+    }
+    out
   }
 
   private[graft] val benchBitsCache =
@@ -228,10 +243,11 @@ object Sketches {
               .select(col("doc_id") +:
                 (0 until BloomK).map(i => bloomPosition(i).as(s"_pos$i")): _*)
             val aggCols = count(lit(1)).as("n_shingles") +:
-              benches.zipWithIndex.map { case ((_, hex), bi) =>
-                val h = lit(hex)
+              benches.zipWithIndex.map { case ((b, hex), bi) =>
+                val bits = hexBitWords(hex) // one array instance per benchmark
                 val allHit = (0 until BloomK)
-                  .map(i => bitInHex(h, col(s"_pos$i"))).reduce(_ && _)
+                  .map(i => graft.plans.BitSetContains(col(s"_pos$i"), bits, b))
+                  .reduce(_ && _)
                 sum(when(allHit, lit(1L)).otherwise(lit(0L))).as(s"_f$bi")
               }
             val agg = tagged.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)

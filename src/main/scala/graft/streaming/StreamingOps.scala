@@ -132,9 +132,10 @@ object StreamingOps {
     import graft.operators.{Dedup, Sketches}
     require(bitsHex.length == Sketches.BloomBits / 4,
       s"bitsHex must be ${Sketches.BloomBits / 4} hex chars (got ${bitsHex.length})")
-    val hex = lit(bitsHex)
-    // bit extraction through THE shared packed-layout definition
-    // (Sketches.bitInHex) — producer and consumers cannot drift
+    // the blob decodes ONCE through THE shared packed-layout definition
+    // (Sketches.hexBitWords) — producer and consumers cannot drift — and
+    // each bit test is one codegen'd index+shift probe (BitSetContains)
+    val bits = graft.operators.Sketches.hexBitWords(bitsHex)
     val sh = array_distinct(graft.functions.TextFns.shingleArray(
       graft.functions.TextFns.tokenize(col("text")), Dedup.ShingleSize))
     docs
@@ -143,7 +144,8 @@ object StreamingOps {
         size(col("_sh")).cast("long").as("n_shingles"),
         size(filter(col("_sh"), s =>
           (0 until Sketches.BloomK)
-            .map(i => Sketches.bitInHex(hex, Sketches.bloomPositionOf(s, i)))
+            .map(i => graft.plans.BitSetContains(
+              Sketches.bloomPositionOf(s, i), bits, "eval"))
             .reduce(_ && _))).cast("long").as("n_flagged"))
   }
 
@@ -174,11 +176,12 @@ object StreamingOps {
       .select(col("doc_id").cast("long").as("doc_id"), sh.as("_sh"))
       .select(col("doc_id"), size(col("_sh")).cast("long").as("n_shingles"),
         explode(array(benchBits.map { case (b, hex) =>
-          val h = lit(hex)
+          val bits = Sketches.hexBitWords(hex)
           struct(lit(b).as("benchmark"),
             size(filter(col("_sh"), s =>
               (0 until Sketches.BloomK)
-                .map(i => Sketches.bitInHex(h, Sketches.bloomPositionOf(s, i)))
+                .map(i => graft.plans.BitSetContains(
+                  Sketches.bloomPositionOf(s, i), bits, b))
                 .reduce(_ && _))).cast("long").as("n_flagged"))
         }: _*)).as("bf"))
       .select(col("doc_id"), col("bf.benchmark"),

@@ -177,6 +177,15 @@ class SketchesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sketches.packBitsHex(Array(Sketches.BloomBits.toLong))
     }
+    // hexBitWords is packBitsHex's exact inverse (the unboxed word array
+    // BitSetContains probes: word p>>6, bit p&63)
+    val words = Sketches.hexBitWords(hex)
+    assert(words.length === Sketches.BloomBits / 64)
+    val set = for {
+      w <- words.indices
+      b <- 0 until 64 if ((words(w) >>> b) & 1L) == 1L
+    } yield (w * 64 + b).toLong
+    assert(set === Seq(0L, 3L, 4L, (Sketches.BloomBits - 1).toLong))
   }
 
   test("evalBitsHex round-trips exactly the bloomEvalBits positions") {
