@@ -774,9 +774,90 @@ object Pipeline {
   def materializePacked(spark: SparkSession, dir: String, outPath: String,
       capacity: Long = graft.operators.Packing.ContextTokens,
       windowsPerShard: Long = PackedWindowsPerShard): Map[String, Long] = {
-    require(windowsPerShard > 0, "windowsPerShard must be positive")
     import graft.operators.Packing
     val segs = Packing.segmentsOf(Packing.storedPlacement(spark, dir), capacity)
+    writePackedWindows(spark, dir, segs, outPath, windowsPerShard,
+      dynamic = false)
+  }
+
+  /** [[materializePacked]] reading an EXPLICIT stored index instead of the
+    * session-cached full-corpus one — the deployment form: the artifact is
+    * (re)built from whatever the committed placement index holds, so a
+    * bootstrap-then-append index materializes its prefix artifact before
+    * the append arrives ([[appendPackedShards]] then extends it O(batch)).
+    */
+  def materializePackedFrom(spark: SparkSession, dir: String,
+      indexPath: String, outPath: String,
+      capacity: Long = graft.operators.Packing.ContextTokens,
+      windowsPerShard: Long = PackedWindowsPerShard): Map[String, Long] = {
+    import graft.operators.Packing
+    val segs = Packing.segmentsOf(
+      Packing.readPackingIndex(spark, indexPath), capacity)
+    writePackedWindows(spark, dir, segs, outPath, windowsPerShard,
+      dynamic = false)
+  }
+
+  /** Extend a packed-shard artifact after a packing-index append WITHOUT
+    * re-materializing the corpus (the q121 O(batch) posture applied to the
+    * artifact itself): an append only changes windows from the first one
+    * the new batch touches — the stored token total's window (possibly
+    * partial, now continued by the new docs) and everything after — so
+    * only the shards holding those windows are rewritten, via dynamic
+    * partition overwrite (untouched shard dirs are never listed, read, or
+    * replaced).
+    *
+    * Mechanics: the rebuild floor is rounded DOWN to a shard boundary
+    * (the first dirty shard may hold clean windows, and a partition
+    * overwrite replaces whole shards); the placement rows feeding it are
+    * `last_win >= rebuildFromWin` — the appended batch plus at most the
+    * earlier tail docs that straddle into the dirty region, found by a
+    * parquet-stats-pruned scan of the 48-byte/doc index (never the
+    * corpus); their token slices re-join the cached ordered-token
+    * relation at doc grain. Work and write are both O(batch + one
+    * shard). Equivalence to a full re-materialization is pinned by
+    * PackingSpec; the rung is timed in ScaleSmoke next to q121's.
+    *
+    * Contract: same single-writer rule as the index; `batch` is the batch
+    * number the corresponding [[graft.operators.Packing.updatePackingIndex]]
+    * returned (an exactly-replayed append may pass the same number again —
+    * the rewrite is idempotent).
+    */
+  def appendPackedShards(spark: SparkSession, dir: String, indexPath: String,
+      outPath: String, batch: Long,
+      capacity: Long = graft.operators.Packing.ContextTokens,
+      windowsPerShard: Long = PackedWindowsPerShard): Map[String, Long] = {
+    require(windowsPerShard > 0, "windowsPerShard must be positive")
+    import graft.operators.Packing
+    val idx = Packing.readPackingIndex(spark, indexPath)
+    val fw = idx.filter(col("batch") === batch)
+      .agg(min("first_win")).head()
+    if (fw.isNullAt(0))
+      return Map("windows_rewritten" -> 0L, "shards_rewritten" -> 0L,
+        "rebuild_from_win" -> -1L) // empty/unknown batch: no-op
+    val firstDirtyWin = fw.getLong(0)
+    val rebuildFromWin = (firstDirtyWin / windowsPerShard) * windowsPerShard
+    val segs = Packing.segmentsOf(
+      idx.filter(col("last_win") >= rebuildFromWin), capacity)
+      .filter(col("win") >= rebuildFromWin)
+    val counts = writePackedWindows(spark, dir, segs, outPath,
+      windowsPerShard, dynamic = true)
+    Map("windows_rewritten" -> counts("windows_delta"),
+      "shards_rewritten" -> counts("shards_delta"),
+      "rebuild_from_win" -> rebuildFromWin) ++ counts
+  }
+
+  /** Shared window assembly + write + manifest of the packed-shard forms:
+    * token slices cut map-side from the doc-grain join, ONE
+    * capacity-bounded groupBy(win), shard-partitioned write — full
+    * overwrite for (re)materialization, DYNAMIC partition overwrite for
+    * the incremental append (only the shards present in `segs` are
+    * replaced). The manifest is always re-derived from the artifact as
+    * WRITTEN (reading the committed files, the materialize convention).
+    */
+  private def writePackedWindows(spark: SparkSession, dir: String,
+      segs: DataFrame, outPath: String, windowsPerShard: Long,
+      dynamic: Boolean): Map[String, Long] = {
+    require(windowsPerShard > 0, "windowsPerShard must be positive")
     val toks = TextAnalysis.rawTokens(spark, dir)
     val segTok = segs.join(toks, Seq("doc_id"))
       .select(col("win"), col("win_off"), col("doc_id"), col("seg_len"),
@@ -797,8 +878,23 @@ object Pipeline {
           p.getField("seg_len").as("seg_len"),
           p.getField("is_head").as("is_head"),
           p.getField("is_tail").as("is_tail"))).as("segments"))
-    sources.Sources.writeParquet(windows, s"$outPath/windows",
-      partitionCols = Seq("shard"))
+    val deltaRows =
+      if (!dynamic) {
+        sources.Sources.writeParquet(windows, s"$outPath/windows",
+          partitionCols = Seq("shard"))
+        None
+      } else {
+        // dynamic partition overwrite: only the shard dirs present in the
+        // delta are replaced; the write option scopes the mode to THIS
+        // write (the session conf stays untouched)
+        val d = windows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard").parquet(s"$outPath/windows")
+        val r = d.agg(count(lit(1)), countDistinct("shard")).head()
+        d.unpersist()
+        Some((r.getLong(0), r.getLong(1)))
+      }
     // manifest from what was actually WRITTEN (the materialize convention)
     val w = spark.read.parquet(s"$outPath/windows")
     val r = w.agg(count(lit(1)),
@@ -812,7 +908,8 @@ object Pipeline {
       .map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
     Files.write(Paths.get(s"$outPath/manifest.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
-    counts
+    counts ++ deltaRows.map { case (wn, sn) =>
+      Map("windows_delta" -> wn, "shards_delta" -> sn) }.getOrElse(Map.empty)
   }
 
   /** q124 — the packed-shard round-trip as an oracle-checked query (the

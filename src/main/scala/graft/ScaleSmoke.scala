@@ -428,6 +428,31 @@ object ScaleSmoke {
         println(f"[scale] WARNING: incremental ($tb%.2f s) did not beat " +
           f"bootstrap ($ta%.2f s) at ${copies}x — margin is small at this " +
           "rung; check the 100x/200x anchors before reading it as a regression")
+
+      // q124 artifact rung (round 18): the loader shard artifact's delta
+      // posture over the SAME index — full materialization moves the whole
+      // replicated token stream once; the batch-1 extension rewrites only
+      // the shards the appended day touches (dynamic partition overwrite),
+      // here as an idempotent re-extension so content is provably
+      // unchanged while the O(batch + one shard) cost is timed.
+      val art = s"$out-packed"
+      val (full, tf) = timed {
+        operators.Packing.deletePackingIndex(spark, art) // plain recursive rm
+        Pipeline.materializePackedFrom(spark, out, path, art)
+      }
+      val (ext, ti) = timed {
+        Pipeline.appendPackedShards(spark, out, path, art, 1L)
+      }
+      println(f"[scale] q124 artifact full       $tf%8.2f s  windows=${full("windows_written")} shards=${full("shards_written")}")
+      println(f"[scale] q124 artifact append     $ti%8.2f s  rewrote ${ext("shards_rewritten")} of ${ext("shards_written")} shards (${ext("windows_rewritten")} windows)")
+      require(ext("windows_written") == full("windows_written") &&
+        ext("tokens_written") == full("tokens_written"),
+        "idempotent shard re-extension changed the artifact")
+      require(ext("shards_rewritten") < full("shards_written"),
+        "the append rewrote every shard — the delta posture broke")
+      if (copies >= 50)
+        require(ti < tf,
+          f"shard append ($ti%.2f s) did not beat full materialization ($tf%.2f s)")
     }
     spark.stop()
   }

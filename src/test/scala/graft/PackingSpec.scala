@@ -212,6 +212,46 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental shard append equals the one-shot packed artifact") {
+    val counts = Packing.tokenCounts(spark, sf)
+    val mx = counts.agg(max("doc_id")).head().getLong(0)
+    val cut = 2 * mx / 3
+    // deployment sequence: bootstrap index on the prefix, materialize,
+    // append the tail batch, extend ONLY the dirty shards
+    val idxA = tmpIndex()
+    val outA = java.nio.file.Files.createTempDirectory("graft_pka").toString
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") <= cut), idxA)
+    Pipeline.materializePackedFrom(spark, sf, idxA, outA)
+    val shardsBefore = spark.read.parquet(s"$outA/windows")
+      .select("shard").distinct().count()
+    val app = Packing.updatePackingIndex(spark,
+      counts.filter(col("doc_id") > cut), idxA)
+    val r = Pipeline.appendPackedShards(spark, sf, idxA, outA, app("batch"))
+    // one-shot reference artifact over the full corpus
+    val idxB = tmpIndex()
+    val outB = java.nio.file.Files.createTempDirectory("graft_pkb").toString
+    Packing.updatePackingIndex(spark, counts, idxB)
+    Pipeline.materializePackedFrom(spark, sf, idxB, outB)
+    def snap(p: String) = spark.read.parquet(s"$p/windows")
+      .select(col("win"), col("shard").cast("long").as("shard"),
+        col("n_segs"), col("tokens"),
+        to_json(col("segments")).as("segjson"))
+      .as[(Long, Long, Long, Seq[String], String)].collect().sortBy(_._1).toSeq
+    assert(snap(outA) === snap(outB))
+    // the append REWROTE only from the dirty shard on: untouched shards
+    // stayed (count monotonicity) and the rewrite floor is shard-aligned
+    assert(r("rebuild_from_win") % Pipeline.PackedWindowsPerShard === 0L)
+    assert(r("shards_rewritten") >= 1L)
+    assert(r("shards_rewritten") <= r("shards_written"))
+    assert(shardsBefore <= r("shards_written"))
+    // idempotent replay: extending the same batch again changes nothing
+    val r2 = Pipeline.appendPackedShards(spark, sf, idxA, outA, app("batch"))
+    assert(snap(outA) === snap(outB))
+    assert(r2("rebuild_from_win") === r("rebuild_from_win"))
+    // manifests agree with the artifact
+    assert(r("windows_written") === snap(outB).length.toLong)
+  }
+
   test("summary batches are numbered densely when a doc_id third is empty") {
     // advice r17: every doc_id above 2/3 of the max — the first two thirds
     // of the q121 cut are EMPTY batches (no-ops that consume no batch
