@@ -115,6 +115,10 @@ object Caches {
     */
   def clearDir(spark: SparkSession, dir: String): Unit = {
     val key = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#" + dir
+    // the stored-placement bootstrap lives on DISK beyond its cached read —
+    // without this the next storedPlacement call re-adopts placement built
+    // from the dir's OLD contents (review r18)
+    operators.Packing.deleteStoredPlacementFor(key)
     maps.foreach { m =>
       // exact dir entries plus parameterized ones keyed "…#dir#<param>"
       // (cappedShingles) — both go stale when the dir's contents change
@@ -129,6 +133,8 @@ object Caches {
 
   def clear(spark: SparkSession): Unit = {
     val prefix = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#"
+    operators.Packing.placementCache.keys.filter(_.startsWith(prefix))
+      .foreach(operators.Packing.deleteStoredPlacementFor)
     maps.foreach { m =>
       m.keys.filter(_.startsWith(prefix)).foreach { k =>
         m.remove(k).foreach(free)
@@ -142,6 +148,9 @@ object Caches {
 
   /** Drop every entry in every cache (test/teardown hammer). */
   def clearAll(): Unit = {
+    operators.Packing.placementCache.keys
+      .foreach(k => try operators.Packing.deleteStoredPlacementFor(k)
+        catch { case _: Throwable => () })
     maps.foreach { m =>
       m.keys.foreach(k => m.remove(k).foreach(df =>
         try free(df) catch { case _: Throwable => () }))

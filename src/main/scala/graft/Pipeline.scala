@@ -688,12 +688,10 @@ object Pipeline {
     * (letters/digits/underscore only).
     */
   def BucketedChunkIndexLocation(spark: SparkSession, dir: String): (String, String) = {
-    val key = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "-" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes(StandardCharsets.UTF_8))
-        .take(4).map("%02x".format(_)).mkString
-    ("graft_chunk_idx_" + key.replaceAll("[^A-Za-z0-9]", "_"),
-      "/tmp/graft-chunk-index-bucketed/" + key)
+    val path = org.apache.spark.sql.GraftBridge
+      .sessionDirPath("graft-chunk-index-bucketed", spark, dir)
+    val key = path.substring(path.lastIndexOf('/') + 1)
+    ("graft_chunk_idx_" + key.replaceAll("[^A-Za-z0-9]", "_"), path)
   }
 
   /** Drop q116's bucketed index table AND its data dir (the
@@ -716,11 +714,8 @@ object Pipeline {
     * own explicit indexPath to updateChunkIndex instead.
     */
   def ChunkIndexPath(spark: SparkSession, dir: String): String =
-    "/tmp/graft-chunk-index/" +
-      org.apache.spark.sql.GraftBridge.sessionKey(spark) + "-" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes(StandardCharsets.UTF_8))
-        .take(4).map("%02x".format(_)).mkString + "-" +
+    org.apache.spark.sql.GraftBridge
+      .sessionDirPath("graft-chunk-index", spark, dir) + "-" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Wipe a stored index (and any half-written sibling) — the smoke/test
@@ -791,6 +786,7 @@ object Pipeline {
       capacity: Long = graft.operators.Packing.ContextTokens,
       windowsPerShard: Long = PackedWindowsPerShard): Map[String, Long] = {
     import graft.operators.Packing
+    Packing.requireIndexCapacity(spark, indexPath, capacity)
     val segs = Packing.segmentsOf(
       Packing.readPackingIndex(spark, indexPath), capacity)
     writePackedWindows(spark, dir, segs, outPath, windowsPerShard,
@@ -828,12 +824,18 @@ object Pipeline {
       windowsPerShard: Long = PackedWindowsPerShard): Map[String, Long] = {
     require(windowsPerShard > 0, "windowsPerShard must be positive")
     import graft.operators.Packing
+    Packing.requireIndexCapacity(spark, indexPath, capacity)
     val idx = Packing.readPackingIndex(spark, indexPath)
     val fw = idx.filter(col("batch") === batch)
       .agg(min("first_win")).head()
     if (fw.isNullAt(0))
-      return Map("windows_rewritten" -> 0L, "shards_rewritten" -> 0L,
-        "rebuild_from_win" -> -1L) // empty/unknown batch: no-op
+      // empty/unknown batch: a clean no-op that still reports the
+      // artifact's manifest counts (callers index the same keys on every
+      // arm — review r18)
+      return packedArtifactCounts(spark, outPath) ++
+        Map("windows_rewritten" -> 0L, "shards_rewritten" -> 0L,
+          "windows_delta" -> 0L, "shards_delta" -> 0L,
+          "rebuild_from_win" -> -1L)
     val firstDirtyWin = fw.getLong(0)
     val rebuildFromWin = (firstDirtyWin / windowsPerShard) * windowsPerShard
     val segs = Packing.segmentsOf(
@@ -896,20 +898,32 @@ object Pipeline {
         Some((r.getLong(0), r.getLong(1)))
       }
     // manifest from what was actually WRITTEN (the materialize convention)
-    val w = spark.read.parquet(s"$outPath/windows")
-    val r = w.agg(count(lit(1)),
-      coalesce(sum(size(col("tokens")).cast("long")), lit(0L)),
-      coalesce(sum("n_segs"), lit(0L)),
-      countDistinct("shard")).head()
-    val counts = Map(
-      "windows_written" -> r.getLong(0), "tokens_written" -> r.getLong(1),
-      "segments_written" -> r.getLong(2), "shards_written" -> r.getLong(3))
+    val counts = packedArtifactCounts(spark, outPath)
     val manifest = counts.toSeq.sortBy(_._1)
       .map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
     Files.write(Paths.get(s"$outPath/manifest.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
     counts ++ deltaRows.map { case (wn, sn) =>
       Map("windows_delta" -> wn, "shards_delta" -> sn) }.getOrElse(Map.empty)
+  }
+
+  /** Written-artifact manifest counts — read from the committed files; an
+    * absent artifact reports zeros.
+    */
+  private def packedArtifactCounts(spark: SparkSession,
+      outPath: String): Map[String, Long] = {
+    val wp = new org.apache.hadoop.fs.Path(s"$outPath/windows")
+    val fs = wp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wp))
+      return Map("windows_written" -> 0L, "tokens_written" -> 0L,
+        "segments_written" -> 0L, "shards_written" -> 0L)
+    val r = spark.read.parquet(s"$outPath/windows")
+      .agg(count(lit(1)),
+        coalesce(sum(size(col("tokens")).cast("long")), lit(0L)),
+        coalesce(sum("n_segs"), lit(0L)),
+        countDistinct("shard")).head()
+    Map("windows_written" -> r.getLong(0), "tokens_written" -> r.getLong(1),
+      "segments_written" -> r.getLong(2), "shards_written" -> r.getLong(3))
   }
 
   /** q124 — the packed-shard round-trip as an oracle-checked query (the
@@ -943,11 +957,8 @@ object Pipeline {
     * ChunkIndexPath convention.
     */
   def PackedShardsPath(spark: SparkSession, dir: String): String =
-    "/tmp/graft-packed-shards/" +
-      org.apache.spark.sql.GraftBridge.sessionKey(spark) + "-" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes(StandardCharsets.UTF_8))
-        .take(4).map("%02x".format(_)).mkString
+    org.apache.spark.sql.GraftBridge
+      .sessionDirPath("graft-packed-shards", spark, dir)
 
   /** The reference's ACTUAL program as one library call: materialize the
     * three collections it bulk-writes to MongoDB — enriched wikibook

@@ -430,29 +430,49 @@ object ScaleSmoke {
           "rung; check the 100x/200x anchors before reading it as a regression")
 
       // q124 artifact rung (round 18): the loader shard artifact's delta
-      // posture over the SAME index — full materialization moves the whole
-      // replicated token stream once; the batch-1 extension rewrites only
-      // the shards the appended day touches (dynamic partition overwrite),
-      // here as an idempotent re-extension so content is provably
-      // unchanged while the O(batch + one shard) cost is timed.
+      // posture as the REAL deployment sequence — bootstrap an index on
+      // the corpus prefix (all but the last replica), materialize its
+      // shard artifact (moves the prefix token stream once), then append
+      // the LAST replica's counts to the index and EXTEND the artifact:
+      // only the shards the appended day touches rewrite (dynamic
+      // partition overwrite). The appended ids must be real corpus docs —
+      // the q121 rung's synthetic +offset day has no text for the token
+      // join, which is why this rung builds its own index on a prefix cut.
+      val artIdx = s"$path-art"
       val art = s"$out-packed"
+      val cAll = operators.Packing.tokenCounts(spark, out)
+      val mxDoc = cAll.agg(max("doc_id")).head().getLong(0)
+      val cut =
+        if (copies >= 2) (copies.toLong - 1L) * 1000000L else mxDoc / 2 + 1
       val (full, tf) = timed {
-        operators.Packing.deletePackingIndex(spark, art) // plain recursive rm
-        Pipeline.materializePackedFrom(spark, out, path, art)
+        operators.Packing.deletePackingIndex(spark, artIdx)
+        operators.Packing.deletePackingIndex(spark, art) // recursive rm
+        operators.Packing.updatePackingIndex(spark,
+          cAll.where(col("doc_id") < cut), artIdx)
+        Pipeline.materializePackedFrom(spark, out, artIdx, art)
       }
       val (ext, ti) = timed {
-        Pipeline.appendPackedShards(spark, out, path, art, 1L)
+        val app = operators.Packing.updatePackingIndex(spark,
+          cAll.where(col("doc_id") >= cut), artIdx)
+        Pipeline.appendPackedShards(spark, out, artIdx, art, app("batch"))
       }
-      println(f"[scale] q124 artifact full       $tf%8.2f s  windows=${full("windows_written")} shards=${full("shards_written")}")
-      println(f"[scale] q124 artifact append     $ti%8.2f s  rewrote ${ext("shards_rewritten")} of ${ext("shards_written")} shards (${ext("windows_rewritten")} windows)")
-      require(ext("windows_written") == full("windows_written") &&
-        ext("tokens_written") == full("tokens_written"),
-        "idempotent shard re-extension changed the artifact")
-      require(ext("shards_rewritten") < full("shards_written"),
-        "the append rewrote every shard — the delta posture broke")
+      println(f"[scale] q124 artifact prefix     $tf%8.2f s  windows=${full("windows_written")} shards=${full("shards_written")}")
+      println(f"[scale] q124 artifact extend     $ti%8.2f s  rewrote ${ext("shards_rewritten")} of ${ext("shards_written")} shards (${ext("windows_rewritten")} windows)")
+      // the extended artifact holds EXACTLY the full corpus token stream
+      val totalToks = cAll.agg(coalesce(sum("n_toks"), lit(0L)))
+        .head().getLong(0)
+      require(ext("tokens_written") == totalToks,
+        s"extended artifact holds ${ext("tokens_written")} tokens, corpus has $totalToks")
+      require(ext("windows_written") ==
+        (totalToks + operators.Packing.ContextTokens - 1) /
+          operators.Packing.ContextTokens,
+        "extended artifact's window count is not ceil(tokens/capacity)")
+      require(ext("shards_rewritten") < ext("shards_written"),
+        "the extension rewrote every shard — the delta posture broke")
       if (copies >= 50)
         require(ti < tf,
-          f"shard append ($ti%.2f s) did not beat full materialization ($tf%.2f s)")
+          f"shard extension ($ti%.2f s) did not beat the prefix " +
+            f"materialization ($tf%.2f s)")
     }
     spark.stop()
   }

@@ -216,9 +216,12 @@ object Packing {
     * [[segmentsOf]]).
     */
   def windowSegmentsFromIndex(spark: SparkSession, dir: String,
-      capacity: Long = ContextTokens): DataFrame =
-    segmentsOf(storedPlacement(spark, dir), capacity)
-      .orderBy("win", "doc_id")
+      capacity: Long = ContextTokens): DataFrame = {
+    val p = storedPlacement(spark, dir) // bootstraps the index if absent
+    requireIndexCapacity(spark, PackingIndexPath(spark, dir) + "-stored",
+      capacity)
+    segmentsOf(p, capacity).orderBy("win", "doc_id")
+  }
 
   /** Window segments of ONE stored batch — the O(batch) incremental form
     * a loader uses after an append: the read is pruned to the `batch=N`
@@ -230,10 +233,24 @@ object Packing {
     * the earlier segments are already in the previous batches' maps.
     */
   def windowSegmentsForBatch(spark: SparkSession, path: String, batch: Long,
-      capacity: Long = ContextTokens): DataFrame =
+      capacity: Long = ContextTokens): DataFrame = {
+    requireIndexCapacity(spark, path, capacity)
     segmentsOf(readPackingIndex(spark, path).filter(col("batch") === batch),
       capacity)
       .orderBy("win", "doc_id")
+  }
+
+  /** Guard every stored-derived segment/shard form: the window grid was
+    * fixed when the placement was written, so a consumer's `capacity`
+    * must equal the sidecar's recorded build capacity (legacy sidecars
+    * without the field skip the check — review r18).
+    */
+  private[graft] def requireIndexCapacity(spark: SparkSession, path: String,
+      capacity: Long): Unit =
+    readState(spark, path).foreach(st =>
+      require(st.capacity < 0L || st.capacity == capacity,
+        s"stored packing index at $path was built at capacity " +
+          s"${st.capacity}, not $capacity — the segment geometry would shear"))
 
   // ------------------------------------------------------------------
   // The INCREMENTAL packing index (round 17, VERDICT r16 item 4): a real
@@ -258,7 +275,7 @@ object Packing {
   // ------------------------------------------------------------------
 
   /** State sidecar: "<nextBatch> <totalTokens> <maxDocId> <lastMinDoc>
-    * <lastSeedTok> <lastCount> <lastTokSum>" — fields 4–5 are the LAST
+    * <lastSeedTok> <lastCount> <lastTokSum> <capacity>" — fields 4–5 are the LAST
     * committed batch's min doc_id and its prefix-sum seed, which is what
     * lets an exactly-redelivered batch (a streaming restart replaying its
     * un-checkpointed micro-batch) be recognized and replayed idempotently
@@ -267,14 +284,17 @@ object Packing {
     * arm is taken (advice r17: endpoints alone would let a different batch
     * that merely shares the last batch's doc_id range — an upstream
     * dedup/filter change between attempts — silently overwrite committed
-    * placement). Legacy shorter sidecars read with the affected guards
-    * disabled (-1 sentinels).
+    * placement); field 8 is the window capacity the placement was BUILT
+    * at — appends and every stored-derived segment/shard form must match
+    * it (the window grid was fixed at write time; a mismatched capacity
+    * would silently shear segment geometry — review r18). Legacy shorter
+    * sidecars read with the affected guards disabled (-1 sentinels).
     */
   private val StateFile = "_graft_packing_state"
 
   private case class IndexState(nextBatch: Long, totalToks: Long,
       maxDoc: Long, lastMinDoc: Long, lastSeedTok: Long,
-      lastCount: Long = -1L, lastTokSum: Long = -1L)
+      lastCount: Long = -1L, lastTokSum: Long = -1L, capacity: Long = -1L)
 
   private def statePath(path: String) =
     new org.apache.hadoop.fs.Path(path, StateFile)
@@ -297,7 +317,8 @@ object Packing {
         if (parts.length >= 5) parts(3).toLong else -1L,
         if (parts.length >= 5) parts(4).toLong else -1L,
         if (parts.length >= 7) parts(5).toLong else -1L,
-        if (parts.length >= 7) parts(6).toLong else -1L))
+        if (parts.length >= 7) parts(6).toLong else -1L,
+        if (parts.length >= 8) parts(7).toLong else -1L))
     }
   }
 
@@ -308,7 +329,7 @@ object Packing {
     val out = fs.create(p, true)
     try out.write(
       (s"${st.nextBatch} ${st.totalToks} ${st.maxDoc} ${st.lastMinDoc} " +
-        s"${st.lastSeedTok} ${st.lastCount} ${st.lastTokSum}")
+        s"${st.lastSeedTok} ${st.lastCount} ${st.lastTokSum} ${st.capacity}")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -322,7 +343,10 @@ object Packing {
       path: String, capacity: Long = ContextTokens): Map[String, Long] = {
     require(capacity > 0, "capacity must be positive")
     val st = readState(spark, path)
-      .getOrElse(IndexState(0L, 0L, -1L, -1L, -1L, -1L, -1L))
+      .getOrElse(IndexState(0L, 0L, -1L, -1L, -1L, -1L, -1L, -1L))
+    require(st.capacity < 0L || st.capacity == capacity,
+      s"stored packing index at $path was built at capacity " +
+        s"${st.capacity}; appending at $capacity would shear the window grid")
     // one bounded aggregate decides empty/monotone/replay before any write
     val stats = counts.agg(count(lit(1)), min("doc_id"), max("doc_id"),
       coalesce(sum("n_toks"), lit(0L))).head()
@@ -364,7 +388,7 @@ object Packing {
     placed.write.mode("overwrite").parquet(s"$path/batch=$batch")
     writeState(spark, path,
       IndexState(batch + 1L, seedTok + tokSum, maxDoc, minDoc, seedTok,
-        n, tokSum))
+        n, tokSum, capacity))
     Map("batch" -> batch, "docs_added" -> n, "tokens_added" -> tokSum,
       "total_tokens_after" -> (seedTok + tokSum))
   }
@@ -423,9 +447,28 @@ object Packing {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
-    val resume = fs.exists(
+    val anchored = fs.exists(
       new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
     val st = readState(spark, path)
+    // adjudicate a committed anchor BEFORE trusting it (review r18): a
+    // genuine crashed fold's staged copy carries the SAME totals as the
+    // sidecar — folding changes layout, never content, and every crash
+    // point leaves the sidecar reading those totals (the pre-fold sidecar
+    // if the fold died early, the post-fold one if it died before
+    // cleanup). A mismatch means the anchor is STALE: a fold that
+    // completed, died before deleting its staging, and was followed by
+    // appends (any real append strictly raises maxDoc) — adopting it
+    // would silently roll those appends back. Stale or orphaned (no
+    // sidecar) anchors are deleted and the fold restages fresh.
+    val resume = anchored && st.nonEmpty && {
+      val a = spark.read.schema(PlacementSchema).parquet(staging.toString)
+        .agg(coalesce(sum("n_toks"), lit(0L)), max("doc_id")).head()
+      val fresh = a.getLong(0) == st.get.totalToks &&
+        !a.isNullAt(1) && a.getLong(1) == st.get.maxDoc
+      if (!fresh) fs.delete(staging, true)
+      fresh
+    }
+    if (anchored && st.isEmpty) fs.delete(staging, true) // index was wiped
     if (!resume) {
       if (st.isEmpty || st.get.nextBatch <= 1L)
         return Map("batches_folded" -> st.map(_.nextBatch).getOrElse(0L),
@@ -437,7 +480,7 @@ object Packing {
     }
     val staged = spark.read.schema(PlacementSchema).parquet(staging.toString)
     // the folded batch's identity fields, from the STAGED copy (always
-    // correct on resume, whether or not the old sidecar survived)
+    // correct on resume, whether or not the fold's sidecar write landed)
     val s = staged.agg(count(lit(1)), min("doc_id"), max("doc_id"),
       coalesce(sum("n_toks"), lit(0L))).head()
     val (n, minDoc, maxDoc, tokSum) =
@@ -447,7 +490,8 @@ object Packing {
       .foreach(d => fs.delete(d.getPath, true))
     staged.write.mode("overwrite").parquet(s"$path/batch=0")
     writeState(spark, path,
-      IndexState(1L, tokSum, maxDoc, minDoc, 0L, n, tokSum))
+      IndexState(1L, tokSum, maxDoc, minDoc, 0L, n, tokSum,
+        st.map(_.capacity).getOrElse(-1L)))
     fs.delete(staging, true)
     Map("batches_folded" -> folded, "docs" -> n,
       "recovered" -> (if (resume) 1L else 0L))
@@ -504,7 +548,8 @@ object Packing {
         (last.getLong(0), last.getLong(1), last.getLong(2), last.getLong(3))
       val mx = kept.agg(max("doc_id")).head().getLong(0)
       writeState(spark, path,
-        IndexState(keepBatches, lseed + lsum, mx, lmin, lseed, lc, lsum))
+        IndexState(keepBatches, lseed + lsum, mx, lmin, lseed, lc, lsum,
+          st.capacity))
     }
     // cleanup: from here the dropped dirs are already invisible
     fs.listStatus(p).filter { d =>
@@ -520,11 +565,29 @@ object Packing {
     * the ChunkIndexPath convention.
     */
   def PackingIndexPath(spark: SparkSession, dir: String): String =
-    "/tmp/graft-packing-index/" +
-      org.apache.spark.sql.GraftBridge.sessionKey(spark) + "-" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .take(4).map("%02x".format(_)).mkString
+    org.apache.spark.sql.GraftBridge
+      .sessionDirPath("graft-packing-index", spark, dir)
+
+  /** Delete one (session, dir) `-stored` bootstrap from DISK — the cache-
+    * teardown hook Caches.clearDir/clear/clearAll call with the cache key
+    * ("<sessionKey>#<dir>"): dropping the cached read alone is not enough,
+    * because the next [[storedPlacement]] call would adopt the on-disk
+    * index built from the dir's OLD contents after an in-place rewrite
+    * (review r18 — the clearDir contract is "must not read stale
+    * entries", and this artifact lives outside the TrieMaps).
+    */
+  private[graft] def deleteStoredPlacementFor(key: String): Unit = {
+    val i = key.indexOf('#')
+    if (i > 0) {
+      val p = new org.apache.hadoop.fs.Path(
+        org.apache.spark.sql.GraftBridge.sessionDirPathFor(
+          "graft-packing-index", key.substring(0, i),
+          key.substring(i + 1)) + "-stored")
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(p, true)
+      ()
+    }
+  }
 
   /** Wipe a stored packing index — forces the bootstrap path. */
   def deletePackingIndex(spark: SparkSession, path: String): Unit = {

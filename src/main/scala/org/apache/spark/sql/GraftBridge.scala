@@ -18,6 +18,26 @@ object GraftBridge {
   def sessionKey(spark: SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 
+  /** Per-(session, dir) artifact path under a /tmp namespace — ONE
+    * definition of the sessionKey + 4-byte-md5(dir) keying every stored
+    * artifact uses (packing index, chunk index, bucketed index, packed
+    * shards), so a change to the scheme (hash width, collision handling)
+    * lands once (review r18: four copy-pasted builders had already
+    * drifted on whether a human-readable dir suffix rode along — callers
+    * append their own suffixes to this common stem).
+    */
+  def sessionDirPath(ns: String, spark: SparkSession, dir: String): String =
+    sessionDirPathFor(ns, sessionKey(spark), dir)
+
+  /** [[sessionDirPath]] from an already-extracted session key — for cache
+    * teardown paths that hold "sessionKey#dir" strings but no session.
+    */
+  def sessionDirPathFor(ns: String, key: String, dir: String): String =
+    s"/tmp/$ns/" + key + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+
   /** Conf-isolated twin of `spark`: same SparkContext, SHARED cache
     * manager/catalog (persisted relations stay visible), but its OWN
     * session conf — for iterative loops that want loop-local settings

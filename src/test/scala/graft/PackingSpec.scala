@@ -352,6 +352,78 @@ class PackingSpec extends AnyFunSuite {
     assert(Packing.compactPackingIndex(spark, path)("batches_folded") === 1L)
   }
 
+  test("compaction rejects a STALE staging anchor instead of rolling back appends") {
+    val path = tmpIndex()
+    val counts = Packing.tokenCounts(spark, sf)
+    val mx = counts.agg(max("doc_id")).head().getLong(0)
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") <= mx / 2), path)
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") > mx / 2), path)
+    Packing.compactPackingIndex(spark, path)
+    // crash model: the fold above died AFTER its sidecar commit but BEFORE
+    // deleting its staging — plant that committed anchor back...
+    Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
+        "n_windows")
+      .write.mode("overwrite").parquet(path + ".compact-staging")
+    // ...then the single writer resumed daily appends
+    val day = counts.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    Packing.updatePackingIndex(spark, day, path)
+    val before = Packing.readPackingIndex(spark, path).count()
+    // the next compaction must adjudicate the anchor STALE (its totals no
+    // longer match the sidecar) and fold FRESH — losing nothing
+    val r = Packing.compactPackingIndex(spark, path)
+    assert(r("recovered") === 0L)
+    assert(Packing.readPackingIndex(spark, path).count() === before)
+    assert(Packing.readPackingIndex(spark, path)
+      .agg(max("doc_id")).head().getLong(0) ===
+      day.agg(max("doc_id")).head().getLong(0))
+  }
+
+  test("capacity is recorded in the sidecar and mismatches are rejected") {
+    val path = tmpIndex()
+    val counts = Packing.tokenCounts(spark, sf)
+    Packing.updatePackingIndex(spark, counts, path) // built at ContextTokens
+    val day = counts.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val e1 = intercept[IllegalArgumentException] {
+      Packing.updatePackingIndex(spark, day, path, capacity = 1024L)
+    }
+    assert(e1.getMessage.contains("capacity"))
+    val e2 = intercept[IllegalArgumentException] {
+      Packing.windowSegmentsForBatch(spark, path, 0L, capacity = 1024L)
+    }
+    assert(e2.getMessage.contains("capacity"))
+    // the matching capacity still flows
+    assert(Packing.windowSegmentsForBatch(spark, path, 0L).count() > 0L)
+  }
+
+  test("clearDir drops the on-disk stored-placement bootstrap with the cache") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString
+    (0L to 9L).map(i => i -> s"alpha beta doc $i").toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val first = Packing.windowSegmentsFromIndex(spark, dir).count()
+    assert(first === 10L)
+    // the dir is REWRITTEN in place (the documented clearDir scenario) —
+    // without the disk drop the next call would adopt stale placement
+    (0L to 24L).map(i => i -> s"gamma delta doc $i").toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Caches.clearDir(spark, dir)
+    assert(Packing.windowSegmentsFromIndex(spark, dir).count() === 25L)
+  }
+
+  test("appendPackedShards reports manifest keys on the no-op arm too") {
+    val counts = Packing.tokenCounts(spark, sf)
+    val idx = tmpIndex()
+    val out = java.nio.file.Files.createTempDirectory("graft_pknoop")
+      .resolve("a").toString
+    Packing.updatePackingIndex(spark, counts, idx)
+    Pipeline.materializePackedFrom(spark, sf, idx, out)
+    val r = Pipeline.appendPackedShards(spark, sf, idx, out, batch = 999L)
+    assert(r("shards_rewritten") === 0L && r("windows_rewritten") === 0L)
+    assert(r("rebuild_from_win") === -1L)
+    assert(r("windows_written") > 0L && r("shards_written") > 0L)
+    assert(r.contains("tokens_written") && r.contains("segments_written"))
+  }
+
   test("non-monotone ingest recovers via truncate + re-append (the re-pack procedure)") {
     val path = tmpIndex()
     val counts = Packing.tokenCounts(spark, sf)
