@@ -838,11 +838,18 @@ object Pipeline {
           "rebuild_from_win" -> -1L)
     val firstDirtyWin = fw.getLong(0)
     val rebuildFromWin = (firstDirtyWin / windowsPerShard) * windowsPerShard
-    val segs = Packing.segmentsOf(
-      idx.filter(col("last_win") >= rebuildFromWin), capacity)
+    val dirty = idx.filter(col("last_win") >= rebuildFromWin)
+    // doc_ids are monotone with stream position, so the dirty docs are a
+    // contiguous SUFFIX — bound the token side by min(dirty doc_id) and
+    // the join scans O(batch) docs instead of the whole cached corpus
+    // (the r18 200× rung measured the unbounded scan as the extension
+    // leg's dominant cost: ~18 s of reading 1M docs' token arrays to
+    // serve 138 windows)
+    val minDirtyDoc = dirty.agg(min("doc_id")).head().getLong(0)
+    val segs = Packing.segmentsOf(dirty, capacity)
       .filter(col("win") >= rebuildFromWin)
     val counts = writePackedWindows(spark, dir, segs, outPath,
-      windowsPerShard, dynamic = true)
+      windowsPerShard, dynamic = true, docsFrom = Some(minDirtyDoc))
     Map("windows_rewritten" -> counts("windows_delta"),
       "shards_rewritten" -> counts("shards_delta"),
       "rebuild_from_win" -> rebuildFromWin) ++ counts
@@ -858,9 +865,10 @@ object Pipeline {
     */
   private def writePackedWindows(spark: SparkSession, dir: String,
       segs: DataFrame, outPath: String, windowsPerShard: Long,
-      dynamic: Boolean): Map[String, Long] = {
+      dynamic: Boolean, docsFrom: Option[Long] = None): Map[String, Long] = {
     require(windowsPerShard > 0, "windowsPerShard must be positive")
-    val toks = TextAnalysis.rawTokens(spark, dir)
+    val toks = docsFrom.foldLeft(TextAnalysis.rawTokens(spark, dir))(
+      (t, m) => t.filter(col("doc_id") >= m))
     val segTok = segs.join(toks, Seq("doc_id"))
       .select(col("win"), col("win_off"), col("doc_id"), col("seg_len"),
         col("is_head"), col("is_tail"),
@@ -880,6 +888,11 @@ object Pipeline {
           p.getField("seg_len").as("seg_len"),
           p.getField("is_head").as("is_head"),
           p.getField("is_tail").as("is_tail"))).as("segments"))
+      // per-window token count as its OWN column: the manifest recount
+      // (and any consumer sizing work) reads two long columns instead of
+      // decoding the token arrays — at 200× the full-column recount was
+      // the extension leg's dominant cost (17 s, r18 rung)
+      .withColumn("n_toks", size(col("tokens")).cast("long"))
     val deltaRows =
       if (!dynamic) {
         sources.Sources.writeParquet(windows, s"$outPath/windows",
@@ -917,9 +930,10 @@ object Pipeline {
     if (!fs.exists(wp))
       return Map("windows_written" -> 0L, "tokens_written" -> 0L,
         "segments_written" -> 0L, "shards_written" -> 0L)
+    // metadata columns only — the token arrays are never decoded here
     val r = spark.read.parquet(s"$outPath/windows")
       .agg(count(lit(1)),
-        coalesce(sum(size(col("tokens")).cast("long")), lit(0L)),
+        coalesce(sum("n_toks"), lit(0L)),
         coalesce(sum("n_segs"), lit(0L)),
         countDistinct("shard")).head()
     Map("windows_written" -> r.getLong(0), "tokens_written" -> r.getLong(1),

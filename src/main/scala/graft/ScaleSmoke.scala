@@ -444,17 +444,26 @@ object ScaleSmoke {
       val mxDoc = cAll.agg(max("doc_id")).head().getLong(0)
       val cut =
         if (copies >= 2) (copies.toLong - 1L) * 1000000L else mxDoc / 2 + 1
+      // DEPLOYMENT shard sizing, not q124's oracle-granularity default:
+      // windowsPerShard = 512 ≈ 1M tokens/shard, so the shard-dir count
+      // stays bounded at every rung (the default 8 produced 3,305 dirs at
+      // 200× and partition LISTING — not data — dominated the extension
+      // leg at ~18 s; a real loader sizes shards to ~file-system block
+      // budgets exactly to avoid that smallfile regime)
+      val wps = 512L
       val (full, tf) = timed {
         operators.Packing.deletePackingIndex(spark, artIdx)
         operators.Packing.deletePackingIndex(spark, art) // recursive rm
         operators.Packing.updatePackingIndex(spark,
           cAll.where(col("doc_id") < cut), artIdx)
-        Pipeline.materializePackedFrom(spark, out, artIdx, art)
+        Pipeline.materializePackedFrom(spark, out, artIdx, art,
+          windowsPerShard = wps)
       }
       val (ext, ti) = timed {
         val app = operators.Packing.updatePackingIndex(spark,
           cAll.where(col("doc_id") >= cut), artIdx)
-        Pipeline.appendPackedShards(spark, out, artIdx, art, app("batch"))
+        Pipeline.appendPackedShards(spark, out, artIdx, art, app("batch"),
+          windowsPerShard = wps)
       }
       println(f"[scale] q124 artifact prefix     $tf%8.2f s  windows=${full("windows_written")} shards=${full("shards_written")}")
       println(f"[scale] q124 artifact extend     $ti%8.2f s  rewrote ${ext("shards_rewritten")} of ${ext("shards_written")} shards (${ext("windows_rewritten")} windows)")
