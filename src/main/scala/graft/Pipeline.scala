@@ -920,6 +920,28 @@ object Pipeline {
       Map("windows_delta" -> wn, "shards_delta" -> sn) }.getOrElse(Map.empty)
   }
 
+  /** The loader's consumer-side read of a packed-shard artifact: the
+    * window range [fromWin, toWin] with DIRECTORY-level pruning — the
+    * shard id is a pure function of the window id, so the range maps to
+    * a shard range and the scan's PartitionFilters skip every other
+    * shard dir (the readSplit convention; PackingSpec asserts the pruned
+    * plan). A training job reading its assigned window span touches only
+    * its own shard files, whatever the artifact's total size.
+    * `windowsPerShard` must be the value the artifact was WRITTEN with
+    * (recorded in each row's shard column; mismatches would mis-map the
+    * range — the manifest's shard count makes a sanity check cheap).
+    */
+  def readPackedWindows(spark: SparkSession, outPath: String,
+      fromWin: Long, toWin: Long,
+      windowsPerShard: Long = PackedWindowsPerShard): DataFrame = {
+    require(windowsPerShard > 0 && fromWin <= toWin,
+      "need windowsPerShard > 0 and a non-empty window range")
+    spark.read.parquet(s"$outPath/windows")
+      .filter(col("shard") >= fromWin / windowsPerShard &&
+        col("shard") <= toWin / windowsPerShard) // partition-pruned
+      .filter(col("win") >= fromWin && col("win") <= toWin)
+  }
+
   /** Written-artifact manifest counts — read from the committed files; an
     * absent artifact reports zeros.
     */

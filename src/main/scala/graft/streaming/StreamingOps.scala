@@ -759,6 +759,46 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming maintenance of the LOADER SHARD ARTIFACT — the q124 twin
+    * completing the packing arc (index twin: [[packingIngest]]): each
+    * micro-batch appends its token counts to the placement index, then
+    * extends the packed-window artifact for exactly that batch
+    * (Pipeline.appendPackedShards — only the dirty shards rewrite, via
+    * dynamic partition overwrite). Token TEXT comes from the corpus
+    * store at `dir`, NOT the stream: the straddling window needs the
+    * PREVIOUS batch's tail docs, which left the stream long ago — the
+    * stream drives placement, the store supplies text (the same lambda
+    * shape as every index twin; the ingest landing docs into the store
+    * must commit before this query's micro-batch reads them, or the
+    * token join comes up short). Empty micro-batches are no-ops
+    * end-to-end; an exactly-redelivered one replays through the index's
+    * sidecar identity check and the shard rewrite is idempotent —
+    * StreamingIncrementalSpec pins convergence to the one-shot artifact.
+    */
+  def packedShardIngest(docs: DataFrame, dir: String, indexPath: String,
+      artPath: String, options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    require(docs.columns.toSet == Set("doc_id", "text"),
+      s"packedShardIngest places (doc_id, text) rows; project the input " +
+        s"first — got (${docs.columns.mkString(", ")})")
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val m = graft.operators.Packing.updatePackingIndex(spark,
+          batch.select(col("doc_id").cast("long").as("doc_id"),
+            coalesce(size(graft.functions.TextFns.tokenize(col("text"))),
+              lit(0)).cast("long").as("n_toks")),
+          indexPath)
+        if (m("docs_added") > 0L)
+          graft.Pipeline.appendPackedShards(spark, dir, indexPath, artPath,
+            m("batch"))
+        ()
+      }
+      .outputMode("append")
+      .options(options) // checkpointLocation for restartable source offsets
+      .start()
+  }
+
   /** Streaming maintenance of the BUCKETED chunk index — the DEFAULT
     * streaming index twin (r15), over the default deployment layout
     * (Pipeline.updateChunkIndexBucketed,

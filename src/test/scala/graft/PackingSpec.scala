@@ -410,6 +410,29 @@ class PackingSpec extends AnyFunSuite {
     assert(Packing.windowSegmentsFromIndex(spark, dir).count() === 25L)
   }
 
+  test("readPackedWindows prunes shard dirs and returns exactly the window range") {
+    val counts = Packing.tokenCounts(spark, sf)
+    val idx = tmpIndex()
+    val out = java.nio.file.Files.createTempDirectory("graft_pkread")
+      .resolve("a").toString
+    Packing.updatePackingIndex(spark, counts, idx)
+    val m = Pipeline.materializePackedFrom(spark, sf, idx, out)
+    assert(m("shards_written") >= 2L) // the pruning claim needs >1 shard
+    val wps = Pipeline.PackedWindowsPerShard
+    // one full shard's range, mid-artifact
+    val (fromW, toW) = (wps, 2 * wps - 1)
+    val rd = Pipeline.readPackedWindows(spark, out, fromW, toW)
+    val wins = rd.select("win").as[Long].collect().sorted.toSeq
+    assert(wins === (fromW to math.min(toW,
+      m("windows_written") - 1)).toSeq)
+    // the scan's partition filters prune to ONE shard dir
+    val plan = rd.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("(shard"), s"no shard partition filter in:\n$plan")
+    val scanned = rd.select("shard").distinct().as[Long].collect().toSeq
+    assert(scanned === Seq(fromW / wps))
+  }
+
   test("appendPackedShards reports manifest keys on the no-op arm too") {
     val counts = Packing.tokenCounts(spark, sf)
     val idx = tmpIndex()
