@@ -410,6 +410,22 @@ class PackingSpec extends AnyFunSuite {
     assert(Packing.windowSegmentsFromIndex(spark, dir).count() === 25L)
   }
 
+  test("q123's plan is map-side off the stored artifact: no window, no hash exchange") {
+    val qe = Packing.windowSegmentsFromIndex(spark, sf).queryExecution
+    // logical: no window function and no re-derivation of placement (the
+    // prefix sum would surface as extra aggregates/joins; the stored read
+    // is a bare relation + explode + projections)
+    val logical = qe.optimizedPlan.toString
+    assert(!logical.contains("Window"), s"window in plan:\n$logical")
+    // physical: the ONLY exchange is the edge sort's range partitioning —
+    // a hashpartitioning anywhere would mean a shuffle the map-side
+    // derivation claim forbids
+    val phys = qe.executedPlan.toString
+    assert(!phys.contains("hashpartitioning"),
+      s"unexpected hash exchange:\n$phys")
+    assert(phys.contains("rangepartitioning"), "edge sort missing")
+  }
+
   test("readPackedWindows prunes shard dirs and returns exactly the window range") {
     val counts = Packing.tokenCounts(spark, sf)
     val idx = tmpIndex()

@@ -61,6 +61,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(benchUnion === unionBits)
   }
 
+  test("q125's flags probe the filters map-side — no join carries a bit-set") {
+    val whole = Sketches.multiBenchDecontamination(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the memoized relation embeds the executed AQE plan, which prints a
+    // Final AND an Initial copy — count joins in the FINAL section only
+    val plan = whole.split("== Initial Plan ==").head
+    // the probes fired as the native expression (not a fallback form)
+    assert(plan.contains("graft_bitset_contains"), s"probe missing:\n$plan")
+    // exactly the three EDGE joins (train membership semi-join, the
+    // doc × benchmark universe, the stack join) — every per-benchmark
+    // filter rides an expression, never a join relation
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins === 3, s"expected 3 edge joins, got $joins:\n$plan")
+  }
+
   test("fp audit: exact ≤ flagged ≤ total, false-pos is their gap, grain = q102") {
     val audit = Sketches.bloomFpAudit(spark, sf)
     assert(audit.filter($"n_exact" > $"n_flagged").count() === 0,
