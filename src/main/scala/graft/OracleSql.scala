@@ -1530,6 +1530,80 @@ object OracleSql {
          |LEFT JOIN base b ON sp.doc_id = b.doc_id
          |LEFT JOIN fl f ON sp.doc_id = f.doc_id AND bm.benchmark = f.benchmark
          |ORDER BY sp.doc_id, bm.benchmark""".stripMargin) +
+    // q126: q125's CTE chain plus the PER-BENCHMARK exact overlap (train
+    // shingles joined to the distinct (benchmark, shingle) eval relation)
+    // — n_false_pos = flagged − exact per (doc, benchmark), the q119
+    // audit at benchmark grain
+    ("q126_multibench_fp_audit" ->
+      s"""WITH $SplitCte, $ShinglesCte,
+         |tr AS (SELECT s.doc_id, s.shingle FROM shingles s
+         |       JOIN splits sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'),
+         |ev AS (SELECT DISTINCT d.source AS benchmark, s.shingle
+         |       FROM shingles s
+         |       JOIN splits sp ON s.doc_id = sp.doc_id
+         |       JOIN documents d ON s.doc_id = d.doc_id
+         |       WHERE sp.split <> 'train'),
+         |evpos AS (SELECT DISTINCT benchmark, pos
+         |          FROM (SELECT benchmark, unnest([${bloomPosSql("shingle")}]) AS pos
+         |                FROM ev)),
+         |trpos AS (SELECT doc_id, shingle, unnest([${bloomPosSql("shingle")}]) AS pos
+         |          FROM tr),
+         |hit AS (SELECT t.doc_id, t.shingle, e.benchmark
+         |        FROM trpos t JOIN evpos e USING (pos)
+         |        GROUP BY t.doc_id, t.shingle, e.benchmark
+         |        HAVING COUNT(*) = ${graft.operators.Sketches.BloomK}),
+         |fl AS (SELECT doc_id, benchmark, COUNT(*) AS n_flagged
+         |       FROM hit GROUP BY doc_id, benchmark),
+         |base AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+         |ex AS (SELECT t.doc_id, e.benchmark, COUNT(*) AS n_exact
+         |       FROM tr t JOIN ev e ON t.shingle = e.shingle
+         |       GROUP BY t.doc_id, e.benchmark),
+         |bm AS (SELECT DISTINCT benchmark FROM ev)
+         |SELECT sp.doc_id, bm.benchmark,
+         |       CAST(COALESCE(b.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |       CAST(COALESCE(x.n_exact, 0) AS BIGINT) AS n_exact,
+         |       CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+         |       CAST(COALESCE(f.n_flagged, 0) - COALESCE(x.n_exact, 0) AS BIGINT)
+         |         AS n_false_pos
+         |FROM (SELECT doc_id FROM splits WHERE split = 'train') sp
+         |CROSS JOIN bm
+         |LEFT JOIN base b ON sp.doc_id = b.doc_id
+         |LEFT JOIN ex x ON sp.doc_id = x.doc_id AND bm.benchmark = x.benchmark
+         |LEFT JOIN fl f ON sp.doc_id = f.doc_id AND bm.benchmark = f.benchmark
+         |ORDER BY sp.doc_id, bm.benchmark""".stripMargin) +
+    // q127: magic-byte format sniffing — the payload is the text's bytes
+    // with a deterministically PLANTED signature (doc_id mod 7 picks a
+    // MagicTable entry; 6 plants nothing), detection is a longest-prefix
+    // compare over the payload's hex — both sides interpolate the SAME
+    // MagicTable so signatures can never desync
+    ("q127_format_sniff" -> {
+      val magics = graft.operators.Multimodal.MagicTable
+      val plantArms = magics.zipWithIndex
+        .map { case ((sig, _), i) => s"WHEN $i THEN '$sig'" }
+        .mkString(" ")
+      val fmtArms = magics
+        .map { case (sig, f) =>
+          s"WHEN substring(hx, 1, ${sig.length}) = '$sig' THEN '$f'" }
+        .mkString("\n         |            ")
+      val lenArms = magics
+        .map { case (sig, _) =>
+          s"WHEN substring(hx, 1, ${sig.length}) = '$sig' THEN ${sig.length / 2}" }
+        .mkString("\n         |            ")
+      s"""WITH pb AS (
+         |  SELECT doc_id, upper(hex(encode(text))) AS th FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |         (CASE doc_id % 7 $plantArms ELSE '' END) || th AS hx
+         |  FROM pb)
+         |SELECT doc_id,
+         |       CASE $fmtArms
+         |            ELSE 'unknown' END AS fmt,
+         |       CAST(CASE $lenArms
+         |            ELSE 0 END AS BIGINT) AS sig_len,
+         |       CAST(length(hx) // 2 AS BIGINT) AS n_bytes
+         |FROM p
+         |ORDER BY doc_id""".stripMargin
+    }) +
     // q119: q102's CTE chain plus the exact overlap (train shingles IN the
     // distinct eval shingle set) — n_false_pos = flagged − exact
     ("q119_bloom_fp_audit" ->

@@ -193,7 +193,15 @@ object ScaleSmoke {
       // replication-INVARIANT (verbatim copies add no eval shingles or
       // sources) while the flagged train side grows copies×; one row per
       // (train doc, benchmark)
-      "q125_multibench_bloom")
+      "q125_multibench_bloom",
+      // round 18d: the per-benchmark FP audit replays q125's train side
+      // plus the exact-overlap broadcast join; same grain as q125
+      "q126_multibench_fp_audit",
+      // round 18d: format sniffing is pure map-side — one row per doc,
+      // the planted signature mix is stable under the id offsets
+      // (doc_id % 7 is preserved for 6 of every 7 offset copies; the
+      // output stays one row per doc regardless)
+      "q127_format_sniff")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -218,6 +226,10 @@ object ScaleSmoke {
       // eval sources per sf0.1 copy (both factors replication-stable —
       // content-hash split and verbatim copies)
       "q125_multibench_bloom" -> (3973L * 20L),
+      // q126 shares q125's exact grain
+      "q126_multibench_fp_audit" -> (3973L * 20L),
+      // one sniff row per document
+      "q127_format_sniff" -> 5000L,
       // one chunk row per (doc, window): 6,923 per sf0.1 copy
       "q106_doc_chunks" -> 6923L,
       // one scrub / purge row per document

@@ -308,7 +308,15 @@ object SparkEntry {
     // (benchmark = eval source), ONE train-side pass flagging every doc
     // against every benchmark's packed filter map-side — one row per
     // (train doc, benchmark); streaming twin bloomFlagMultiStream
-    "q125_multibench_bloom" -> ((s, d) => Sketches.multiBenchDecontamination(s, d)))
+    "q125_multibench_bloom" -> ((s, d) => Sketches.multiBenchDecontamination(s, d)),
+    // Per-benchmark Bloom FP audit: q119's calibration at q125's grain —
+    // n_false_pos per (train doc, benchmark) names WHICH benchmark's
+    // filter is saturating and needs a bigger m
+    "q126_multibench_fp_audit" -> ((s, d) => Sketches.multiBenchFpAudit(s, d)),
+    // Magic-byte media-format sniffing: the codec-free router a
+    // multimodal ingest runs before any decoder — planted signatures
+    // (deterministic fixture), longest-prefix detection, pure map-side
+    "q127_format_sniff" -> ((s, d) => Multimodal.formatSniff(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

@@ -135,6 +135,58 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The magic-byte table of [[formatSniff]]: (uppercase hex signature,
+    * format). Real, public container signatures — PNG/JPEG/GIF/RIFF/PDF/
+    * ID3 — matched longest-prefix-first (the list is checked in this
+    * order and no entry is a prefix of an earlier one). OracleSql
+    * interpolates THIS table into the q127 SQL, so the signature set can
+    * never desync from the oracle.
+    */
+  val MagicTable: Seq[(String, String)] = Seq(
+    "89504E470D0A1A0A" -> "png",
+    "FFD8FF" -> "jpeg",
+    "47494638" -> "gif",
+    "52494646" -> "riff",
+    "25504446" -> "pdf",
+    "494433" -> "mp3")
+
+  /** q127 — media-format sniffing over binary payloads: the router a
+    * 100 TB multimodal ingest runs BEFORE any decoder — read the first
+    * few bytes, dispatch to the right pipeline (or quarantine unknowns).
+    * Unlike the stub decoders, nothing here is faked: magic-byte
+    * detection IS the production computation, codec-free by nature.
+    *
+    * The corpus's payloads are text bytes, so known signatures are
+    * PLANTED deterministically (the q110 fixture idiom): doc_id mod 7
+    * picks a MagicTable entry to prepend (6 → nothing, the unknown/raw
+    * arm). Detection is INDEPENDENT of the planting — a longest-prefix
+    * scan of the payload's leading bytes via one codegen'd hex prefix
+    * compare per signature; the whole operator is a map-side projection
+    * (no shuffle below the edge sort), so 100 TB routes partition by
+    * partition. Output: (doc_id, fmt, sig_len bytes matched, n_bytes).
+    */
+  def formatSniff(spark: SparkSession, dir: String): DataFrame = {
+    val planted = binaryPayloads(spark, dir)
+      .withColumn("_pick", (col("doc_id") % 7).cast("int"))
+      .select(col("doc_id"),
+        concat(
+          unhex(element_at(
+            typedlit(MagicTable.map(_._1) :+ ""), col("_pick") + lit(1))),
+          col("payload")).as("payload"))
+    val hx = upper(hex(col("payload")))
+    val fmt = MagicTable.foldRight(lit("unknown")) { case ((sig, f), els) =>
+      when(substring(hx, 1, sig.length) === lit(sig), lit(f)).otherwise(els)
+    }
+    val sigLen = MagicTable.foldRight(lit(0L)) { case ((sig, _), els) =>
+      when(substring(hx, 1, sig.length) === lit(sig),
+        lit(sig.length.toLong / 2)).otherwise(els)
+    }
+    planted
+      .select(col("doc_id"), fmt.as("fmt"), sigLen.as("sig_len"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** Sample "frames" from each payload: frame count and offsets derive from
     * byte length (generator shape: one row per sampled frame).
     */

@@ -278,6 +278,42 @@ object Sketches {
   def multiBenchDecontamination(spark: SparkSession, dir: String): DataFrame =
     multiBenchFlags(spark, dir).orderBy("doc_id", "benchmark")
 
+  /** q126 — the per-benchmark Bloom FALSE-POSITIVE audit (q119's shape at
+    * q125's grain): each benchmark's flags joined against the exact
+    * train∩benchmark shingle overlap, n_false_pos = flagged − exact per
+    * (train doc, benchmark) — ≥ 0 PER BENCHMARK, since each filter can
+    * only over-flag its own set. This is the calibration that actually
+    * sizes m: benchmarks differ in shingle count by orders of magnitude,
+    * so one union-grain FP rate (q119) can hide a saturated small filter
+    * next to an oversized big one — the per-benchmark audit names which
+    * benchmark's m to resize before the gate deploys at 100 TB. The exact
+    * side joins the unbounded train side ONCE against the BROADCAST
+    * distinct (benchmark, shingle) relation (bounded by the benchmarks),
+    * fanning each matching shingle to only the benchmarks holding it.
+    */
+  def multiBenchFpAudit(spark: SparkSession, dir: String): DataFrame = {
+    val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
+    val sh = Dedup.shingles(spark, dir)
+    val evd = sh
+      .join(splits.filter(col("split") =!= "train").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source").as("benchmark")), Seq("doc_id"))
+      .select("benchmark", "shingle").distinct()
+    val exact = sh
+      .join(splits.filter(col("split") === "train").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(broadcast(evd), Seq("shingle"))
+      .groupBy("doc_id", "benchmark").agg(count(lit(1)).as("n_exact"))
+    multiBenchFlags(spark, dir)
+      .join(exact, Seq("doc_id", "benchmark"), "left")
+      .select(col("doc_id"), col("benchmark"), col("n_shingles"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("n_flagged"),
+        (col("n_flagged") - coalesce(col("n_exact"), lit(0L)))
+          .as("n_false_pos"))
+      .orderBy("doc_id", "benchmark")
+  }
+
   /** Per-train-doc contamination counts against a Bloom filter of the
     * eval (val+test) split's 5-gram shingles: `n_flagged` = shingles whose
     * k positions are ALL set in the eval bit-set (possible contamination,

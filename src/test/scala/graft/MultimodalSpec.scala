@@ -54,6 +54,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g2 === ((1L, 100L, 2L, 6400L, 4096L)))
   }
 
+  test("formatSniff detects the planted signatures and knows its own limits") {
+    val got = Multimodal.formatSniff(spark, sf)
+      .select("doc_id", "fmt", "sig_len", "n_bytes")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val byPick = got.groupBy(r => (r._1 % 7).toInt)
+    // each planted arm detects as ITS format, the unplanted arm as unknown
+    val want = Multimodal.MagicTable.map(_._2)
+    want.zipWithIndex.foreach { case (f, i) =>
+      assert(byPick(i).forall(_._2 == f), s"arm $i should sniff $f")
+      assert(byPick(i).forall(_._3 == Multimodal.MagicTable(i)._1.length / 2))
+    }
+    assert(byPick(6).forall(r => r._2 == "unknown" && r._3 == 0L))
+    // n_bytes = planted signature + the text's bytes
+    val meta = Multimodal.binaryMeta(spark, sf)
+      .select("doc_id", "byte_len").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, _, sigLen, n) =>
+      assert(n === meta(id) + sigLen, s"doc $id")
+    }
+    // detection is independent of the planting machinery: a doc whose
+    // TEXT bytes already start with a magic prefix is sniffed with
+    // nothing planted ("%PDF" is pure ASCII, the one signature plain
+    // text can carry)
+    val docs = Seq(6L -> "%PDF-1.4 rest of the file").toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sniff").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // doc_id 6 -> pick 6 -> nothing planted, yet the bytes ARE a PDF header
+    val sniffed = Multimodal.formatSniff(spark, dir)
+      .select("fmt").as[String].collect().toSeq
+    assert(sniffed === Seq("pdf"))
+  }
+
   test("native ByteWindowEnergy equals the composable hex+conv HOF form") {
     // the ShingleGenerator pattern: the codegen Expression must stay
     // provably equal to the form any Spark user could compose — over the

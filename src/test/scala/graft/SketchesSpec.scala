@@ -76,6 +76,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(joins === 3, s"expected 3 edge joins, got $joins:\n$plan")
   }
 
+  test("per-benchmark fp audit: exact ≤ flagged per benchmark, grain = q125") {
+    val audit = Sketches.multiBenchFpAudit(spark, sf)
+    val multi = Sketches.multiBenchDecontamination(spark, sf)
+    // Bloom never false-negatives PER BENCHMARK: its own exact overlap is
+    // a subset of its own flags, and the gap is the audit column
+    assert(audit.filter($"n_exact" > $"n_flagged").count() === 0)
+    assert(audit.filter(
+      $"n_false_pos" =!= $"n_flagged" - $"n_exact").count() === 0)
+    // same universe and flag counts as q125 itself
+    assert(audit.count() === multi.count())
+    assert(audit.select("doc_id", "benchmark", "n_shingles", "n_flagged")
+      .exceptAll(multi).count() === 0)
+    // per-doc exact counts SUM across benchmarks to at least the q119
+    // union-grain exact count (a shingle in k benchmarks counts k times
+    // here, once there)
+    val unionExact = Sketches.bloomFpAudit(spark, sf)
+      .select($"doc_id", $"n_exact".as("n_union"))
+    val perDoc = audit.groupBy("doc_id")
+      .agg(sum("n_exact").as("n_sum"))
+    assert(perDoc.join(unionExact, Seq("doc_id"))
+      .filter($"n_sum" < $"n_union").count() === 0)
+  }
+
   test("fp audit: exact ≤ flagged ≤ total, false-pos is their gap, grain = q102") {
     val audit = Sketches.bloomFpAudit(spark, sf)
     assert(audit.filter($"n_exact" > $"n_flagged").count() === 0,
