@@ -188,6 +188,18 @@ object Packing {
     * doc-grain placement columns. Everything a loader derives — q123's
     * window-segment map, the per-batch extension — reads THIS relation,
     * never a corpus re-sort.
+    *
+    * The stored artifact's window capacity is FIXED at [[ContextTokens]]
+    * (advice r19): the bootstrap writes it into the sidecar, and every
+    * consumer ([[windowSegmentsFromIndex]],
+    * [[graft.Pipeline.materializePacked]]) derives geometry at that same
+    * value — none takes a capacity parameter, because a different value
+    * can never match the committed grid (requireIndexCapacity would
+    * throw). A deployment that needs another capacity builds its OWN
+    * index via updatePackingIndex(..., capacity) and consumes it through
+    * the explicit-path forms (windowSegmentsForBatch,
+    * materializePackedFrom, appendPackedShards), which thread capacity
+    * and verify it against the sidecar.
     */
   private[graft] val placementCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -212,15 +224,16 @@ object Packing {
     * 48-byte/doc rows map-side. Oracle: the SAME SQL as q122 (the
     * one-shot recompute), so a green hash proves stored-derived segments
     * ≡ one-shot segments through the index's storage round-trip.
-    * `capacity` must match the stored index's build capacity (see
-    * [[segmentsOf]]).
+    * Geometry is the stored artifact's fixed [[ContextTokens]] capacity
+    * (see [[storedPlacement]]) — verified against the sidecar, never
+    * parameterized (advice r19: a capacity parameter here could only
+    * ever throw).
     */
-  def windowSegmentsFromIndex(spark: SparkSession, dir: String,
-      capacity: Long = ContextTokens): DataFrame = {
+  def windowSegmentsFromIndex(spark: SparkSession, dir: String): DataFrame = {
     val p = storedPlacement(spark, dir) // bootstraps the index if absent
     requireIndexCapacity(spark, PackingIndexPath(spark, dir) + "-stored",
-      capacity)
-    segmentsOf(p, capacity).orderBy("win", "doc_id")
+      ContextTokens)
+    segmentsOf(p, ContextTokens).orderBy("win", "doc_id")
   }
 
   /** Window segments of ONE stored batch — the O(batch) incremental form
@@ -322,15 +335,21 @@ object Packing {
     }
   }
 
+  /** The sidecar's exact serialized form — shared by [[writeState]] and
+    * the compaction staging epoch, so the epoch's freshness comparison is
+    * field-for-field the replay-identity check, never a subset of it.
+    */
+  private def stateLine(st: IndexState): String =
+    s"${st.nextBatch} ${st.totalToks} ${st.maxDoc} ${st.lastMinDoc} " +
+      s"${st.lastSeedTok} ${st.lastCount} ${st.lastTokSum} ${st.capacity}"
+
   private def writeState(spark: SparkSession, path: String,
       st: IndexState): Unit = {
     val p = statePath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(
-      (s"${st.nextBatch} ${st.totalToks} ${st.maxDoc} ${st.lastMinDoc} " +
-        s"${st.lastSeedTok} ${st.lastCount} ${st.lastTokSum} ${st.capacity}")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      stateLine(st).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -449,22 +468,57 @@ object Packing {
     val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
     val anchored = fs.exists(
       new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+    val epochFile = new org.apache.hadoop.fs.Path(staging,
+      "_graft_staging_epoch")
     val st = readState(spark, path)
-    // adjudicate a committed anchor BEFORE trusting it (review r18): a
-    // genuine crashed fold's staged copy carries the SAME totals as the
-    // sidecar — folding changes layout, never content, and every crash
-    // point leaves the sidecar reading those totals (the pre-fold sidecar
-    // if the fold died early, the post-fold one if it died before
-    // cleanup). A mismatch means the anchor is STALE: a fold that
-    // completed, died before deleting its staging, and was followed by
-    // appends (any real append strictly raises maxDoc) — adopting it
-    // would silently roll those appends back. Stale or orphaned (no
-    // sidecar) anchors are deleted and the fold restages fresh.
+    // adjudicate a committed anchor BEFORE trusting it (review r18,
+    // strengthened r19): staging records an EPOCH — the sidecar's exact
+    // serialized line at stage time — and a crashed fold left the current
+    // sidecar in exactly one of two states: the PRE-fold line (death
+    // before the fold's sidecar commit; committed batch dirs may already
+    // be partially destroyed, which is why the sidecar, not the dirs, is
+    // the identity) or the POST-fold line fully derivable from the staged
+    // rows (death before staging cleanup; re-folding is idempotent).
+    // Anything else means the anchor is STALE — a completed fold followed
+    // by real appends, or a truncate + re-append sequence; the r18 check
+    // compared only (totalToks, maxDoc), which a same-endpoint re-pack
+    // could spoof (advice r19) — and adopting it would silently roll the
+    // index back. Stale, orphaned (no sidecar) or epoch-less (pre-r19)
+    // anchors are deleted and the fold restages fresh.
     val resume = anchored && st.nonEmpty && {
-      val a = spark.read.schema(PlacementSchema).parquet(staging.toString)
-        .agg(coalesce(sum("n_toks"), lit(0L)), max("doc_id")).head()
-      val fresh = a.getLong(0) == st.get.totalToks &&
-        !a.isNullAt(1) && a.getLong(1) == st.get.maxDoc
+      val cur = stateLine(st.get)
+      val fresh = fs.exists(epochFile) && {
+        val in = fs.open(epochFile)
+        val epoch =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+        epoch == cur || {
+          // not the pre-fold sidecar: the only other genuine crash point
+          // is AFTER the fold's sidecar commit (before staging cleanup),
+          // where the committed index is the complete folded batch=0 —
+          // so accept only the exact post-fold state derived from the
+          // STAGED rows (all 8 fields, the same strength as the append
+          // replay-identity check) AND a content-fingerprint match of
+          // staged vs committed (sum(doc_id·n_toks), sum(start_tok)):
+          // the sidecar cannot see interior placement, so a truncate +
+          // re-append restoring every identity field with permuted
+          // per-doc counts (advice r19's spoof) is caught only by
+          // comparing the rows themselves
+          def fp(df: org.apache.spark.sql.DataFrame) =
+            df.agg(count(lit(1)), min("doc_id"), max("doc_id"),
+              coalesce(sum("n_toks"), lit(0L)),
+              coalesce(sum(col("doc_id") * col("n_toks")), lit(0L)),
+              coalesce(sum("start_tok"), lit(0L))).head()
+          val a = fp(spark.read.schema(PlacementSchema)
+            .parquet(staging.toString))
+          val c = fp(readPackingIndex(spark, path))
+          !a.isNullAt(1) && cur == stateLine(IndexState(1L, a.getLong(3),
+            a.getLong(2), a.getLong(1), 0L, a.getLong(0), a.getLong(3),
+            st.get.capacity)) &&
+            (0 until 6).forall(i => a.get(i) == c.get(i))
+        }
+      }
       if (!fresh) fs.delete(staging, true)
       fresh
     }
@@ -477,6 +531,14 @@ object Packing {
         .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
           "n_windows")
         .write.mode("overwrite").parquet(staging.toString)
+      // the staging epoch: the sidecar AS OF staging, written after the
+      // parquet commit — a crash in between leaves an anchored-but-
+      // epoch-less staging that the adjudication above treats as stale
+      // (restaged fresh; only redone work, never rollback)
+      val eo = fs.create(epochFile, true)
+      try eo.write(stateLine(st.get)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally eo.close()
     }
     val staged = spark.read.schema(PlacementSchema).parquet(staging.toString)
     // the folded batch's identity fields, from the STAGED copy (always

@@ -252,6 +252,58 @@ class PackingSpec extends AnyFunSuite {
     assert(r("windows_written") === snap(outB).length.toLong)
   }
 
+  test("shrinking re-pack leaves no stale trailing shards in the artifact") {
+    // the verdict-r18 seam: truncate + SMALLER re-append repairs the
+    // INDEX, but the artifact's dynamic overwrite only replaces shard
+    // dirs present in the delta — trailing dirs from the larger
+    // pre-truncate corpus must be DELETED, or a range read past the new
+    // end returns dead windows
+    val counts = Packing.tokenCounts(spark, sf)
+    val mx = counts.agg(max("doc_id")).head().getLong(0)
+    val t1 = mx / 3
+    val idx = tmpIndex()
+    val out = java.nio.file.Files.createTempDirectory("graft_pks").toString
+    // windowsPerShard=2: the sf0.001 corpus packs into ~2 default-size
+    // shards, too coarse for a shrink to cross a shard boundary — finer
+    // shards make the seam observable without changing its mechanics
+    val wps = 2L
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") <= t1), idx)
+    val full = Packing.updatePackingIndex(spark,
+      counts.filter(col("doc_id") > t1), idx)
+    Pipeline.materializePackedFrom(spark, sf, idx, out, windowsPerShard = wps)
+    val shardsBefore = new java.io.File(s"$out/windows").listFiles()
+      .count(_.getName.startsWith("shard="))
+    // corrected ingest: the tail batch was wrong — truncate it and
+    // re-append only its first half (strictly fewer tokens)
+    Packing.truncatePackingIndex(spark, idx, full("batch"))
+    val half = Packing.updatePackingIndex(spark,
+      counts.filter(col("doc_id") > t1 && col("doc_id") <= 2 * mx / 3), idx)
+    val r = Pipeline.appendPackedShards(spark, sf, idx, out, half("batch"),
+      windowsPerShard = wps)
+    // the artifact now equals a fresh materialization of the repaired
+    // index — including on disk: no shard dir beyond the new last shard
+    val outB = java.nio.file.Files.createTempDirectory("graft_pksb").toString
+    Pipeline.materializePackedFrom(spark, sf, idx, outB, windowsPerShard = wps)
+    def snap(p: String) = spark.read.parquet(s"$p/windows")
+      .select(col("win"), col("shard").cast("long").as("shard"),
+        col("n_segs"), col("tokens"),
+        to_json(col("segments")).as("segjson"))
+      .as[(Long, Long, Long, Seq[String], String)].collect().sortBy(_._1).toSeq
+    assert(snap(out) === snap(outB))
+    val shardsAfter = new java.io.File(s"$out/windows").listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .map(_.getName.stripPrefix("shard=").toLong)
+    assert(shardsAfter.length < shardsBefore, "the shrink must free shards")
+    val lastWin = snap(outB).map(_._1).max
+    assert(shardsAfter.max === lastWin / wps)
+    // a range read past the new end returns nothing stale
+    assert(Pipeline.readPackedWindows(spark, out, lastWin + 1,
+      lastWin + 10 * wps, windowsPerShard = wps).count() === 0L)
+    // and the manifest recount described the cleaned artifact
+    assert(r("windows_written") === snap(outB).length.toLong)
+    assert(r("shards_written") === shardsAfter.length.toLong)
+  }
+
   test("summary batches are numbered densely when a doc_id third is empty") {
     // advice r17: every doc_id above 2/3 of the max — the first two thirds
     // of the q121 cut are EMPTY batches (no-ops that consume no batch
@@ -377,6 +429,82 @@ class PackingSpec extends AnyFunSuite {
     assert(Packing.readPackingIndex(spark, path)
       .agg(max("doc_id")).head().getLong(0) ===
       day.agg(max("doc_id")).head().getLong(0))
+  }
+
+  test("compaction rejects a staging anchor spoofed by a same-endpoint re-pack") {
+    // advice r19: the r18 freshness check compared only (totalToks,
+    // maxDoc) — a truncate + re-append that restores the same token
+    // total and max doc_id with PERMUTED interior counts would wrongly
+    // resume from the stale staged copy and roll the index back. The
+    // epoch + content-fingerprint adjudication must fold FRESH instead.
+    val path = tmpIndex()
+    val a = Seq(100L -> 5L, 101L -> 7L).toDF("doc_id", "n_toks")
+    val b = Seq(200L -> 3L, 201L -> 9L).toDF("doc_id", "n_toks")
+    Packing.updatePackingIndex(spark, a, path)
+    Packing.updatePackingIndex(spark, b, path)
+    // crash model: a fold completed its sidecar commit (post-fold state,
+    // nextBatch=1) but died before deleting its staging — run the fold,
+    // then re-plant the anchor exactly as that crash would have left it
+    // (staged rows = the pre-fold content, epoch = the pre-fold sidecar)
+    val staging = path + ".compact-staging"
+    val preFoldSidecar = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_graft_packing_state")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    Packing.compactPackingIndex(spark, path) // the "completed fold"
+    Packing.readPackingIndex(spark, path) // folded content ≡ pre-fold rows
+      .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
+        "n_windows")
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging, "_graft_staging_epoch"),
+      preFoldSidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the single writer then re-packs: truncate to zero, re-append the
+    // SAME docs with permuted counts — every sidecar identity field
+    // (count, endpoints, token total, seed) matches the staged copy
+    Packing.truncatePackingIndex(spark, path, 0L)
+    val permuted = Seq(100L -> 7L, 101L -> 5L, 200L -> 9L, 201L -> 3L)
+      .toDF("doc_id", "n_toks")
+    Packing.updatePackingIndex(spark, permuted, path)
+    val want = Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val r = Packing.compactPackingIndex(spark, path)
+    assert(r("recovered") === 0L, "the stale anchor must not be adopted")
+    val got = Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want, "compaction must never change placement")
+  }
+
+  test("compaction resumes from a fresh anchor left by a crashed fold") {
+    // the epoch's positive arm: a fold that staged (epoch = pre-fold
+    // sidecar) and died BEFORE its sidecar commit must be recognized as
+    // fresh and resumed — content identical, recovered=1
+    val path = tmpIndex()
+    val counts = Packing.tokenCounts(spark, sf)
+    val mx = counts.agg(max("doc_id")).head().getLong(0)
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") <= mx / 2), path)
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") > mx / 2), path)
+    val want = Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val staging = path + ".compact-staging"
+    Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
+        "n_windows")
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging, "_graft_staging_epoch"),
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_graft_packing_state")))
+    val r = Packing.compactPackingIndex(spark, path)
+    assert(r("recovered") === 1L, "a genuine crashed fold's anchor resumes")
+    assert(Packing.readPackingIndex(spark, path)
+      .agg(max("batch")).head().getLong(0) === 0L)
+    val got = Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want)
   }
 
   test("capacity is recorded in the sidecar and mismatches are rejected") {
