@@ -1572,28 +1572,45 @@ object OracleSql {
          |LEFT JOIN fl f ON sp.doc_id = f.doc_id AND bm.benchmark = f.benchmark
          |ORDER BY sp.doc_id, bm.benchmark""".stripMargin) +
     // q127: magic-byte format sniffing — the payload is the text's bytes
-    // with a deterministically PLANTED signature (doc_id mod 7 picks a
-    // MagicTable entry; 6 plants nothing), detection is a longest-prefix
-    // compare over the payload's hex — both sides interpolate the SAME
-    // MagicTable so signatures can never desync
+    // with a deterministically PLANTED arm (doc_id mod |PlantTable| picks
+    // a MagicTable signature, a full RIFF+size+subtype header, or
+    // nothing), detection is a longest-prefix compare over the payload's
+    // hex with RIFF routed one level deeper on the subtype at bytes 9–12
+    // — both sides interpolate the SAME tables so they can never desync
     ("q127_format_sniff" -> {
       val magics = graft.operators.Multimodal.MagicTable
-      val plantArms = magics.zipWithIndex
-        .map { case ((sig, _), i) => s"WHEN $i THEN '$sig'" }
+      val plants = graft.operators.Multimodal.PlantTable
+      val subs = graft.operators.Multimodal.RiffSubtypes
+      val plantArms = plants.zipWithIndex
+        .map { case (sig, i) => s"WHEN $i THEN '$sig'" }
+        .mkString(" ")
+      val subFmt = subs
+        .map { case (sub, f) =>
+          s"WHEN substring(hx, 17, 8) = '$sub' THEN '$f'" }
+        .mkString(" ")
+      val subLen = subs
+        .map { case (sub, _) =>
+          s"WHEN substring(hx, 17, 8) = '$sub' THEN 12" }
         .mkString(" ")
       val fmtArms = magics
         .map { case (sig, f) =>
-          s"WHEN substring(hx, 1, ${sig.length}) = '$sig' THEN '$f'" }
+          val out =
+            if (f == "riff") s"(CASE $subFmt ELSE 'riff' END)" else s"'$f'"
+          s"WHEN substring(hx, 1, ${sig.length}) = '$sig' THEN $out" }
         .mkString("\n         |            ")
       val lenArms = magics
-        .map { case (sig, _) =>
-          s"WHEN substring(hx, 1, ${sig.length}) = '$sig' THEN ${sig.length / 2}" }
+        .map { case (sig, f) =>
+          val out =
+            if (f == "riff") s"(CASE $subLen ELSE 4 END)"
+            else s"${sig.length / 2}"
+          s"WHEN substring(hx, 1, ${sig.length}) = '$sig' THEN $out" }
         .mkString("\n         |            ")
       s"""WITH pb AS (
          |  SELECT doc_id, upper(hex(encode(text))) AS th FROM documents),
          |p AS (
          |  SELECT doc_id,
-         |         (CASE doc_id % 7 $plantArms ELSE '' END) || th AS hx
+         |         (CASE doc_id % ${plants.length} $plantArms ELSE '' END)
+         |           || th AS hx
          |  FROM pb)
          |SELECT doc_id,
          |       CASE $fmtArms

@@ -150,6 +150,34 @@ object Multimodal {
     "25504446" -> "pdf",
     "494433" -> "mp3")
 
+  /** RIFF is a CONTAINER: bytes 0–3 say "RIFF", bytes 4–7 are the chunk
+    * size, and bytes 8–11 name the contained format — so a real router
+    * sniffs one level deeper (r19, verdict r18 item 4): (uppercase hex
+    * of payload bytes 9–12, routed format). A RIFF whose subtype is
+    * neither stays "riff" (sig_len 4) — quarantine-the-container, the
+    * honest answer for RIFF types the table doesn't know (WebP, CDA...).
+    */
+  val RiffSubtypes: Seq[(String, String)] = Seq(
+    "57415645" -> "wav", // "WAVE"
+    "41564920" -> "avi") // "AVI "
+
+  /** A fixed little-endian chunk-size filler for the PLANTED RIFF
+    * containers (the size field is not part of detection — any 4 bytes
+    * sit there in a real file).
+    */
+  val RiffSizeHex: String = "24000000"
+
+  /** The planting arms of q127's fixture: one per MagicTable signature,
+    * one per RIFF subtype (a full 12-byte RIFF+size+subtype header), and
+    * the empty unknown/raw arm. doc_id mod PlantTable.length picks the
+    * arm; OracleSql interpolates THIS list so fixture and oracle can
+    * never desync.
+    */
+  val PlantTable: Seq[String] =
+    MagicTable.map(_._1) ++
+      RiffSubtypes.map { case (sub, _) => "52494646" + RiffSizeHex + sub } :+
+      ""
+
   /** q127 — media-format sniffing over binary payloads: the router a
     * 100 TB multimodal ingest runs BEFORE any decoder — read the first
     * few bytes, dispatch to the right pipeline (or quarantine unknowns).
@@ -157,29 +185,46 @@ object Multimodal {
     * detection IS the production computation, codec-free by nature.
     *
     * The corpus's payloads are text bytes, so known signatures are
-    * PLANTED deterministically (the q110 fixture idiom): doc_id mod 7
-    * picks a MagicTable entry to prepend (6 → nothing, the unknown/raw
-    * arm). Detection is INDEPENDENT of the planting — a longest-prefix
-    * scan of the payload's leading bytes via one codegen'd hex prefix
-    * compare per signature; the whole operator is a map-side projection
-    * (no shuffle below the edge sort), so 100 TB routes partition by
-    * partition. Output: (doc_id, fmt, sig_len bytes matched, n_bytes).
+    * PLANTED deterministically (the q110 fixture idiom): doc_id mod
+    * PlantTable.length picks an arm — a MagicTable signature, a full
+    * 12-byte RIFF container header (WAVE / AVI), or nothing (the
+    * unknown/raw arm). Detection is INDEPENDENT of the planting — a
+    * longest-prefix scan of the payload's leading bytes via one codegen'd
+    * hex prefix compare per signature, with RIFF routed one level deeper
+    * on the subtype at bytes 9–12 ([[RiffSubtypes]]); the whole operator
+    * is a map-side projection (no shuffle below the edge sort), so 100 TB
+    * routes partition by partition. Only the first 12 payload bytes are
+    * ever hexed (r19, verdict r18: the first cut hexed the WHOLE payload
+    * to read ≤8 leading bytes — correct, but a 2× per-row allocation
+    * that matters when real payloads are MBs). Output: (doc_id, fmt,
+    * sig_len bytes consumed to identify, n_bytes).
     */
   def formatSniff(spark: SparkSession, dir: String): DataFrame = {
     val planted = binaryPayloads(spark, dir)
-      .withColumn("_pick", (col("doc_id") % 7).cast("int"))
+      .withColumn("_pick", (col("doc_id") % PlantTable.length).cast("int"))
       .select(col("doc_id"),
         concat(
-          unhex(element_at(
-            typedlit(MagicTable.map(_._1) :+ ""), col("_pick") + lit(1))),
+          unhex(element_at(typedlit(PlantTable), col("_pick") + lit(1))),
           col("payload")).as("payload"))
-    val hx = upper(hex(col("payload")))
+    // 12 bytes cover the longest identification (RIFF header + subtype);
+    // substring-then-hex touches only those bytes whatever the payload size
+    val hx = upper(hex(substring(col("payload"), 1, 12)))
+    // second-level route for the RIFF container: subtype at bytes 9–12
+    // (hex chars 17–24), falling back to `base` when the table has no arm
+    def riffRoute(pick: String => org.apache.spark.sql.Column,
+        base: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      RiffSubtypes.foldRight(base) { case ((sub, f), els) =>
+        when(substring(hx, 17, 8) === lit(sub), pick(f)).otherwise(els)
+      }
     val fmt = MagicTable.foldRight(lit("unknown")) { case ((sig, f), els) =>
-      when(substring(hx, 1, sig.length) === lit(sig), lit(f)).otherwise(els)
-    }
-    val sigLen = MagicTable.foldRight(lit(0L)) { case ((sig, _), els) =>
       when(substring(hx, 1, sig.length) === lit(sig),
-        lit(sig.length.toLong / 2)).otherwise(els)
+        if (f == "riff") riffRoute(rf => lit(rf), lit("riff")) else lit(f))
+        .otherwise(els)
+    }
+    val sigLen = MagicTable.foldRight(lit(0L)) { case ((sig, f), els) =>
+      when(substring(hx, 1, sig.length) === lit(sig),
+        if (f == "riff") riffRoute(_ => lit(12L), lit(4L))
+        else lit(sig.length.toLong / 2)).otherwise(els)
     }
     planted
       .select(col("doc_id"), fmt.as("fmt"), sigLen.as("sig_len"),

@@ -59,14 +59,24 @@ class MultimodalSpec extends AnyFunSuite {
       .select("doc_id", "fmt", "sig_len", "n_bytes")
       .as[(Long, String, Long, Long)].collect()
     assert(got.nonEmpty)
-    val byPick = got.groupBy(r => (r._1 % 7).toInt)
+    val nArms = Multimodal.PlantTable.length
+    val byPick = got.groupBy(r => (r._1 % nArms).toInt)
     // each planted arm detects as ITS format, the unplanted arm as unknown
     val want = Multimodal.MagicTable.map(_._2)
     want.zipWithIndex.foreach { case (f, i) =>
       assert(byPick(i).forall(_._2 == f), s"arm $i should sniff $f")
       assert(byPick(i).forall(_._3 == Multimodal.MagicTable(i)._1.length / 2))
     }
-    assert(byPick(6).forall(r => r._2 == "unknown" && r._3 == 0L))
+    // the RIFF container arms route one level deeper: a full 12-byte
+    // RIFF+size+subtype header identifies as the CONTAINED format, with
+    // all 12 header bytes consumed; the bare-RIFF arm above stays "riff"
+    // at sig_len 4 (its subtype bytes are corpus text, not WAVE/AVI)
+    Multimodal.RiffSubtypes.map(_._2).zipWithIndex.foreach { case (f, j) =>
+      val arm = want.length + j
+      assert(byPick(arm).forall(_._2 == f), s"arm $arm should sniff $f")
+      assert(byPick(arm).forall(_._3 == 12L))
+    }
+    assert(byPick(nArms - 1).forall(r => r._2 == "unknown" && r._3 == 0L))
     // n_bytes = planted signature + the text's bytes
     val meta = Multimodal.binaryMeta(spark, sf)
       .select("doc_id", "byte_len").as[(Long, Long)].collect().toMap
@@ -77,10 +87,11 @@ class MultimodalSpec extends AnyFunSuite {
     // TEXT bytes already start with a magic prefix is sniffed with
     // nothing planted ("%PDF" is pure ASCII, the one signature plain
     // text can carry)
-    val docs = Seq(6L -> "%PDF-1.4 rest of the file").toDF("doc_id", "text")
+    val rawArm = Multimodal.PlantTable.length.toLong - 1L
+    val docs = Seq(rawArm -> "%PDF-1.4 rest of the file").toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_sniff").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // doc_id 6 -> pick 6 -> nothing planted, yet the bytes ARE a PDF header
+    // doc_id = the raw arm -> nothing planted, yet the bytes ARE a PDF header
     val sniffed = Multimodal.formatSniff(spark, dir)
       .select("fmt").as[String].collect().toSeq
     assert(sniffed === Seq("pdf"))
