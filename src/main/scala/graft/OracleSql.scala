@@ -1496,32 +1496,13 @@ object OracleSql {
          |LEFT JOIN fl f ON sp.doc_id = f.doc_id
          |ORDER BY sp.doc_id""".stripMargin) +
     // q125: the multi-benchmark form of q102 — benchmark = eval source,
-    // per-benchmark DISTINCT bit-position sets, a train shingle flagged
-    // for a benchmark when all k positions land in THAT benchmark's set
-    // (the same duplicate-position equivalence argument as q102's
-    // HAVING COUNT(*) = k), universe = train docs × benchmarks
+    // per-benchmark bit-position sets each at ITS OWN ladder rung (the
+    // MultiBenchCtes sizing), a train shingle flagged for a benchmark
+    // when all k folded positions land in THAT benchmark's set,
+    // universe = train docs × benchmarks
     ("q125_multibench_bloom" ->
       s"""WITH $SplitCte, $ShinglesCte,
-         |tr AS (SELECT s.doc_id, s.shingle FROM shingles s
-         |       JOIN splits sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'),
-         |ev AS (SELECT DISTINCT d.source AS benchmark, s.shingle
-         |       FROM shingles s
-         |       JOIN splits sp ON s.doc_id = sp.doc_id
-         |       JOIN documents d ON s.doc_id = d.doc_id
-         |       WHERE sp.split <> 'train'),
-         |evpos AS (SELECT DISTINCT benchmark, pos
-         |          FROM (SELECT benchmark, unnest([${bloomPosSql("shingle")}]) AS pos
-         |                FROM ev)),
-         |trpos AS (SELECT doc_id, shingle, unnest([${bloomPosSql("shingle")}]) AS pos
-         |          FROM tr),
-         |hit AS (SELECT t.doc_id, t.shingle, e.benchmark
-         |        FROM trpos t JOIN evpos e USING (pos)
-         |        GROUP BY t.doc_id, t.shingle, e.benchmark
-         |        HAVING COUNT(*) = ${graft.operators.Sketches.BloomK}),
-         |fl AS (SELECT doc_id, benchmark, COUNT(*) AS n_flagged
-         |       FROM hit GROUP BY doc_id, benchmark),
-         |base AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
-         |bm AS (SELECT DISTINCT benchmark FROM ev)
+         |$MultiBenchCtes
          |SELECT sp.doc_id, bm.benchmark,
          |       CAST(COALESCE(b.n_shingles, 0) AS BIGINT) AS n_shingles,
          |       CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged
@@ -1536,29 +1517,10 @@ object OracleSql {
     // audit at benchmark grain
     ("q126_multibench_fp_audit" ->
       s"""WITH $SplitCte, $ShinglesCte,
-         |tr AS (SELECT s.doc_id, s.shingle FROM shingles s
-         |       JOIN splits sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'),
-         |ev AS (SELECT DISTINCT d.source AS benchmark, s.shingle
-         |       FROM shingles s
-         |       JOIN splits sp ON s.doc_id = sp.doc_id
-         |       JOIN documents d ON s.doc_id = d.doc_id
-         |       WHERE sp.split <> 'train'),
-         |evpos AS (SELECT DISTINCT benchmark, pos
-         |          FROM (SELECT benchmark, unnest([${bloomPosSql("shingle")}]) AS pos
-         |                FROM ev)),
-         |trpos AS (SELECT doc_id, shingle, unnest([${bloomPosSql("shingle")}]) AS pos
-         |          FROM tr),
-         |hit AS (SELECT t.doc_id, t.shingle, e.benchmark
-         |        FROM trpos t JOIN evpos e USING (pos)
-         |        GROUP BY t.doc_id, t.shingle, e.benchmark
-         |        HAVING COUNT(*) = ${graft.operators.Sketches.BloomK}),
-         |fl AS (SELECT doc_id, benchmark, COUNT(*) AS n_flagged
-         |       FROM hit GROUP BY doc_id, benchmark),
-         |base AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+         |$MultiBenchCtes,
          |ex AS (SELECT t.doc_id, e.benchmark, COUNT(*) AS n_exact
          |       FROM tr t JOIN ev e ON t.shingle = e.shingle
-         |       GROUP BY t.doc_id, e.benchmark),
-         |bm AS (SELECT DISTINCT benchmark FROM ev)
+         |       GROUP BY t.doc_id, e.benchmark)
          |SELECT sp.doc_id, bm.benchmark,
          |       CAST(COALESCE(b.n_shingles, 0) AS BIGINT) AS n_shingles,
          |       CAST(COALESCE(x.n_exact, 0) AS BIGINT) AS n_exact,
@@ -1571,6 +1533,39 @@ object OracleSql {
          |LEFT JOIN ex x ON sp.doc_id = x.doc_id AND bm.benchmark = x.benchmark
          |LEFT JOIN fl f ON sp.doc_id = f.doc_id AND bm.benchmark = f.benchmark
          |ORDER BY sp.doc_id, bm.benchmark""".stripMargin) +
+    // q128: the Bloom SIZING report — q126's audit aggregated to
+    // benchmark grain next to the distinct-shingle count and the ladder
+    // rung it picked (the same integer CASE rungs as the Scala side —
+    // no floating log2 anywhere, so the engines cannot round apart)
+    ("q128_bloom_sizing" ->
+      s"""WITH $SplitCte, $ShinglesCte,
+         |$MultiBenchCtes,
+         |ex AS (SELECT t.doc_id, e.benchmark, COUNT(*) AS n_exact
+         |       FROM tr t JOIN ev e ON t.shingle = e.shingle
+         |       GROUP BY t.doc_id, e.benchmark),
+         |cnts AS (SELECT benchmark, COUNT(DISTINCT shingle) AS n_eval
+         |         FROM ev GROUP BY benchmark),
+         |uni AS (SELECT sp.doc_id, bm.benchmark,
+         |               COALESCE(f.n_flagged, 0) AS flg,
+         |               COALESCE(x.n_exact, 0) AS exc
+         |        FROM (SELECT doc_id FROM splits WHERE split = 'train') sp
+         |        CROSS JOIN bm
+         |        LEFT JOIN ex x
+         |          ON sp.doc_id = x.doc_id AND bm.benchmark = x.benchmark
+         |        LEFT JOIN fl f
+         |          ON sp.doc_id = f.doc_id AND bm.benchmark = f.benchmark)
+         |SELECT u.benchmark,
+         |       CAST(c.n_eval AS BIGINT) AS n_eval_shingles,
+         |       CAST(m.mbits AS BIGINT) AS m_bits,
+         |       CAST(COUNT(*) AS BIGINT) AS n_train_rows,
+         |       CAST(SUM(u.flg) AS BIGINT) AS n_flagged,
+         |       CAST(SUM(u.exc) AS BIGINT) AS n_exact,
+         |       CAST(SUM(u.flg - u.exc) AS BIGINT) AS n_false_pos
+         |FROM uni u
+         |JOIN cnts c ON u.benchmark = c.benchmark
+         |JOIN m ON u.benchmark = m.benchmark
+         |GROUP BY u.benchmark, c.n_eval, m.mbits
+         |ORDER BY u.benchmark""".stripMargin) +
     // q127: magic-byte format sniffing — the payload is the text's bytes
     // with a deterministically PLANTED arm (doc_id mod |PlantTable| picks
     // a MagicTable signature, a full RIFF+size+subtype header, or
@@ -2328,6 +2323,68 @@ object OracleSql {
     (0 until graft.operators.Sketches.BloomK)
       .map(i => s"${hexValSql(x, 1 + 5 * i, 5)} % ${graft.operators.Sketches.BloomBits}")
       .mkString(", ")
+
+  /** The k RAW 20-bit position values (no mod) — mirrors
+    * Sketches.bloomRawPositionOf; the per-benchmark queries fold them by
+    * each benchmark's own mbits.
+    */
+  private def bloomRawPosSql(x: String): String =
+    (0 until graft.operators.Sketches.BloomK)
+      .map(i => hexValSql(x, 1 + 5 * i, 5))
+      .mkString(", ")
+
+  /** The sizing ladder as SQL arms over `cnt` — the exact integer rungs
+    * of Sketches.sizedBloomBits, so the two engines can never round
+    * differently (no floating log2 anywhere).
+    */
+  private def bloomLadderSql(cnt: String): String = {
+    val s = graft.operators.Sketches
+    val rungs = Iterator.iterate(s.BloomMinBits)(_ << 1)
+      .takeWhile(_ < s.BloomMaxBits).toSeq
+    "CASE " + rungs.map(m =>
+      s"WHEN ${s.BloomSizeFactor} * $cnt <= $m THEN $m").mkString(" ") +
+      s" ELSE ${s.BloomMaxBits} END"
+  }
+
+  /** The shared CTE tail of the multi-benchmark Bloom queries
+    * (q125/q126/q128): train/eval shingle relations, the per-benchmark
+    * sizing (m), per-benchmark positions at each benchmark's OWN rung,
+    * train positions folded per benchmark, and the all-k-hit flags. The
+    * duplicate-position equivalence argument is q102's: trposb keeps the
+    * k-row multiplicity per (doc, shingle, benchmark), evpos is distinct,
+    * so COUNT(*) = k iff every position (with multiplicity) hit.
+    */
+  private lazy val MultiBenchCtes: String =
+    s"""tr AS (SELECT s.doc_id, s.shingle FROM shingles s
+       |       JOIN splits sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'),
+       |ev AS (SELECT DISTINCT d.source AS benchmark, s.shingle
+       |       FROM shingles s
+       |       JOIN splits sp ON s.doc_id = sp.doc_id
+       |       JOIN documents d ON s.doc_id = d.doc_id
+       |       WHERE sp.split <> 'train'),
+       |m AS (SELECT benchmark, ${bloomLadderSql("cnt")} AS mbits
+       |      FROM (SELECT benchmark, COUNT(DISTINCT shingle) AS cnt
+       |            FROM ev GROUP BY benchmark)),
+       |evpos AS (SELECT DISTINCT benchmark, mbits, pos % mbits AS pos
+       |          FROM (SELECT e.benchmark, m.mbits,
+       |                       unnest([${bloomRawPosSql("e.shingle")}]) AS pos
+       |                FROM ev e JOIN m USING (benchmark))),
+       |trpos AS (SELECT doc_id, shingle,
+       |                 unnest([${bloomRawPosSql("shingle")}]) AS pos
+       |          FROM tr),
+       |trposb AS (SELECT t.doc_id, t.shingle, m.benchmark,
+       |                  t.pos % m.mbits AS pos
+       |           FROM trpos t CROSS JOIN m),
+       |hit AS (SELECT tb.doc_id, tb.shingle, tb.benchmark
+       |        FROM trposb tb
+       |        JOIN evpos e
+       |          ON e.benchmark = tb.benchmark AND e.pos = tb.pos
+       |        GROUP BY tb.doc_id, tb.shingle, tb.benchmark
+       |        HAVING COUNT(*) = ${graft.operators.Sketches.BloomK}),
+       |fl AS (SELECT doc_id, benchmark, COUNT(*) AS n_flagged
+       |       FROM hit GROUP BY doc_id, benchmark),
+       |base AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+       |bm AS (SELECT DISTINCT benchmark FROM ev)""".stripMargin
 
   /** MinHash calibration (q78): band-collision candidates, signature
     * agreement count vs exact Jaccard — mirrors Dedup.minhashCalibration.

@@ -315,8 +315,13 @@ object SparkEntry {
     "q126_multibench_fp_audit" -> ((s, d) => Sketches.multiBenchFpAudit(s, d)),
     // Magic-byte media-format sniffing: the codec-free router a
     // multimodal ingest runs before any decoder — planted signatures
-    // (deterministic fixture), longest-prefix detection, pure map-side
-    "q127_format_sniff" -> ((s, d) => Multimodal.formatSniff(s, d)))
+    // (deterministic fixture), longest-prefix detection with RIFF
+    // subtype routing, pure map-side
+    "q127_format_sniff" -> ((s, d) => Multimodal.formatSniff(s, d)),
+    // Bloom sizing report: per-benchmark distinct-shingle count, the
+    // power-of-two ladder rung it picked, and the gate's aggregate
+    // flag/exact/false-positive outcome against that right-sized filter
+    "q128_bloom_sizing" -> ((s, d) => Sketches.bloomSizingReport(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (see OracleSql). Omitted for non-SQL-expressible

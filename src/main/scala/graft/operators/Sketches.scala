@@ -51,6 +51,33 @@ object Sketches {
   val BloomK = 4
   val BloomBits = 1 << 18
 
+  /** Per-benchmark Bloom sizing (r19, verdict r18 item 2): one global m
+    * wastes memory on small benchmarks and saturates on big ones, so each
+    * benchmark's filter is sized from ITS distinct-shingle count n on a
+    * power-of-two ladder — the smallest rung ≥ BloomSizeFactor·n, clamped
+    * to [BloomMinBits, BloomMaxBits]. Factor 16 holds the FP rate at
+    * m = 16n: (1 − e^(−kn/m))^k = (1 − e^(−1/4))^4 ≈ 0.24% for k = 4 —
+    * the same target the global 2^18 filter was documented at for its
+    * design n. The ladder TOPS OUT at 2^20 because every position
+    * derives from a 20-bit md5 value ([[bloomRawPositionOf]]): all rungs
+    * divide 2^20, so `raw mod m` stays exactly uniform, and a saturated
+    * benchmark (16n > 2^18) now gets the headroom the global filter
+    * could not give it. The oracle SQL interpolates the same rungs.
+    */
+  val BloomMinBits = 1 << 12
+  val BloomMaxBits = 1 << 20
+  val BloomSizeFactor = 16L
+
+  /** The ladder: smallest power-of-two in [BloomMinBits, BloomMaxBits]
+    * with m ≥ BloomSizeFactor·n (clamped at the top).
+    */
+  def sizedBloomBits(nShingles: Long): Int = {
+    var m = BloomMinBits
+    while (m < BloomMaxBits && m.toLong < BloomSizeFactor * nShingles)
+      m <<= 1
+    m
+  }
+
   /** CMS grid: depth (independent hash rows) × width (counters per row).
     * Error bound: overcount ≤ e·N/w with probability 1 − e^(−d).
     */
@@ -81,8 +108,17 @@ object Sketches {
     * stream cannot drift apart.
     */
   private[graft] def bloomPositionOf(s: Column, i: Int): Column =
+    bloomRawPositionOf(s, i) % BloomBits
+
+  /** The RAW 20-bit position value — md5 nibbles [5i, 5i+5) before any
+    * mod. The multi-benchmark gate projects THESE once per shingle and
+    * lets each benchmark's differently-sized filter fold them down
+    * (BitSetContains masks by its own width; every ladder rung divides
+    * 2^20, so the fold IS `raw mod m`).
+    */
+  private[graft] def bloomRawPositionOf(s: Column, i: Int): Column =
     conv(substring(md5(s.cast("binary")), 1 + 5 * i, 5), 16, 10)
-      .cast("long") % BloomBits
+      .cast("long")
 
   private def bloomPosition(i: Int): Column =
     bloomPositionOf(col("shingle"), i)
@@ -127,10 +163,19 @@ object Sketches {
   def evalBitsHex(spark: SparkSession, dir: String): String =
     packBitsHex(bloomEvalBits(spark, dir).collect().map(_.getLong(0)))
 
-  private[graft] def packBitsHex(positions: Array[Long]): String = {
-    val nib = new Array[Int](BloomBits / 4)
+  private[graft] def packBitsHex(positions: Array[Long]): String =
+    packBitsHex(positions, BloomBits)
+
+  /** Variable-width form (r19): the per-benchmark filters serialize at
+    * their own ladder rung — the hex LENGTH carries the width, so no
+    * side-channel size field exists to drift.
+    */
+  private[graft] def packBitsHex(positions: Array[Long], mBits: Int): String = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"bit-set width must be a power of two >= 64, got $mBits")
+    val nib = new Array[Int](mBits / 4)
     positions.foreach { p =>
-      require(p >= 0 && p < BloomBits, s"bloom position $p out of [0, $BloomBits)")
+      require(p >= 0 && p < mBits, s"bloom position $p out of [0, $mBits)")
       nib((p >> 2).toInt) |= 1 << (p & 3).toInt
     }
     val sb = new java.lang.StringBuilder(nib.length)
@@ -149,9 +194,13 @@ object Sketches {
     * array-literal probe OOMed plan stringification (both measured r18).
     */
   private[graft] def hexBitWords(hex: String): Array[Long] = {
-    require(hex.length == BloomBits / 4,
-      s"packed bit-set must be ${BloomBits / 4} hex chars (got ${hex.length})")
-    val out = new Array[Long](BloomBits / 64)
+    // the width IS the length (packBitsHex's contract): any power-of-two
+    // bit count >= 64 decodes — the per-benchmark filters vary (r19)
+    val bits = hex.length * 4
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"packed bit-set must be a power-of-two bit count >= 64, " +
+        s"got ${hex.length} hex chars")
+    val out = new Array[Long](bits / 64)
     var i = 0
     while (i < hex.length) {
       val v = Character.digit(hex.charAt(i), 16)
@@ -172,42 +221,68 @@ object Sketches {
   private[graft] val benchBitsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** The distinct (benchmark, shingle) eval relation — benchmarks are
+    * the eval (val+test) split's sources. Shared by the bit-set build,
+    * the q126 exact audit, and the q128 sizing report; bounded by the
+    * benchmarks, never by the train corpus.
+    */
+  private[graft] def benchEvalShingles(spark: SparkSession, dir: String): DataFrame = {
+    val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
+    Dedup.shingles(spark, dir)
+      .join(splits.filter(col("split") =!= "train").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source").as("benchmark")), Seq("doc_id"))
+      .select("benchmark", "shingle").distinct()
+  }
+
   /** PER-BENCHMARK Bloom bit-sets — the multi-benchmark form of
     * [[bloomEvalBits]] (VERDICT r17 item 4): real pipelines screen one
     * train-side pass against DOZENS of eval benchmarks, each with its own
     * filter, not one merged set. Benchmarks here are the eval (val+test)
     * split's sources — each source's eval documents form one benchmark —
-    * and the relation is (benchmark, pos) distinct: ≤ BloomBits rows per
-    * benchmark no matter how large its eval set, because eval benchmarks
-    * are bounded (the thing that makes the whole sketch affordable).
+    * and the relation is (benchmark, mbits, pos) distinct, where mbits is
+    * the benchmark's OWN ladder rung ([[sizedBloomBits]] of its distinct
+    * shingle count — r19) and pos = the raw 20-bit value mod mbits: ≤
+    * mbits rows per benchmark no matter how large its eval set, because
+    * eval benchmarks are bounded (the thing that makes the whole sketch
+    * affordable). The sizing counts are one bounded aggregate over the
+    * eval-side relation, collected once at build (one row per benchmark).
     * INDEX ARTIFACT cache class: built once per benchmark suite, kept
     * resident across passes.
     */
   def benchEvalBits(spark: SparkSession, dir: String): DataFrame =
     benchBitsCache.getOrElseUpdate(
       s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
-        val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
-        val evalDocs = splits.filter(col("split") =!= "train")
-          .select("doc_id")
-          .join(Tables.documents(spark, dir)
-            .select(col("doc_id"), col("source").as("benchmark")), Seq("doc_id"))
-        Dedup.shingles(spark, dir)
-          .join(evalDocs, Seq("doc_id"))
-          .select(col("benchmark"), explode(bloomPositions).as("pos"))
+        import spark.implicits._
+        val evd = benchEvalShingles(spark, dir)
+        val sizes = evd.groupBy("benchmark").agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect()
+          .map { case (b, n) => b -> sizedBloomBits(n) }.toSeq
+        val mDf = sizes.toDF("benchmark", "mbits")
+        evd
+          .join(broadcast(mDf), Seq("benchmark"))
+          .select(col("benchmark"), col("mbits"),
+            explode(array((0 until BloomK).map(i =>
+              bloomRawPositionOf(col("shingle"), i)): _*)).as("raw"))
+          .select(col("benchmark"), col("mbits"),
+            (col("raw") % col("mbits")).as("pos"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
 
-  /** The per-benchmark bit-sets SERIALIZED — (benchmark, 64 KiB hex)
-    * pairs sorted by benchmark, the blobs an ingest executor ships as
-    * plan literals (the evalBitsHex shape, one per benchmark). Collect is
-    * bounded by construction: ≤ BloomBits rows per benchmark, and the
-    * benchmark universe is the eval split's source list.
+  /** The per-benchmark bit-sets SERIALIZED — (benchmark, hex) pairs
+    * sorted by benchmark, the blobs an ingest executor ships as plan
+    * literals (the evalBitsHex shape, one per benchmark — each at its
+    * own width, carried by the hex LENGTH). Collect is bounded by
+    * construction: ≤ mbits rows per benchmark, and the benchmark
+    * universe is the eval split's source list.
     */
   def benchBitsHex(spark: SparkSession, dir: String): Seq[(String, String)] =
     benchEvalBits(spark, dir).collect()
       .groupBy(_.getString(0)).toSeq.sortBy(_._1)
-      .map { case (b, rows) => b -> packBitsHex(rows.map(_.getLong(1))) }
+      .map { case (b, rows) =>
+        b -> packBitsHex(rows.map(_.getLong(2)), rows.head.getInt(1)) }
 
   private[graft] val multiBloomMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -238,10 +313,14 @@ object Sketches {
             trainDocs.select(col("doc_id"), lit("").as("benchmark"),
               lit(0L).as("n_shingles"), lit(0L).as("n_flagged")).limit(0)
           else {
+            // RAW 20-bit positions, shared across benchmarks — each
+            // benchmark's BitSetContains masks them down to its own
+            // ladder rung (r19), so sizing costs zero extra projection
             val tagged = Dedup.shingles(spark, dir)
               .join(trainDocs, Seq("doc_id"), "left_semi")
               .select(col("doc_id") +:
-                (0 until BloomK).map(i => bloomPosition(i).as(s"_pos$i")): _*)
+                (0 until BloomK).map(i =>
+                  bloomRawPositionOf(col("shingle"), i).as(s"_pos$i")): _*)
             val aggCols = count(lit(1)).as("n_shingles") +:
               benches.zipWithIndex.map { case ((b, hex), bi) =>
                 val bits = hexBitWords(hex) // one array instance per benchmark
@@ -269,11 +348,14 @@ object Sketches {
 
   /** q125 — multi-benchmark Bloom decontamination: q102's gate run
     * against EVERY benchmark's bit-set in the same single train-side
-    * pass, one row per (train doc, benchmark). n_flagged against a
-    * benchmark is ≤ the q102 union-filter count by construction (the
-    * union set's bits are a superset — SketchesSpec pins it), and the
-    * streaming twin (StreamingOps.bloomFlagMultiStream) flags arriving
-    * docs against the same serialized blobs bit-identically.
+    * pass, one row per (train doc, benchmark). Each benchmark's exact
+    * overlap is ⊆ its flags (Bloom never false-negatives — SketchesSpec
+    * pins it per benchmark via q126), and the streaming twin
+    * (StreamingOps.bloomFlagMultiStream) flags arriving docs against the
+    * same serialized blobs bit-identically. Since r19 the filters are
+    * sized per benchmark ([[sizedBloomBits]]), so a benchmark's flag
+    * count is no longer bounded by the q102 union gate's — the union
+    * filter and a small benchmark's filter live in different bit spaces.
     */
   def multiBenchDecontamination(spark: SparkSession, dir: String): DataFrame =
     multiBenchFlags(spark, dir).orderBy("doc_id", "benchmark")
@@ -291,19 +373,18 @@ object Sketches {
     * distinct (benchmark, shingle) relation (bounded by the benchmarks),
     * fanning each matching shingle to only the benchmarks holding it.
     */
-  def multiBenchFpAudit(spark: SparkSession, dir: String): DataFrame = {
+  def multiBenchFpAudit(spark: SparkSession, dir: String): DataFrame =
+    multiBenchFpRaw(spark, dir).orderBy("doc_id", "benchmark")
+
+  /** The unsorted audit relation — q126 sorts it at (doc, benchmark)
+    * grain; q128 aggregates it to benchmark grain (no sort below an agg).
+    */
+  private def multiBenchFpRaw(spark: SparkSession, dir: String): DataFrame = {
     val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
-    val sh = Dedup.shingles(spark, dir)
-    val evd = sh
-      .join(splits.filter(col("split") =!= "train").select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      .join(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source").as("benchmark")), Seq("doc_id"))
-      .select("benchmark", "shingle").distinct()
-    val exact = sh
+    val exact = Dedup.shingles(spark, dir)
       .join(splits.filter(col("split") === "train").select("doc_id"),
         Seq("doc_id"), "left_semi")
-      .join(broadcast(evd), Seq("shingle"))
+      .join(broadcast(benchEvalShingles(spark, dir)), Seq("shingle"))
       .groupBy("doc_id", "benchmark").agg(count(lit(1)).as("n_exact"))
     multiBenchFlags(spark, dir)
       .join(exact, Seq("doc_id", "benchmark"), "left")
@@ -311,7 +392,37 @@ object Sketches {
         coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("n_flagged"),
         (col("n_flagged") - coalesce(col("n_exact"), lit(0L)))
           .as("n_false_pos"))
-      .orderBy("doc_id", "benchmark")
+  }
+
+  /** q128 — the Bloom SIZING report, benchmark grain (r19, verdict r18
+    * item 2's calibration deliverable): for each benchmark, its distinct
+    * eval-shingle count, the ladder rung [[sizedBloomBits]] picked from
+    * it, and the gate's aggregate outcome against THAT filter — total
+    * flags, exact overlap, and false positives across the train corpus.
+    * This is the table an operator reads before deploying the gate at
+    * 100 TB: a benchmark whose n_false_pos is high relative to its
+    * n_train_rows has outgrown its rung (impossible under the factor-16
+    * ladder until the 2^20 clamp binds). All-integer output (the oracle
+    * hash-compares exactly); rates are the reader's division.
+    */
+  def bloomSizingReport(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = benchEvalBits(spark, dir)
+      .select("benchmark", "mbits").distinct()
+    val counts = benchEvalShingles(spark, dir)
+      .groupBy("benchmark").agg(count(lit(1)).as("n_eval_shingles"))
+    val agg = multiBenchFpRaw(spark, dir)
+      .groupBy("benchmark").agg(
+        count(lit(1)).as("n_train_rows"),
+        sum("n_flagged").as("n_flagged"),
+        sum("n_exact").as("n_exact"),
+        sum("n_false_pos").as("n_false_pos"))
+    counts
+      .join(sizes, Seq("benchmark"))
+      .join(agg, Seq("benchmark"))
+      .select(col("benchmark"), col("n_eval_shingles"),
+        col("mbits").cast("long").as("m_bits"), col("n_train_rows"),
+        col("n_flagged"), col("n_exact"), col("n_false_pos"))
+      .orderBy("benchmark")
   }
 
   /** Per-train-doc contamination counts against a Bloom filter of the

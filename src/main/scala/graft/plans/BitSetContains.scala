@@ -20,10 +20,14 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   *    Spark stringifies every literal into each plan node it appears in
   *    (UI descriptions, explain, canonicalization) and ~80 references ×
   *    262,144 rendered elements OOMed an 8 GB driver during planning.
-  * This expression stores the set as 4,096 UNBOXED longs shipped once per
-  * task via `ctx.addReferenceObj`, probes with one index + shift inside
-  * whole-stage codegen, and renders as a constant-size tag — the payload
-  * never prints.
+  * This expression stores the set as UNBOXED longs shipped once per
+  * task via `ctx.addReferenceObj`, probes with one mask + index + shift
+  * inside whole-stage codegen, and renders as a constant-size tag — the
+  * payload never prints. The set's size is the array length (a power of
+  * two), and the incoming position is masked to it — so per-benchmark
+  * filters sized individually (r19) probe through the same expression,
+  * and a position in a larger power-of-two space folds down by exactly
+  * the mod-m arithmetic the hash definition uses.
   *
   * Bit layout: bit p lives at word p >> 6, bit p & 63 — built by
   * Sketches.hexBitWords from the packBitsHex serialization (the layout
@@ -35,10 +39,17 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 case class BitSetContains(child: Expression, bits: Array[Long], tag: String)
     extends UnaryExpression {
 
-  // callers (Sketches / StreamingOps) always build the position as LONG
-  // (the bloomPositionOf definition); enforced rather than coerced
-  require(bits.length == graft.operators.Sketches.BloomBits / 64,
-    s"bit-set must be ${graft.operators.Sketches.BloomBits / 64} words")
+  // the set's size IS the array length (r19, verdict r18 item 2: the
+  // per-benchmark filters are sized individually, so the old require
+  // pinning one global width would reject every right-sized filter);
+  // power-of-two so the position folds in with one AND — callers pass
+  // positions in a space the set's size divides (the 20-bit raw md5
+  // value, or a coarser power-of-two reduction of it) and the mask IS
+  // the mod, exactly the bloomPositionOf arithmetic
+  require(bits.length > 0 && (bits.length & (bits.length - 1)) == 0,
+    s"bit-set must be a positive power-of-two word count, got ${bits.length}")
+
+  private val mask: Long = bits.length.toLong * 64L - 1L
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -51,14 +62,15 @@ case class BitSetContains(child: Expression, bits: Array[Long], tag: String)
   override def prettyName: String = "graft_bitset_contains"
 
   override def nullSafeEval(p: Any): Any = {
-    val i = p.asInstanceOf[Long]
+    val i = p.asInstanceOf[Long] & mask
     ((bits((i >>> 6).toInt) >>> (i & 63L).toInt) & 1L) == 1L
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, p => {
       val ref = ctx.addReferenceObj("graftBits", bits, "long[]")
-      s"${ev.value} = ((($ref[(int)($p >>> 6)] >>> (int)($p & 63L)) & 1L) == 1L);"
+      s"${ev.value} = ((($ref[(int)(($p & ${mask}L) >>> 6)] " +
+        s">>> (int)($p & 63L)) & 1L) == 1L);"
     })
 
   // compact rendering everywhere a plan is stringified — the payload must

@@ -165,23 +165,22 @@ object StreamingOps {
       benchBits: Seq[(String, String)]): DataFrame = {
     import graft.operators.{Dedup, Sketches}
     require(benchBits.nonEmpty, "need at least one benchmark bit-set")
-    benchBits.foreach { case (b, hex) =>
-      require(hex.length == Sketches.BloomBits / 4,
-        s"benchmark '$b': bitsHex must be ${Sketches.BloomBits / 4} hex " +
-          s"chars (got ${hex.length})")
-    }
     val sh = array_distinct(graft.functions.TextFns.shingleArray(
       graft.functions.TextFns.tokenize(col("text")), Dedup.ShingleSize))
     docs
       .select(col("doc_id").cast("long").as("doc_id"), sh.as("_sh"))
       .select(col("doc_id"), size(col("_sh")).cast("long").as("n_shingles"),
         explode(array(benchBits.map { case (b, hex) =>
+          // hexBitWords derives (and validates) each blob's width from
+          // its length — the per-benchmark filters are sized individually
+          // (r19), and BitSetContains masks the shared RAW positions down
+          // to each filter's own rung, the same fold the batch gate uses
           val bits = Sketches.hexBitWords(hex)
           struct(lit(b).as("benchmark"),
             size(filter(col("_sh"), s =>
               (0 until Sketches.BloomK)
                 .map(i => graft.plans.BitSetContains(
-                  Sketches.bloomPositionOf(s, i), bits, b))
+                  Sketches.bloomRawPositionOf(s, i), bits, b))
                 .reduce(_ && _))).cast("long").as("n_flagged"))
         }: _*)).as("bf"))
       .select(col("doc_id"), col("bf.benchmark"),

@@ -36,7 +36,7 @@ class SketchesSpec extends AnyFunSuite {
     assert(bloom.count() === nTrain)
   }
 
-  test("multi-benchmark bloom: per-benchmark flags bounded by the q102 union gate") {
+  test("multi-benchmark bloom: universe, sizing ladder, and per-filter bounds") {
     val multi = Sketches.multiBenchDecontamination(spark, sf)
     val union = Sketches.bloomDecontamination(spark, sf)
     val benches = Sketches.benchBitsHex(spark, sf)
@@ -47,18 +47,56 @@ class SketchesSpec extends AnyFunSuite {
     // per-benchmark n_shingles is the doc's total (shared across rows)
     assert(multi.join(union.select($"doc_id", $"n_shingles".as("n_u")),
       Seq("doc_id")).filter($"n_shingles" =!= $"n_u").count() === 0)
-    // a shingle flagged against one benchmark's bit-set is necessarily
-    // flagged by the union filter (q102's set is the superset of bits),
-    // so every per-benchmark count ≤ the union count, and ≤ n_shingles
     assert(multi.filter($"n_flagged" > $"n_shingles").count() === 0)
-    assert(multi.join(union.select($"doc_id", $"n_flagged".as("f_u")),
-      Seq("doc_id")).filter($"n_flagged" > $"f_u").count() === 0)
-    // the per-benchmark bit-sets union to exactly the q102 bit-set
-    val unionBits = Sketches.bloomEvalBits(spark, sf)
-      .select("pos").as[Long].collect().toSet
-    val benchUnion = Sketches.benchEvalBits(spark, sf)
-      .select("pos").distinct().as[Long].collect().toSet
-    assert(benchUnion === unionBits)
+    // r19 sizing: each benchmark's serialized width is EXACTLY the ladder
+    // rung of its distinct-shingle count — and the suite's benchmarks are
+    // small enough that every rung sits strictly under the global union
+    // m (the memory win sizing exists for)
+    val counts = Sketches.benchEvalShingles(spark, sf)
+      .groupBy("benchmark").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet === benches.map(_._1).toSet)
+    benches.foreach { case (b, hex) =>
+      assert(hex.length * 4 === Sketches.sizedBloomBits(counts(b)),
+        s"benchmark $b")
+      assert(hex.length * 4 < Sketches.BloomBits, s"benchmark $b")
+    }
+    // each benchmark's bit-set is its shingles' positions folded to its
+    // OWN rung: the cached relation round-trips through the serialized
+    // blobs exactly (pos space = [0, mbits))
+    val rel = Sketches.benchEvalBits(spark, sf)
+      .as[(String, Int, Long)].collect()
+    rel.groupBy(_._1).foreach { case (b, rows) =>
+      val m = rows.head._2
+      assert(rows.forall(_._2 == m), s"one rung per benchmark: $b")
+      assert(rows.forall(r => r._3 >= 0 && r._3 < m), s"pos in [0,m): $b")
+      val hex = benches.toMap.apply(b)
+      val fromHex = (for {
+        i <- hex.indices
+        v = Integer.parseInt(hex.charAt(i).toString, 16)
+        bit <- 0 until 4 if (v & (1 << bit)) != 0
+      } yield (i.toLong << 2) | bit).toSet
+      assert(fromHex === rows.map(_._3).toSet, s"hex round-trip: $b")
+    }
+  }
+
+  test("sizedBloomBits: the power-of-two ladder with factor-16 headroom") {
+    import Sketches.{sizedBloomBits, BloomMinBits, BloomMaxBits, BloomSizeFactor}
+    assert(sizedBloomBits(0L) === BloomMinBits)
+    assert(sizedBloomBits(1L) === BloomMinBits)
+    assert(sizedBloomBits(BloomMinBits / BloomSizeFactor) === BloomMinBits)
+    assert(sizedBloomBits(BloomMinBits / BloomSizeFactor + 1) === BloomMinBits * 2)
+    // every rung is a power of two in range and ≥ 16n (until the clamp)
+    (1L to 100000L by 997L).foreach { n =>
+      val m = sizedBloomBits(n)
+      assert((m & (m - 1)) === 0)
+      assert(m >= BloomMinBits && m <= BloomMaxBits)
+      if (m < BloomMaxBits) assert(m >= BloomSizeFactor * n)
+      if (m > BloomMinBits) assert(m / 2 < BloomSizeFactor * n)
+    }
+    // the clamp: a benchmark too big for the ladder tops out (the 20-bit
+    // raw position space is the hard ceiling)
+    assert(sizedBloomBits(Long.MaxValue / 32) === BloomMaxBits)
   }
 
   test("q125's flags probe the filters map-side — no join carries a bit-set") {

@@ -862,4 +862,89 @@ class StreamingIncrementalSpec extends AnyFunSuite {
         .as[String].collect().sorted.toSeq === got)
     } finally q2.stop()
   }
+
+  test("bloomFlagMultiStream: benchmark added mid-stream, restarted gate equals batch") {
+    // verdict r18 item 5: the multi-bench gate's deployment loop on a
+    // benchmark-suite CHANGE — a new eval benchmark lands, the bits
+    // cache is invalidated, the blobs rebuild (the new benchmark gets
+    // its own right-sized filter; existing benchmarks' blobs are
+    // untouched), and the RESTARTED gate's flags over the train corpus
+    // equal the batch recompute bit-for-bit.
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.operators.{Sketches, TextAnalysis}
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("mbloom_suite")
+    val dir = tmp.toString
+    def doc(i: Long, src: String) = (i,
+      s"alpha bravo charlie delta echo doc$i tok${i % 7} fox${i % 11} " +
+        s"golf hotel india juliet", "en", src, 60L)
+    // phase-1 corpus: two sources; the md5-text hash split scatters ~20%
+    // of each into eval, so both become benchmarks
+    val phase1 = (0L until 60L).map(i => doc(i, "benchA")) ++
+      (60L until 120L).map(i => doc(i, "benchB"))
+    phase1.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bits1 = Sketches.benchBitsHex(spark, dir)
+    assert(bits1.map(_._1) === Seq("benchA", "benchB"),
+      "fixture must yield two benchmarks before the addition")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val trainDir = tmp.resolve("train").toString
+    def stageTrain(): Unit = spark.read.parquet(s"$dir/documents.parquet")
+      .join(TextAnalysis.hashSplit(spark, dir)
+        .filter($"split" === "train").select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      .write.mode("overwrite").parquet(trainDir)
+    stageTrain()
+    // phase 1: the gate runs with the two-benchmark blobs
+    val got1 = StreamingOps.runToMemory(spark,
+      StreamingOps.bloomFlagMultiStream(
+        spark.readStream.schema(docSchema).parquet(trainDir), bits1),
+      "mbloom_suite1", mode = "append")
+    assert(got1.select("benchmark").distinct().count() === 2L)
+    // a new benchmark lands: benchC documents chosen (by the SAME md5
+    // split the pipeline uses) to fall entirely in the eval split, so
+    // the train corpus is unchanged and existing filters must not move
+    val candidates = (1000L until 1200L).map(i => doc(i, "benchC"))
+    val evalC = candidates.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("bucket",
+        (expr("(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1)") * 16 +
+          expr("(instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1)"))
+          .cast("long"))
+      .filter($"bucket" >= 204).drop("bucket")
+      .limit(20)
+    assert(evalC.count() >= 5, "need a non-trivial benchC eval set")
+    spark.read.parquet(s"$dir/documents.parquet").unionByName(evalC)
+      .write.mode("overwrite").parquet(s"$dir/documents2.parquet")
+    // the suite changed: swap the corpus in place and INVALIDATE — the
+    // per-(session, dir) caches would otherwise serve the stale suite
+    val fs = new java.io.File(s"$dir/documents.parquet")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); () }
+    wipe(fs)
+    new java.io.File(s"$dir/documents2.parquet").renameTo(fs)
+    graft.Caches.clearDir(spark, dir)
+    val bits2 = Sketches.benchBitsHex(spark, dir)
+    assert(bits2.map(_._1) === Seq("benchA", "benchB", "benchC"))
+    // suite growth did not perturb the existing benchmarks' filters
+    assert(bits2.filter(_._1 != "benchC").toMap === bits1.toMap,
+      "existing benchmarks' blobs must be byte-identical across the change")
+    // the restarted gate re-screens the train corpus with the new blobs
+    stageTrain() // same rows (benchC is eval-only), restaged for the restart
+    val got2 = StreamingOps.runToMemory(spark,
+      StreamingOps.bloomFlagMultiStream(
+        spark.readStream.schema(docSchema).parquet(trainDir), bits2),
+      "mbloom_suite2", mode = "append")
+    val want = Sketches.multiBenchDecontamination(spark, dir)
+    assert(got2.count() === want.count())
+    assert(got2.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got2).count() === 0)
+    // and the old gate's rows are the new gate's minus the new benchmark
+    // (same train docs, same untouched filters)
+    assert(got2.filter($"benchmark" =!= "benchC").exceptAll(got1)
+      .count() === 0)
+  }
 }
