@@ -193,37 +193,58 @@ object Bench {
       val w3 = System.nanoTime()
       val sweepDeadline = w3 + 30L * 60 * 1000 * 1000 * 1000
       val sweepJ0 = procJiffies()
-      // base prefill of the SWEEP dir (waves 1–2b shapes, sequential —
-      // seconds at sf0.001) so the concurrent sweep below cannot race two
-      // threads into the same unfilled INDEX-cache key; the only remaining
-      // getOrElseUpdate races are tiny-dir RESULT memos, where a losing
-      // thunk's relation is either deduped by CacheManager's canonical-plan
-      // match or an unmaterialized entry — bounded at this scale and
-      // evicted with everything else by clearResultMemos below.
-      if (sweepDir != sfDir)
-        (wave1Steps(sweepDir) ++ wave2Steps(sweepDir) ++ wave2bSteps(sweepDir))
-          .foreach(s => warm(s()))
-      // the sweep itself: groups of 8 concurrent steps at the tiny dir —
-      // the per-step cost there is plan analysis + janino codegen compile
-      // (measured ~1 s/query regardless of data size), which parallelizes
-      // cleanly across threads; sequential when sweeping the target dir
-      // (fallback), preserving the alphabetical shared-memo landing the
-      // timed passes charge
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      // base prefill of the SWEEP dir (waves 1–2b shapes — seconds at
+      // sf0.001) so the concurrent sweep below cannot race two threads
+      // into the same unfilled INDEX-cache key; concurrent WITHIN each
+      // wave exactly like the target dir's waves (disjoint keys by the
+      // same argument), sequential ACROSS waves (dependencies). The only
+      // remaining getOrElseUpdate races are tiny-dir RESULT memos, where
+      // a losing thunk's relation is either deduped by CacheManager's
+      // canonical-plan match or an unmaterialized entry — bounded at this
+      // scale and evicted with everything else by clearResultMemos below.
+      def prefill(steps: Seq[() => Long]): Unit =
+        try Await.result(
+          Future.sequence(steps.map(s => Future(warm(s())))), 15.minutes)
+        catch { case e: java.util.concurrent.TimeoutException =>
+          warmupFailed.incrementAndGet()
+          System.err.println(s"[bench] sweep prefill timed out: ${e.getMessage}")
+        }
+      if (sweepDir != sfDir) {
+        prefill(wave1Steps(sweepDir))
+        prefill(wave2Steps(sweepDir))
+        prefill(wave2bSteps(sweepDir))
+      }
+      // the sweep itself: a WORK-STEALING pool of 8 workers over the
+      // alphabetical query list (r19, verdict r18 item 6) — the r18 form
+      // ran grouped(8) barriers, and the handful of multi-second steps
+      // (q115/q116's stored-index builds at the tiny dir) each stalled
+      // their whole group: measured 59 s wall for ~16 s of critical path.
+      // A queue keeps every worker busy until the list drains; a hung
+      // step now blocks ONE worker (the deadline check stops the rest of
+      // the queue, and the outer 35-min Await still guards a wedged
+      // runtime before the JSON line). Sequential when sweeping the
+      // target dir (fallback): one worker preserves the alphabetical
+      // shared-memo landing the timed passes charge.
       val sweepPar = if (sweepDir != sfDir) 8 else 1
-      SparkEntry.queries.toSeq.sortBy(_._1).grouped(sweepPar).foreach { group =>
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration._
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        val remainingNs = sweepDeadline - System.nanoTime()
-        if (remainingNs <= 0) {
-          // blown deadline: skip (and count) the rest — the timed passes
-          // will surface whatever the sweep left unfilled, and a nonzero
-          // warmup_failures marks the round as warmup-degraded
-          warmupFailed.addAndGet(group.size)
-          ()
-        } else {
-          try Await.result(Future.sequence(group.map { case (name, fn) =>
-            Future {
+      val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach(queue.add)
+      val workers = (1 to sweepPar).map { _ =>
+        Future {
+          var step = queue.poll()
+          while (step != null) {
+            if (System.nanoTime() >= sweepDeadline) {
+              // blown deadline: skip (and count) — the timed passes will
+              // surface whatever the sweep left unfilled, and a nonzero
+              // warmup_failures marks the round as warmup-degraded
+              warmupFailed.incrementAndGet()
+              System.err.println(
+                s"[bench] warmup sweep skipped ${step._1}: deadline")
+            } else {
+              val (name, fn) = step
               val j0 = procJiffies()
               val t0 = System.nanoTime()
               warm {
@@ -237,16 +258,16 @@ object Bench {
                   ((name, secs, extBusyPct(j0, j1), selfUtilPct(j0, j1)))
               }
             }
-          }), 10.minutes.min(remainingNs.nanos))
-          catch { case e: java.util.concurrent.TimeoutException =>
-            // the whole group's steps were abandoned, not one (advice r17) —
-            // and the abandoned futures keep running, so sweepStats stays
-            // lock-guarded and is snapshotted before any read below
-            warmupFailed.addAndGet(group.size)
-            System.err.println(s"[bench] warmup sweep group " +
-              s"${group.map(_._1).mkString(",")} timed out: ${e.getMessage}")
+            step = queue.poll()
           }
         }
+      }
+      try Await.result(Future.sequence(workers), 34.minutes)
+      catch { case e: java.util.concurrent.TimeoutException =>
+        // abandoned workers keep running, so sweepStats stays lock-guarded
+        // and is snapshotted before any read below
+        warmupFailed.incrementAndGet()
+        System.err.println(s"[bench] warmup sweep wedged: ${e.getMessage}")
       }
       sweepExt = extBusyPct(sweepJ0, procJiffies())
       sweepSecs = (System.nanoTime() - w3) / 1e9
