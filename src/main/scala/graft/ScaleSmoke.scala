@@ -197,11 +197,15 @@ object ScaleSmoke {
       // round 18d: the per-benchmark FP audit replays q125's train side
       // plus the exact-overlap broadcast join; same grain as q125
       "q126_multibench_fp_audit",
-      // round 18d: format sniffing is pure map-side — one row per doc,
-      // the planted signature mix is stable under the id offsets
-      // (doc_id % 7 is preserved for 6 of every 7 offset copies; the
-      // output stays one row per doc regardless)
-      "q127_format_sniff")
+      // round 18d: format sniffing is pure map-side — one row per doc
+      // (the planted arm is doc_id mod |PlantTable|, so offset copies
+      // shift arms — the output stays one row per doc regardless)
+      "q127_format_sniff",
+      // round 19: the bloom sizing report — benchmark-grain aggregates of
+      // the memoized q125 flag relation; the benchmark universe and each
+      // benchmark's ladder rung are replication-INVARIANT (verbatim
+      // copies add no eval shingles), only the summed train counts grow
+      "q128_bloom_sizing")
     val qs = SparkEntry.queries
     // Self-check where the row count is DERIVABLE from replication:
     // per-document / per-vector / per-user relations must have exactly
@@ -265,6 +269,10 @@ object ScaleSmoke {
       // q108: one row per source (20 at sf0.1) whatever the corpus size;
       // q109: the draw is exactly k = 200 rows by construction
       Map("q108_histogram_quantiles" -> 20L, "q109_dsir_select" -> 200L,
+        // q128: one sizing row per benchmark (the 20 eval sources),
+        // whatever the replication — the filters are sized by DISTINCT
+        // eval shingles, which verbatim copies never add to
+        "q128_bloom_sizing" -> 20L,
         // q121: one summary row per batch — the three-way doc_id-range
         // cut holds at every replication (copies sit at 1e6 offsets, so
         // all three thirds of the range are populated)
