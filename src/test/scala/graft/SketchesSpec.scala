@@ -99,6 +99,59 @@ class SketchesSpec extends AnyFunSuite {
     assert(sizedBloomBits(Long.MaxValue / 32) === BloomMaxBits)
   }
 
+  test("an oversized benchmark climbs past the global m and keeps its FP bound") {
+    // the ladder's UPPER rungs never exercise on the fixture corpora
+    // (every sf0.1 benchmark sizes to 2^12..2^16), so pin the saturation
+    // path end-to-end on a synthetic corpus: one benchmark whose eval
+    // set carries > 2^18/16 distinct shingles must size ABOVE the old
+    // global m — the headroom per-benchmark sizing exists to give — and
+    // its gate must still never false-negative
+    import graft.operators.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("bloom_bigbench")
+    val dir = tmp.toString
+    val r = new scala.util.Random(7)
+    def bigText(seed: Int) =
+      (0 until 7000).map(j => s"w${seed}x${r.nextInt(1000000)}").mkString(" ")
+    // candidate big docs; keep ones hashing to the eval split
+    val cand = (0L until 24L).map(i => (i, bigText(i.toInt), "en", "big", 100L))
+    val candDf = cand.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bucket =
+      (expr("(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1)") * 16 +
+        expr("(instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1)"))
+        .cast("long")
+    val evalBig = candDf.withColumn("b", bucket).filter($"b" >= 204)
+      .drop("b").limit(4)
+    assert(evalBig.count() >= 3, "need >= 3 big eval docs (~21k shingles)")
+    // plus a small benchmark and some train docs
+    val rest = (100L until 160L).map(i =>
+      (i, s"alpha beta gamma delta epsilon doc$i t${i % 5} u${i % 7} " +
+        s"v${i % 11} w${i % 13}", "en", "small", 60L))
+    rest.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(evalBig)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val counts = Sketches.benchEvalShingles(spark, dir)
+      .groupBy("benchmark").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(counts("big") > (Sketches.BloomBits / Sketches.BloomSizeFactor),
+      s"fixture must saturate the old global m (got ${counts("big")})")
+    val bits = Sketches.benchBitsHex(spark, dir).toMap
+    assert(bits("big").length * 4 > Sketches.BloomBits,
+      "the oversized benchmark must climb past the global 2^18 rung")
+    assert(bits("big").length * 4 === Sketches.sizedBloomBits(counts("big")))
+    bits.get("small").foreach(h =>
+      assert(h.length * 4 <= Sketches.BloomBits / 4,
+        "the small benchmark must not pay the big one's width"))
+    // the sized gate still never false-negatives, per benchmark
+    val audit = Sketches.multiBenchFpAudit(spark, dir)
+    assert(audit.filter($"n_exact" > $"n_flagged").count() === 0)
+    // and the big filter is NOT saturated: with m >= 16n the FP count
+    // over the train side stays a small fraction of the probed shingles
+    val big = audit.filter($"benchmark" === "big")
+      .agg(sum("n_false_pos"), sum("n_shingles")).head()
+    assert(big.getLong(0) * 50L <= big.getLong(1),
+      s"FP ${big.getLong(0)} of ${big.getLong(1)} probed — filter saturated?")
+  }
+
   test("q125's flags probe the filters map-side — no join carries a bit-set") {
     val whole = Sketches.multiBenchDecontamination(spark, sf)
       .queryExecution.optimizedPlan.toString
