@@ -205,13 +205,25 @@ object Bench {
       // a losing thunk's relation is either deduped by CacheManager's
       // canonical-plan match or an unmaterialized entry — bounded at this
       // scale and evicted with everything else by clearResultMemos below.
+      // a timed-out prefill wave ABORTS the sweep (review r19): its
+      // abandoned thunks keep running, and a next wave (or the worker
+      // pool) would race them on the same tiny-dir INDEX cache keys —
+      // the exact getOrElseUpdate double-fill the wave structure exists
+      // to prevent. The timed passes surface whatever went unfilled, and
+      // warmup_failures marks the round warmup-degraded. 5 min per wave
+      // (quiet cost: seconds) keeps the worst case inside the outer
+      // wedge guard: 3×5 + the workers' bound below < 35 min.
+      var prefillOk = true
       def prefill(steps: Seq[() => Long]): Unit =
-        try Await.result(
-          Future.sequence(steps.map(s => Future(warm(s())))), 15.minutes)
-        catch { case e: java.util.concurrent.TimeoutException =>
-          warmupFailed.incrementAndGet()
-          System.err.println(s"[bench] sweep prefill timed out: ${e.getMessage}")
-        }
+        if (prefillOk)
+          try Await.result(
+            Future.sequence(steps.map(s => Future(warm(s())))), 5.minutes)
+          catch { case e: java.util.concurrent.TimeoutException =>
+            prefillOk = false
+            warmupFailed.incrementAndGet()
+            System.err.println(s"[bench] sweep prefill timed out — " +
+              s"aborting the sweep: ${e.getMessage}")
+          }
       if (sweepDir != sfDir) {
         prefill(wave1Steps(sweepDir))
         prefill(wave2Steps(sweepDir))
@@ -231,7 +243,8 @@ object Bench {
       val sweepPar = if (sweepDir != sfDir) 8 else 1
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[
         (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach(queue.add)
+      if (prefillOk) SparkEntry.queries.toSeq.sortBy(_._1).foreach(queue.add)
+      else warmupFailed.addAndGet(SparkEntry.queries.size)
       val workers = (1 to sweepPar).map { _ =>
         Future {
           var step = queue.poll()
@@ -262,7 +275,13 @@ object Bench {
           }
         }
       }
-      try Await.result(Future.sequence(workers), 34.minutes)
+      // bound the workers to the sweep deadline plus a grace period for
+      // in-flight steps — together with the 3×5-min prefill cap the whole
+      // runSweep worst case stays under the outer 35-min wedge guard
+      val workerBudget =
+        ((sweepDeadline - System.nanoTime()).max(0L).nanos + 3.minutes)
+          .min(30.minutes)
+      try Await.result(Future.sequence(workers), workerBudget)
       catch { case e: java.util.concurrent.TimeoutException =>
         // abandoned workers keep running, so sweepStats stays lock-guarded
         // and is snapshotted before any read below
@@ -293,9 +312,10 @@ object Bench {
     wave(wave2bSteps(sfDir): _*)
     sweepFuture match {
       case Some(f) =>
-        // the sweep bounds itself (per-group 10 min under a 30-min whole-
-        // sweep deadline); this outer margin only guards a wedged runtime,
-        // honoring the same may-not-abort-before-the-JSON-line invariant
+        // the sweep bounds itself (3×5-min prefill caps + workers bounded
+        // by the 30-min deadline + 3-min grace); this outer margin only
+        // guards a wedged runtime, honoring the same
+        // may-not-abort-before-the-JSON-line invariant
         import scala.concurrent.Await
         import scala.concurrent.duration._
         try Await.result(f, 35.minutes)

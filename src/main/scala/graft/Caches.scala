@@ -20,6 +20,7 @@ object Caches {
     operators.Similarity.idxCache, operators.Similarity.knnMemo,
     operators.Sketches.bitsCache, operators.Sketches.bloomMemo,
     operators.Sketches.benchBitsCache, operators.Sketches.multiBloomMemo,
+    operators.Sketches.multiBenchFpMemo,
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache,
     operators.TextAnalysis.tfidfCache, operators.TextAnalysis.dsirCache,
     operators.TextAnalysis.dsirWtCache, operators.TextAnalysis.bigramCache,
@@ -34,6 +35,7 @@ object Caches {
     operators.Dedup.clusterCache, operators.Dedup.pairsCache,
     operators.Dedup.embPairsCache, operators.Similarity.knnMemo,
     operators.Sketches.bloomMemo, operators.Sketches.multiBloomMemo,
+    operators.Sketches.multiBenchFpMemo,
     operators.TextAnalysis.verdictCache)
 
   /** Every INDEX-class cache key for (`spark`, `dir`) — the bench's
@@ -97,6 +99,11 @@ object Caches {
     // output) — the per-benchmark BIT-SETS stay (index artifacts)
     operators.Sketches.multiBloomMemo.keys.filter(_.startsWith(prefix)).foreach { k =>
       operators.Sketches.multiBloomMemo.remove(k).foreach(free)
+    }
+    // and the per-(doc, benchmark) exact-overlap audit relation (q126
+    // pays it once per pass, q128's sizing report reuses — r19)
+    operators.Sketches.multiBenchFpMemo.keys.filter(_.startsWith(prefix)).foreach { k =>
+      operators.Sketches.multiBenchFpMemo.remove(k).foreach(free)
     }
     // learned BPE merge tables are results too (driver values, no blocks)
     operators.TextAnalysis.mergeMemo.keys.filter(_.startsWith(prefix))

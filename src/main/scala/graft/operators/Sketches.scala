@@ -255,17 +255,22 @@ object Sketches {
     benchBitsCache.getOrElseUpdate(
       s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
         import spark.implicits._
-        val evd = benchEvalShingles(spark, dir)
+        // localCheckpoint: the eval-side distinct feeds BOTH the sizing
+        // collect and the position projection — materialized once, not
+        // recomputed per job (review r19); bounded by the benchmarks
+        val evd = benchEvalShingles(spark, dir).localCheckpoint()
         val sizes = evd.groupBy("benchmark").agg(count(lit(1)).as("n"))
           .as[(String, Long)].collect()
-          .map { case (b, n) => b -> sizedBloomBits(n) }.toSeq
-        val mDf = sizes.toDF("benchmark", "mbits")
+          .map { case (b, n) => (b, n, sizedBloomBits(n)) }.toSeq
+        // n_eval rides the relation so q128's sizing report never
+        // re-derives the count the build already paid for
+        val mDf = sizes.toDF("benchmark", "n_eval", "mbits")
         evd
           .join(broadcast(mDf), Seq("benchmark"))
-          .select(col("benchmark"), col("mbits"),
+          .select(col("benchmark"), col("n_eval"), col("mbits"),
             explode(array((0 until BloomK).map(i =>
               bloomRawPositionOf(col("shingle"), i)): _*)).as("raw"))
-          .select(col("benchmark"), col("mbits"),
+          .select(col("benchmark"), col("n_eval"), col("mbits"),
             (col("raw") % col("mbits")).as("pos"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -279,7 +284,7 @@ object Sketches {
     * universe is the eval split's source list.
     */
   def benchBitsHex(spark: SparkSession, dir: String): Seq[(String, String)] =
-    benchEvalBits(spark, dir).collect()
+    benchEvalBits(spark, dir).select("benchmark", "mbits", "pos").collect()
       .groupBy(_.getString(0)).toSeq.sortBy(_._1)
       .map { case (b, rows) =>
         b -> packBitsHex(rows.map(_.getLong(2)), rows.head.getInt(1)) }
@@ -376,23 +381,33 @@ object Sketches {
   def multiBenchFpAudit(spark: SparkSession, dir: String): DataFrame =
     multiBenchFpRaw(spark, dir).orderBy("doc_id", "benchmark")
 
+  private[graft] val multiBenchFpMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** The unsorted audit relation — q126 sorts it at (doc, benchmark)
     * grain; q128 aggregates it to benchmark grain (no sort below an agg).
+    * A RESULT MEMO like [[multiBloomMemo]] (review r19): the exact-
+    * overlap leg re-reads the train-side shingles, so within a pass the
+    * alphabetically-first consumer (q126) pays it once and q128 reuses;
+    * `Caches.clearResultMemos` evicts it so every bench pass re-pays.
     */
-  private def multiBenchFpRaw(spark: SparkSession, dir: String): DataFrame = {
-    val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
-    val exact = Dedup.shingles(spark, dir)
-      .join(splits.filter(col("split") === "train").select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      .join(broadcast(benchEvalShingles(spark, dir)), Seq("shingle"))
-      .groupBy("doc_id", "benchmark").agg(count(lit(1)).as("n_exact"))
-    multiBenchFlags(spark, dir)
-      .join(exact, Seq("doc_id", "benchmark"), "left")
-      .select(col("doc_id"), col("benchmark"), col("n_shingles"),
-        coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("n_flagged"),
-        (col("n_flagged") - coalesce(col("n_exact"), lit(0L)))
-          .as("n_false_pos"))
-  }
+  private def multiBenchFpRaw(spark: SparkSession, dir: String): DataFrame =
+    multiBenchFpMemo.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
+        val exact = Dedup.shingles(spark, dir)
+          .join(splits.filter(col("split") === "train").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .join(broadcast(benchEvalShingles(spark, dir)), Seq("shingle"))
+          .groupBy("doc_id", "benchmark").agg(count(lit(1)).as("n_exact"))
+        multiBenchFlags(spark, dir)
+          .join(exact, Seq("doc_id", "benchmark"), "left")
+          .select(col("doc_id"), col("benchmark"), col("n_shingles"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("n_flagged"),
+            (col("n_flagged") - coalesce(col("n_exact"), lit(0L)))
+              .as("n_false_pos"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
 
   /** q128 — the Bloom SIZING report, benchmark grain (r19, verdict r18
     * item 2's calibration deliverable): for each benchmark, its distinct
@@ -406,20 +421,19 @@ object Sketches {
     * hash-compares exactly); rates are the reader's division.
     */
   def bloomSizingReport(spark: SparkSession, dir: String): DataFrame = {
+    // counts and rungs ride the cached bit-set relation — the build
+    // already paid the eval-side aggregate (review r19)
     val sizes = benchEvalBits(spark, dir)
-      .select("benchmark", "mbits").distinct()
-    val counts = benchEvalShingles(spark, dir)
-      .groupBy("benchmark").agg(count(lit(1)).as("n_eval_shingles"))
+      .select("benchmark", "n_eval", "mbits").distinct()
     val agg = multiBenchFpRaw(spark, dir)
       .groupBy("benchmark").agg(
         count(lit(1)).as("n_train_rows"),
         sum("n_flagged").as("n_flagged"),
         sum("n_exact").as("n_exact"),
         sum("n_false_pos").as("n_false_pos"))
-    counts
-      .join(sizes, Seq("benchmark"))
+    sizes
       .join(agg, Seq("benchmark"))
-      .select(col("benchmark"), col("n_eval_shingles"),
+      .select(col("benchmark"), col("n_eval").as("n_eval_shingles"),
         col("mbits").cast("long").as("m_bits"), col("n_train_rows"),
         col("n_flagged"), col("n_exact"), col("n_false_pos"))
       .orderBy("benchmark")

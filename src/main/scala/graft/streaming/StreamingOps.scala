@@ -152,8 +152,10 @@ object StreamingOps {
   /** Multi-benchmark streaming Bloom decontamination — the q125 twin:
     * every arriving document is flagged against EVERY benchmark's packed
     * bit-set in one per-row pass (`benchBits` =
-    * Sketches.benchBitsHex(...) — one 64 KiB blob per benchmark, shipped
-    * as plan literals), emitting one row per (doc, benchmark). Stateless,
+    * Sketches.benchBitsHex(...) — one blob per benchmark at ITS OWN
+    * ladder-rung width, carried by the hex length (r19 per-benchmark
+    * sizing), shipped as plan literals), emitting one row per
+    * (doc, benchmark). Stateless,
     * shuffle-free, append-safe like [[bloomFlagStream]]; the per-doc
     * distinct shingles are hashed ONCE through the shared position
     * definition and each benchmark contributes only its own bit tests —

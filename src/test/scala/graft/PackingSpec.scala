@@ -304,6 +304,47 @@ class PackingSpec extends AnyFunSuite {
     assert(r("shards_written") === shardsAfter.length.toLong)
   }
 
+  test("pure truncation repairs the artifact through the no-op append arm") {
+    // review r19: a truncate with NOTHING to re-append (the bad tail is
+    // simply recalled) has no valid batch number to extend with — the
+    // repair is appendPackedShards with the truncated batch number, and
+    // it must rebuild the boundary shard (a window can straddle the
+    // dropped batch, so its CONTENT is stale, not just trailing dirs)
+    // and prune everything beyond the committed end
+    val counts = Packing.tokenCounts(spark, sf)
+    val mx = counts.agg(max("doc_id")).head().getLong(0)
+    val t1 = mx / 3
+    val idx = tmpIndex()
+    val out = java.nio.file.Files.createTempDirectory("graft_pkt").toString
+    val wps = 2L
+    Packing.updatePackingIndex(spark, counts.filter(col("doc_id") <= t1), idx)
+    val full = Packing.updatePackingIndex(spark,
+      counts.filter(col("doc_id") > t1), idx)
+    Pipeline.materializePackedFrom(spark, sf, idx, out, windowsPerShard = wps)
+    // recall the tail batch entirely; repair via the no-op append
+    Packing.truncatePackingIndex(spark, idx, full("batch"))
+    val r = Pipeline.appendPackedShards(spark, sf, idx, out, full("batch"),
+      windowsPerShard = wps)
+    assert(r("shards_rewritten") >= 1L, "the boundary shard must rebuild")
+    // the repaired artifact equals a fresh materialization of the
+    // truncated index — boundary window content included
+    val outB = java.nio.file.Files.createTempDirectory("graft_pktb").toString
+    Pipeline.materializePackedFrom(spark, sf, idx, outB, windowsPerShard = wps)
+    def snap(p: String) = spark.read.parquet(s"$p/windows")
+      .select(col("win"), col("shard").cast("long").as("shard"),
+        col("n_segs"), col("tokens"),
+        to_json(col("segments")).as("segjson"))
+      .as[(Long, Long, Long, Seq[String], String)].collect().sortBy(_._1).toSeq
+    assert(snap(out) === snap(outB))
+    val lastWin = snap(outB).map(_._1).max
+    assert(Pipeline.readPackedWindows(spark, out, lastWin + 1,
+      lastWin + 10 * wps, windowsPerShard = wps).count() === 0L)
+    // replaying the same no-op repair changes nothing (idempotent)
+    val r2 = Pipeline.appendPackedShards(spark, sf, idx, out, full("batch"),
+      windowsPerShard = wps)
+    assert(r2("windows_rewritten") === 0L && snap(out) === snap(outB))
+  }
+
   test("summary batches are numbered densely when a doc_id third is empty") {
     // advice r17: every doc_id above 2/3 of the max — the first two thirds
     // of the q121 cut are EMPTY batches (no-ops that consume no batch

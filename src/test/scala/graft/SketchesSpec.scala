@@ -63,9 +63,15 @@ class SketchesSpec extends AnyFunSuite {
     }
     // each benchmark's bit-set is its shingles' positions folded to its
     // OWN rung: the cached relation round-trips through the serialized
-    // blobs exactly (pos space = [0, mbits))
+    // blobs exactly (pos space = [0, mbits)); its n_eval column carries
+    // the sizing count the build collected (q128 reads it from here)
     val rel = Sketches.benchEvalBits(spark, sf)
+      .select("benchmark", "mbits", "pos")
       .as[(String, Int, Long)].collect()
+    val nEval = Sketches.benchEvalBits(spark, sf)
+      .select("benchmark", "n_eval").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(nEval === counts, "the cached n_eval must equal the live count")
     rel.groupBy(_._1).foreach { case (b, rows) =>
       val m = rows.head._2
       assert(rows.forall(_._2 == m), s"one rung per benchmark: $b")
