@@ -158,6 +158,46 @@ class SketchesSpec extends AnyFunSuite {
       s"FP ${big.getLong(0)} of ${big.getLong(1)} probed — filter saturated?")
   }
 
+  test("BitSetContains: codegen and interpreted eval agree at every ladder width") {
+    // the probe has TWO implementations (nullSafeEval and doGenCode) and
+    // r19 added the width mask to both — pin them against each other and
+    // against the reference model (bit (p mod width) of the word array)
+    // at every rung the ladder can emit, including positions ABOVE the
+    // width (the fold case) and at word/width boundaries
+    val rnd = new scala.util.Random(41)
+    for (widthBits <- Seq(64, Sketches.BloomMinBits, Sketches.BloomBits,
+        Sketches.BloomMaxBits)) {
+      val words = Array.fill(widthBits / 64)(rnd.nextLong())
+      def model(p: Long): Boolean = {
+        val i = p % widthBits
+        ((words((i >>> 6).toInt) >>> (i & 63L).toInt) & 1L) == 1L
+      }
+      val edge = Seq(0L, 63L, 64L, widthBits - 1L, widthBits.toLong,
+        widthBits * 2L - 1L, (1L << 20) - 1L)
+      val pos = (edge ++ Seq.fill(200)(rnd.nextLong().abs % (1L << 20))).distinct
+      // interpreted path (nullSafeEval, the non-codegen fallback)
+      val ex = graft.plans.BitSetContains(
+        org.apache.spark.sql.GraftBridge.expression(lit(0L)), words, "t")
+      pos.foreach { p =>
+        assert(ex.nullSafeEval(p) === model(p), s"eval width=$widthBits p=$p")
+      }
+      // codegen path (whole-stage over a real plan)
+      val got = pos.toDF("p")
+        .select(col("p"), graft.plans.BitSetContains(col("p"), words, "t")
+          .as("hit"))
+        .as[(Long, Boolean)].collect().toMap
+      pos.foreach { p =>
+        assert(got(p) === model(p), s"codegen width=$widthBits p=$p")
+      }
+    }
+    // non-power-of-two word counts are rejected at construction
+    intercept[IllegalArgumentException] {
+      graft.plans.BitSetContains(
+        org.apache.spark.sql.GraftBridge.expression(lit(0L)),
+        new Array[Long](3), "bad")
+    }
+  }
+
   test("q125's flags probe the filters map-side — no join carries a bit-set") {
     val whole = Sketches.multiBenchDecontamination(spark, sf)
       .queryExecution.optimizedPlan.toString
