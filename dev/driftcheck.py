@@ -155,6 +155,37 @@ def util_verdict(u, quiet):
     return "AMBIGUOUS"
 
 
+def warmup_floor(cpus=None):
+    """The LAST declared quiet-host warmup floor in BASELINE-notes.md
+    ('Warmup floor (cpus=32): **NN.N s**'), or None (pre-r20 notes).
+    Warmup was the one headline number with no floor protocol — r19's
+    driver run read 141.9 s vs 41-54 s on the builder's hosts and the
+    only adjudication was prose (VERDICT r19 item 1)."""
+    text = open("BASELINE-notes.md").read()
+    if cpus is not None:
+        ms = re.findall(
+            r"Warmup floor \(cpus=%s\): \*\*([\d.]+) s\*\*" % re.escape(cpus),
+            text)
+        if ms:
+            return float(ms[-1])
+    ms = re.findall(r"Warmup floor: \*\*([\d.]+) s\*\*", text)
+    return float(ms[-1]) if ms else None
+
+
+def warmup_stats(text):
+    """(warmup_sec, warmup_probe_cs/100 or None, sweep_width or None) from
+    the bench stdout. The probe (r20) is the start-of-warmup calib sample
+    the adaptive sweep width keys on; with it and calib[0] (the
+    end-of-warmup sample) the warmup window is bracketed by measurements
+    the same way the timed passes are."""
+    m = re.search(r'"warmup_sec":([\d.]+)', text)
+    w = float(m.group(1)) if m else None
+    p = re.search(r'"warmup_probe_cs":(\d+)', text)
+    probe = int(p.group(1)) / 100.0 if p else None
+    sw = re.search(r'"warmup_sweep_width":(\d+)', text)
+    return w, probe, (int(sw.group(1)) if sw else None)
+
+
 def calib_floor(cpus=None):
     """The LAST declared quiet-host calib value in BASELINE-notes.md.
 
@@ -265,6 +296,34 @@ def main():
         print(f"bench session parallelism: cpus={mcpus.group(1)} — floors are "
               f"comparable only if declared at the same local[N] "
               f"(see the floor table's protocol line in BASELINE-notes.md)")
+    # warmup adjudication (r20): warmup_sec against its own declared floor,
+    # normalized by the probes BRACKETING the warmup window — the r20
+    # start-of-warmup probe and calib[0] (taken right after warmup) — so
+    # warmup drift is mechanically adjudicable like per-query slots
+    wsec, wprobe, swidth = warmup_stats(text)
+    wfloor = warmup_floor(mcpus.group(1) if mcpus else None)
+    if wsec is not None:
+        if wfloor:
+            wr = wsec / wfloor
+            wm = None
+            if cfloor:
+                samples = [s for s in ([wprobe] + (calib[:1] if calib else []))
+                           if s is not None]
+                if samples:
+                    wm = max(sum(samples) / len(samples) / cfloor, 0.01)
+            wn = wr / wm if wm else None
+            verdict = ("ABOVE RATIO — adjudicate the sweep (width in the "
+                       "warmup_sweep_width field; per-step costs in "
+                       "warmup_sweep_top_cs)"
+                       if (wn if wn is not None else wr) > ratio else "ok")
+            wms = f"  norm {wn:5.2f} (warmup-window mult {wm:.2f}x)" if wm else ""
+            sws = f"  sweep-width {swidth}" if swidth is not None else ""
+            print(f"warmup: {wsec:.1f} s vs floor {wfloor:.1f} s "
+                  f"= {wr:.2f}x{wms}{sws}  {verdict}")
+        else:
+            print(f"warmup: {wsec:.1f} s — no 'Warmup floor: **N.N s**' "
+                  f"declared in BASELINE-notes.md yet (r20 protocol); "
+                  f"declare one from kept quiet runs")
     if pass_ext is not None:
         print(f"whole-pass external-busy: {pass_ext} % per pass "
               f"(kernel jiffy accounting; warm pass is the last entry)")

@@ -57,6 +57,18 @@ print()
 print(f"Sum of floors: **{total:.1f} s** over {len(keys)} queries "
       f"({len(maps)} run(s), min per query).")
 
+# warmup floor (r20 protocol): min warmup_sec across the given runs, in
+# the exact declaration format driftcheck.py's warmup adjudication parses
+warmups = [float(m.group(1)) for p in sys.argv[1:]
+           for m in [re.search(r'"warmup_sec":([\d.]+)', open(p).read())] if m]
+cpus = [m.group(1) for p in sys.argv[1:]
+        for m in [re.search(r'"cpus":"?(\w+|\*)"?,"sf"', open(p).read())] if m]
+if warmups:
+    tag = f" (cpus={cpus[0]})" if cpus and len(set(cpus)) == 1 else ""
+    print()
+    print(f"Warmup floor{tag}: **{min(warmups):.1f} s** "
+          f"(min of {len(warmups)} run(s)).")
+
 if util_maps:
     # a -1 entry means /proc was unreadable for that slot — drop it rather
     # than let it masquerade as a 0% quiet baseline

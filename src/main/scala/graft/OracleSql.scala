@@ -2321,16 +2321,16 @@ object OracleSql {
     */
   private def bloomPosSql(x: String): String =
     (0 until graft.operators.Sketches.BloomK)
-      .map(i => s"${hexValSql(x, 1 + 5 * i, 5)} % ${graft.operators.Sketches.BloomBits}")
+      .map(i => s"${hexValSql(x, 1 + 6 * i, 6)} % ${graft.operators.Sketches.BloomBits}")
       .mkString(", ")
 
-  /** The k RAW 20-bit position values (no mod) — mirrors
+  /** The k RAW 24-bit position values (no mod) — mirrors
     * Sketches.bloomRawPositionOf; the per-benchmark queries fold them by
     * each benchmark's own mbits.
     */
   private def bloomRawPosSql(x: String): String =
     (0 until graft.operators.Sketches.BloomK)
-      .map(i => hexValSql(x, 1 + 5 * i, 5))
+      .map(i => hexValSql(x, 1 + 6 * i, 6))
       .mkString(", ")
 
   /** The sizing ladder as SQL arms over `cnt` — the exact integer rungs

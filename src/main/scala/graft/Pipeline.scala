@@ -842,6 +842,18 @@ object Pipeline {
       capacity: Long = graft.operators.Packing.ContextTokens,
       windowsPerShard: Long = PackedWindowsPerShard): Map[String, Long] = {
     require(windowsPerShard > 0, "windowsPerShard must be positive")
+    // the shard id is a pure function of (win, windowsPerShard), so a
+    // call with a different setting than the artifact was WRITTEN with
+    // would compute wrong dirty/stale shard boundaries — and the
+    // trailing-shard prune would DELETE valid data (advice r19). The
+    // written setting rides the manifest; refuse a mismatch outright
+    // (a pre-r20 manifest without the key has nothing to verify against)
+    manifestWindowsPerShard(outPath).foreach(recorded =>
+      require(recorded == windowsPerShard,
+        s"packed-shard artifact at $outPath was written with " +
+          s"windows_per_shard=$recorded but this call passed " +
+          s"$windowsPerShard — re-materialize instead of appending with " +
+          s"mismatched shard geometry"))
     import graft.operators.Packing
     Packing.requireIndexCapacity(spark, indexPath, capacity)
     val idx = Packing.readPackingIndex(spark, indexPath)
@@ -967,9 +979,22 @@ object Pipeline {
     // index-derived last shard and everything beyond it is deleted BEFORE
     // the manifest recount (which must describe the committed artifact)
     truncateShardsBeyond.foreach(pruneStaleShards(spark, outPath, _))
-    val counts = commitManifest(spark, outPath)
+    val counts = commitManifest(spark, outPath, windowsPerShard)
     counts ++ deltaRows.map { case (wn, sn) =>
       Map("windows_delta" -> wn, "shards_delta" -> sn) }.getOrElse(Map.empty)
+  }
+
+  /** The windows-per-shard setting an artifact was WRITTEN with, from its
+    * manifest — None for an absent artifact or a pre-r20 manifest without
+    * the key (then nothing can be verified against).
+    */
+  private[graft] def manifestWindowsPerShard(outPath: String): Option[Long] = {
+    val mp = Paths.get(s"$outPath/manifest.json")
+    if (!java.nio.file.Files.exists(mp)) None
+    else """"windows_per_shard":(\d+)""".r
+      .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(mp),
+        StandardCharsets.UTF_8))
+      .map(_.group(1).toLong)
   }
 
   /** Delete every on-disk shard dir beyond `lastShard` (the committed
@@ -989,11 +1014,15 @@ object Pipeline {
   }
 
   /** Manifest from what is actually ON DISK (the materialize convention),
-    * rewritten after any write or prune.
+    * rewritten after any write or prune. `windows_per_shard` — the
+    * shard-geometry setting the artifact was written with — rides the
+    * manifest (advice r19) so maintenance calls can verify their own
+    * setting against it before pruning shard dirs computed from it.
     */
-  private def commitManifest(spark: SparkSession,
-      outPath: String): Map[String, Long] = {
-    val counts = packedArtifactCounts(spark, outPath)
+  private def commitManifest(spark: SparkSession, outPath: String,
+      windowsPerShard: Long): Map[String, Long] = {
+    val counts = packedArtifactCounts(spark, outPath) +
+      ("windows_per_shard" -> windowsPerShard)
     val manifest = counts.toSeq.sortBy(_._1)
       .map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
     Files.write(Paths.get(s"$outPath/manifest.json"),

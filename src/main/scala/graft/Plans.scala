@@ -126,7 +126,7 @@ object Plans {
       "q124_packed_shards" ->
         "packed-shard digest: a parquet scan of the WRITTEN window artifact (shard partition dirs) — per-window md5 content digest computed map-side in the Project, then ONE partial/final hash aggregate at shard grain with constant state (count/sum); the materializer that built it moved tokens exactly once (map-side slice, one capacity-bounded groupBy(win), partitioned write)",
       "q125_multibench_bloom" ->
-        "multi-benchmark bloom: the k RAW 20-bit bloom positions projected ONCE per train shingle (one md5, CSE'd nibble extractions), every benchmark's all-k-hit flag a map-side graft_bitset_contains probe (custom codegen expression: unboxed word array shipped by task reference, one mask+index+shift per test — the mask folds the shared raw position to each benchmark's OWN power-of-two filter width (r19 per-benchmark sizing), constant-size rendering — the hex-substr first cut cost 24.7 s warm and an array LITERAL OOMed plan stringification; no join anywhere below the doc-grain aggregate, the filters ride the task binary); ONE partial/final groupBy(doc_id) carries a counter per benchmark, the per-benchmark columns stack map-side (Generate over a literal struct array), and the only other shuffle is the edge join to the train-doc × benchmark universe",
+        "multi-benchmark bloom: the k RAW 24-bit bloom positions projected ONCE per train shingle (one md5, CSE'd nibble extractions), every benchmark's all-k-hit flag a map-side graft_bitset_contains probe (custom codegen expression: unboxed word array shipped by task reference, one mask+index+shift per test — the mask folds the shared raw position to each benchmark's OWN power-of-two filter width (r19 per-benchmark sizing), constant-size rendering — the hex-substr first cut cost 24.7 s warm and an array LITERAL OOMed plan stringification; no join anywhere below the doc-grain aggregate, the filters ride the task binary); ONE partial/final groupBy(doc_id) carries a counter per benchmark, the per-benchmark columns stack map-side (Generate over a literal struct array), and the only other shuffle is the edge join to the train-doc × benchmark universe",
       "q128_bloom_sizing" ->
         "bloom sizing report: benchmark-grain aggregates of the q126 audit (partial/final hash agg over the memoized flag relation — the train side is NOT re-read; the alphabetically-earlier q125/q126 paid it), joined to two BOUNDED eval-side relations (distinct-shingle counts and the cached (benchmark, mbits) sizing) — every join side is benchmark-cardinality, nothing corpus-sized moves")
 

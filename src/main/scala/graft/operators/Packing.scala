@@ -493,7 +493,38 @@ object Packing {
           try new String(in.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8).trim
           finally in.close()
-        epoch == cur || {
+        def fp(df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)), min("doc_id"), max("doc_id"),
+            coalesce(sum("n_toks"), lit(0L)),
+            coalesce(sum(col("doc_id") * col("n_toks")), lit(0L)),
+            coalesce(sum("start_tok"), lit(0L))).head()
+        lazy val a = fp(spark.read.schema(PlacementSchema)
+          .parquet(staging.toString))
+        // the committed read can race a crashed fold's half-deleted batch
+        // dirs on either arm — a failed read means "not fully readable",
+        // never an abort of the adjudication itself
+        lazy val c = scala.util.Try(fp(readPackingIndex(spark, path)))
+        def rowsMatch = c.toOption.exists(cc =>
+          (0 until 6).forall(i => a.get(i) == cc.get(i)))
+        if (epoch == cur) {
+          // the pre-fold sidecar. The epoch alone cannot distinguish a
+          // genuine pre-fold crash from a completed fold + truncate +
+          // re-append that reproduced the exact 8-field sidecar line with
+          // permuted interior rows (advice r19's spoof applied to THIS
+          // arm): adjudicate by the rows when they can be read. Committed
+          // dirs whose own aggregate matches the sidecar's identity
+          // (totalToks, maxDoc) are FULLY READABLE — then the staged copy
+          // must fingerprint-match them or it is stale (restage from the
+          // committed rows, which are the newer truth). Only when the
+          // committed dirs are partially destroyed (a crash mid-deletion
+          // or mid-batch=0-write: the aggregate can't reproduce the
+          // sidecar, or the read itself fails) is the epoch the only
+          // remaining identity — exactly the case staging exists for.
+          val intact = c.toOption.exists(cc => !cc.isNullAt(1) &&
+            cc.getLong(3) == st.get.totalToks &&
+            cc.getLong(2) == st.get.maxDoc)
+          !intact || rowsMatch
+        } else {
           // not the pre-fold sidecar: the only other genuine crash point
           // is AFTER the fold's sidecar commit (before staging cleanup),
           // where the committed index is the complete folded batch=0 —
@@ -505,18 +536,9 @@ object Packing {
           // re-append restoring every identity field with permuted
           // per-doc counts (advice r19's spoof) is caught only by
           // comparing the rows themselves
-          def fp(df: org.apache.spark.sql.DataFrame) =
-            df.agg(count(lit(1)), min("doc_id"), max("doc_id"),
-              coalesce(sum("n_toks"), lit(0L)),
-              coalesce(sum(col("doc_id") * col("n_toks")), lit(0L)),
-              coalesce(sum("start_tok"), lit(0L))).head()
-          val a = fp(spark.read.schema(PlacementSchema)
-            .parquet(staging.toString))
-          val c = fp(readPackingIndex(spark, path))
           !a.isNullAt(1) && cur == stateLine(IndexState(1L, a.getLong(3),
             a.getLong(2), a.getLong(1), 0L, a.getLong(0), a.getLong(3),
-            st.get.capacity)) &&
-            (0 until 6).forall(i => a.get(i) == c.get(i))
+            st.get.capacity)) && rowsMatch
         }
       }
       if (!fresh) fs.delete(staging, true)

@@ -58,14 +58,20 @@ object Sketches {
     * to [BloomMinBits, BloomMaxBits]. Factor 16 holds the FP rate at
     * m = 16n: (1 − e^(−kn/m))^k = (1 − e^(−1/4))^4 ≈ 0.24% for k = 4 —
     * the same target the global 2^18 filter was documented at for its
-    * design n. The ladder TOPS OUT at 2^20 because every position
-    * derives from a 20-bit md5 value ([[bloomRawPositionOf]]): all rungs
-    * divide 2^20, so `raw mod m` stays exactly uniform, and a saturated
+    * design n. The ladder TOPS OUT at 2^24 because every position
+    * derives from a 24-bit md5 value ([[bloomRawPositionOf]]): all rungs
+    * divide 2^24, so `raw mod m` stays exactly uniform, and a saturated
     * benchmark (16n > 2^18) now gets the headroom the global filter
-    * could not give it. The oracle SQL interpolates the same rungs.
+    * could not give it. 2^24 (r20, verdict r19 item 3 — raised from
+    * 2^20, where a benchmark past 65,536 distinct shingles silently ran
+    * above the 0.24% FP design point): k·6 = 24 of the 32 md5 nibbles,
+    * ranges still disjoint, and the ceiling now binds only past ~1M
+    * distinct eval shingles per benchmark — an order of magnitude above
+    * any published eval suite. The oracle SQL interpolates the same
+    * rungs.
     */
   val BloomMinBits = 1 << 12
-  val BloomMaxBits = 1 << 20
+  val BloomMaxBits = 1 << 24
   val BloomSizeFactor = 16L
 
   /** The ladder: smallest power-of-two in [BloomMinBits, BloomMaxBits]
@@ -96,12 +102,12 @@ object Sketches {
   private def md5Val(sqlExpr: String, start: Int, nibbles: Int): Column =
     expr(s"cast(conv(substring(md5($sqlExpr), $start, $nibbles), 16, 10) as bigint)")
 
-  /** Bloom bit position i of a shingle: the 20-bit value of md5 nibbles
-    * [5i, 5i+5) mod m (2^20 mod 2^18 stays uniform). All k positions
+  /** Bloom bit position i of a shingle: the 24-bit value of md5 nibbles
+    * [6i, 6i+6) mod m (2^24 mod 2^18 stays uniform). All k positions
     * derive from ONE md5 over disjoint bit ranges (the HLL device) — the
     * k references to md5(shingle) are common-subexpression-eliminated
     * inside whole-stage codegen, leaving one md5 + k cheap nibble
-    * extractions per shingle. 4×20 = 80 bits of the 128 used, ranges
+    * extractions per shingle. 4×24 = 96 bits of the 128 used, ranges
     * disjoint, so positions stay pairwise independent. The Column form
     * exists so the streaming twin (StreamingOps.bloomFlagStream) hashes
     * lambda-bound array elements through THE SAME definition — batch and
@@ -110,14 +116,14 @@ object Sketches {
   private[graft] def bloomPositionOf(s: Column, i: Int): Column =
     bloomRawPositionOf(s, i) % BloomBits
 
-  /** The RAW 20-bit position value — md5 nibbles [5i, 5i+5) before any
+  /** The RAW 24-bit position value — md5 nibbles [6i, 6i+6) before any
     * mod. The multi-benchmark gate projects THESE once per shingle and
     * lets each benchmark's differently-sized filter fold them down
     * (BitSetContains masks by its own width; every ladder rung divides
-    * 2^20, so the fold IS `raw mod m`).
+    * 2^24, so the fold IS `raw mod m`).
     */
   private[graft] def bloomRawPositionOf(s: Column, i: Int): Column =
-    conv(substring(md5(s.cast("binary")), 1 + 5 * i, 5), 16, 10)
+    conv(substring(md5(s.cast("binary")), 1 + 6 * i, 6), 16, 10)
       .cast("long")
 
   private def bloomPosition(i: Int): Column =
@@ -243,7 +249,7 @@ object Sketches {
     * split's sources — each source's eval documents form one benchmark —
     * and the relation is (benchmark, mbits, pos) distinct, where mbits is
     * the benchmark's OWN ladder rung ([[sizedBloomBits]] of its distinct
-    * shingle count — r19) and pos = the raw 20-bit value mod mbits: ≤
+    * shingle count — r19) and pos = the raw 24-bit value mod mbits: ≤
     * mbits rows per benchmark no matter how large its eval set, because
     * eval benchmarks are bounded (the thing that makes the whole sketch
     * affordable). The sizing counts are one bounded aggregate over the
@@ -265,7 +271,7 @@ object Sketches {
         // n_eval rides the relation so q128's sizing report never
         // re-derives the count the build already paid for
         val mDf = sizes.toDF("benchmark", "n_eval", "mbits")
-        evd
+        val out = evd
           .join(broadcast(mDf), Seq("benchmark"))
           .select(col("benchmark"), col("n_eval"), col("mbits"),
             explode(array((0 until BloomK).map(i =>
@@ -274,6 +280,16 @@ object Sketches {
             (col("raw") % col("mbits")).as("pos"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // evd exists only to feed the sizing collect (already forced) and
+        // this one derivation: materialize the bit-set eagerly, then
+        // reclaim the checkpoint blocks — otherwise they'd live until
+        // Caches.free's plan walk on explicit eviction, doubling the
+        // footprint for the cache's lifetime (advice r19). Eager-safe:
+        // the persisted relation is complete before the blocks go, and a
+        // corpus swap invalidates through clearDir as before.
+        out.count()
+        evd.unpersist()
+        out
       })
 
   /** The per-benchmark bit-sets SERIALIZED — (benchmark, hex) pairs
@@ -318,7 +334,7 @@ object Sketches {
             trainDocs.select(col("doc_id"), lit("").as("benchmark"),
               lit(0L).as("n_shingles"), lit(0L).as("n_flagged")).limit(0)
           else {
-            // RAW 20-bit positions, shared across benchmarks — each
+            // RAW 24-bit positions, shared across benchmarks — each
             // benchmark's BitSetContains masks them down to its own
             // ladder rung (r19), so sizing costs zero extra projection
             val tagged = Dedup.shingles(spark, dir)
@@ -417,7 +433,7 @@ object Sketches {
     * This is the table an operator reads before deploying the gate at
     * 100 TB: a benchmark whose n_false_pos is high relative to its
     * n_train_rows has outgrown its rung (impossible under the factor-16
-    * ladder until the 2^20 clamp binds). All-integer output (the oracle
+    * ladder until the 2^24 clamp binds). All-integer output (the oracle
     * hash-compares exactly); rates are the reader's division.
     */
   def bloomSizingReport(spark: SparkSession, dir: String): DataFrame = {

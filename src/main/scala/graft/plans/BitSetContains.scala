@@ -43,7 +43,7 @@ case class BitSetContains(child: Expression, bits: Array[Long], tag: String)
   // per-benchmark filters are sized individually, so the old require
   // pinning one global width would reject every right-sized filter);
   // power-of-two so the position folds in with one AND — callers pass
-  // positions in a space the set's size divides (the 20-bit raw md5
+  // positions in a space the set's size divides (the 24-bit raw md5
   // value, or a coarser power-of-two reduction of it) and the mask IS
   // the mod, exactly the bloomPositionOf arithmetic
   require(bits.length > 0 && (bits.length & (bits.length - 1)) == 0,

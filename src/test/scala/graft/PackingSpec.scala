@@ -517,6 +517,87 @@ class PackingSpec extends AnyFunSuite {
     assert(got === want, "compaction must never change placement")
   }
 
+  test("pre-fold anchor spoofed by an identical-sidecar re-pack folds fresh") {
+    // advice r19 (the PRE-fold arm's twin of the spoof test above): a
+    // truncate + re-append reproducing the exact 8-field sidecar line —
+    // same per-batch counts, endpoints, token totals, permuted interior
+    // rows — makes the staged epoch equal the CURRENT sidecar, so epoch
+    // equality alone would resume from the stale staged copy and roll
+    // the re-pack back. With the committed dirs fully readable, the
+    // staged-vs-committed fingerprint must adjudicate the anchor stale.
+    val path = tmpIndex()
+    Packing.updatePackingIndex(spark,
+      Seq(100L -> 5L, 101L -> 7L).toDF("doc_id", "n_toks"), path)
+    Packing.updatePackingIndex(spark,
+      Seq(200L -> 3L, 201L -> 9L).toDF("doc_id", "n_toks"), path)
+    val staging = path + ".compact-staging"
+    val sidecar = java.nio.file.Paths.get(path, "_graft_packing_state")
+    val preLine = new String(java.nio.file.Files.readAllBytes(sidecar),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    // a genuine fold stages and dies pre-fold...
+    Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
+        "n_windows")
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging, "_graft_staging_epoch"),
+      preLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ...then the single writer re-packs to a BYTE-IDENTICAL sidecar:
+    // per-batch token sums, counts and endpoints all preserved, interior
+    // counts permuted
+    Packing.truncatePackingIndex(spark, path, 0L)
+    Packing.updatePackingIndex(spark,
+      Seq(100L -> 7L, 101L -> 5L).toDF("doc_id", "n_toks"), path)
+    Packing.updatePackingIndex(spark,
+      Seq(200L -> 9L, 201L -> 3L).toDF("doc_id", "n_toks"), path)
+    assert(new String(java.nio.file.Files.readAllBytes(sidecar),
+      java.nio.charset.StandardCharsets.UTF_8).trim === preLine,
+      "fixture must reproduce the sidecar line exactly")
+    val want = Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val r = Packing.compactPackingIndex(spark, path)
+    assert(r("recovered") === 0L, "the spoofed pre-fold anchor must not resume")
+    val got = Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want, "compaction must never roll the re-pack back")
+  }
+
+  test("pre-fold anchor still resumes when committed dirs are partially destroyed") {
+    // the arm the epoch exists for: a fold that staged, committed its
+    // epoch, and died MID-DELETION of the batch dirs — the committed
+    // read can no longer reproduce the sidecar's identity, so the
+    // fingerprint adjudication must fall back to trusting the epoch and
+    // resume from the staged copy (content identical to pre-fold)
+    val path = tmpIndex()
+    Packing.updatePackingIndex(spark,
+      Seq(100L -> 5L, 101L -> 7L).toDF("doc_id", "n_toks"), path)
+    Packing.updatePackingIndex(spark,
+      Seq(200L -> 3L, 201L -> 9L).toDF("doc_id", "n_toks"), path)
+    val want = Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val staging = path + ".compact-staging"
+    Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok", "first_win", "last_win",
+        "n_windows")
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging, "_graft_staging_epoch"),
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_graft_packing_state")))
+    // the crash got through deleting batch=0 before dying
+    val b0 = new org.apache.hadoop.fs.Path(s"$path/batch=0")
+    b0.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(b0, true)
+    val r = Packing.compactPackingIndex(spark, path)
+    assert(r("recovered") === 1L, "a half-deleted fold must resume from staging")
+    val got = Packing.readPackingIndex(spark, path)
+      .select("doc_id", "n_toks", "start_tok")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+  }
+
   test("compaction resumes from a fresh anchor left by a crashed fold") {
     // the epoch's positive arm: a fold that staged (epoch = pre-fold
     // sidecar) and died BEFORE its sidecar commit must be recognized as
@@ -630,6 +711,36 @@ class PackingSpec extends AnyFunSuite {
     assert(r("rebuild_from_win") === -1L)
     assert(r("windows_written") > 0L && r("shards_written") > 0L)
     assert(r.contains("tokens_written") && r.contains("segments_written"))
+  }
+
+  test("appendPackedShards refuses a windowsPerShard mismatching the manifest") {
+    val counts = Packing.tokenCounts(spark, sf)
+    val idx = tmpIndex()
+    val out = java.nio.file.Files.createTempDirectory("graft_pkwps")
+      .resolve("a").toString
+    Packing.updatePackingIndex(spark, counts, idx)
+    val m = Pipeline.materializePackedFrom(spark, sf, idx, out)
+    // the written geometry rides the manifest
+    assert(m("windows_per_shard") === Pipeline.PackedWindowsPerShard)
+    assert(Pipeline.manifestWindowsPerShard(out)
+      === Some(Pipeline.PackedWindowsPerShard))
+    // a mismatched maintenance call must refuse BEFORE touching shard dirs
+    // (advice r19: the trailing-shard prune computes dir ids from the
+    // caller's setting — a mismatch would delete valid data)
+    def snap(p: String) = spark.read.parquet(s"$p/windows")
+      .select(col("win"), col("shard").cast("long").as("shard"),
+        col("n_segs"), col("tokens"))
+      .as[(Long, Long, Long, Seq[String])].collect().sortBy(_._1).toSeq
+    val before = snap(out)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.appendPackedShards(spark, sf, idx, out, batch = 0L,
+        windowsPerShard = Pipeline.PackedWindowsPerShard * 2)
+    }
+    assert(e.getMessage.contains("windows_per_shard"))
+    assert(snap(out) === before, "refusal must leave the artifact untouched")
+    // the matching setting still appends fine
+    val r = Pipeline.appendPackedShards(spark, sf, idx, out, batch = 999L)
+    assert(r("windows_rewritten") === 0L)
   }
 
   test("non-monotone ingest recovers via truncate + re-append (the re-pack procedure)") {

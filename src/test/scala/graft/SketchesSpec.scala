@@ -100,8 +100,8 @@ class SketchesSpec extends AnyFunSuite {
       if (m < BloomMaxBits) assert(m >= BloomSizeFactor * n)
       if (m > BloomMinBits) assert(m / 2 < BloomSizeFactor * n)
     }
-    // the clamp: a benchmark too big for the ladder tops out (the 20-bit
-    // raw position space is the hard ceiling)
+    // the clamp: a benchmark too big for the ladder tops out (the 24-bit
+    // raw position space is the hard ceiling, r20)
     assert(sizedBloomBits(Long.MaxValue / 32) === BloomMaxBits)
   }
 
@@ -173,8 +173,9 @@ class SketchesSpec extends AnyFunSuite {
         ((words((i >>> 6).toInt) >>> (i & 63L).toInt) & 1L) == 1L
       }
       val edge = Seq(0L, 63L, 64L, widthBits - 1L, widthBits.toLong,
-        widthBits * 2L - 1L, (1L << 20) - 1L)
-      val pos = (edge ++ Seq.fill(200)(rnd.nextLong().abs % (1L << 20))).distinct
+        widthBits * 2L - 1L, Sketches.BloomMaxBits - 1L)
+      val pos = (edge ++
+        Seq.fill(200)(rnd.nextLong().abs % Sketches.BloomMaxBits)).distinct
       // interpreted path (nullSafeEval, the non-codegen fallback)
       val ex = graft.plans.BitSetContains(
         org.apache.spark.sql.GraftBridge.expression(lit(0L)), words, "t")
