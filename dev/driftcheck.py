@@ -172,6 +172,23 @@ def warmup_floor(cpus=None):
     return float(ms[-1]) if ms else None
 
 
+def warmup_probe_floor(cpus=None):
+    """The LAST declared quiet-host value of the r20 start-of-run probe
+    ('Warmup probe floor (cpus=32): **0.NN s**'). The probe runs before
+    any other Spark job, so it carries residual JIT the mid-run calib
+    samples don't (~2x the calib floor on a quiet host) — it must be
+    normalized by ITS OWN quiet floor, not the calib floor."""
+    text = open("BASELINE-notes.md").read()
+    if cpus is not None:
+        ms = re.findall(
+            r"Warmup probe floor \(cpus=%s\): \*\*([\d.]+) s\*\*"
+            % re.escape(cpus), text)
+        if ms:
+            return float(ms[-1])
+    ms = re.findall(r"Warmup probe floor: \*\*([\d.]+) s\*\*", text)
+    return float(ms[-1]) if ms else None
+
+
 def warmup_stats(text):
     """(warmup_sec, warmup_probe_cs/100 or None, sweep_width or None) from
     the bench stdout. The probe (r20) is the start-of-warmup calib sample
@@ -299,23 +316,34 @@ def main():
     # warmup adjudication (r20): warmup_sec against its own declared floor,
     # normalized by the probes BRACKETING the warmup window — the r20
     # start-of-warmup probe and calib[0] (taken right after warmup) — so
-    # warmup drift is mechanically adjudicable like per-query slots
+    # warmup drift is mechanically adjudicable like per-query slots. The
+    # bar is WIDER than the per-query ratio: warmup's parallel sweep is
+    # intrinsically high-variance (same-HEAD quiet runs spread 41-93 s in
+    # the r19/r20 series, ~2.3x over the min-floor), so only >3x
+    # normalized is drift worth adjudicating (the r19 driver's 141.9 s at
+    # a 1.44x host normalizes to ~2.4x = inside the band).
+    WARMUP_RATIO = 3.0
     wsec, wprobe, swidth = warmup_stats(text)
     wfloor = warmup_floor(mcpus.group(1) if mcpus else None)
     if wsec is not None:
         if wfloor:
             wr = wsec / wfloor
-            wm = None
-            if cfloor:
-                samples = [s for s in ([wprobe] + (calib[:1] if calib else []))
-                           if s is not None]
-                if samples:
-                    wm = max(sum(samples) / len(samples) / cfloor, 0.01)
+            # each bracketing sample normalized by ITS OWN quiet floor:
+            # the start-of-run probe carries residual JIT the calib floor
+            # doesn't describe
+            pfloor = warmup_probe_floor(mcpus.group(1) if mcpus else None)
+            ratios = []
+            if wprobe is not None and pfloor:
+                ratios.append(wprobe / pfloor)
+            if calib and cfloor:
+                ratios.append(calib[0] / cfloor)
+            wm = max(sum(ratios) / len(ratios), 0.01) if ratios else None
             wn = wr / wm if wm else None
-            verdict = ("ABOVE RATIO — adjudicate the sweep (width in the "
-                       "warmup_sweep_width field; per-step costs in "
-                       "warmup_sweep_top_cs)"
-                       if (wn if wn is not None else wr) > ratio else "ok")
+            verdict = (f"ABOVE {WARMUP_RATIO}x — adjudicate the sweep "
+                       "(width in the warmup_sweep_width field; per-step "
+                       "costs in warmup_sweep_top_cs)"
+                       if (wn if wn is not None else wr) > WARMUP_RATIO
+                       else "ok")
             wms = f"  norm {wn:5.2f} (warmup-window mult {wm:.2f}x)" if wm else ""
             sws = f"  sweep-width {swidth}" if swidth is not None else ""
             print(f"warmup: {wsec:.1f} s vs floor {wfloor:.1f} s "

@@ -68,6 +68,13 @@ if warmups:
     print()
     print(f"Warmup floor{tag}: **{min(warmups):.1f} s** "
           f"(min of {len(warmups)} run(s)).")
+probes = [int(m.group(1)) / 100.0 for p in sys.argv[1:]
+          for m in [re.search(r'"warmup_probe_cs":(\d+)', open(p).read())] if m]
+if probes:
+    tag = f" (cpus={cpus[0]})" if cpus and len(set(cpus)) == 1 else ""
+    print(f"Warmup probe floor{tag}: **{min(probes):.2f} s** "
+          f"(min of {len(probes)} run(s); carries residual session-start "
+          f"JIT — normalize the probe by THIS, not the calib floor).")
 
 if util_maps:
     # a -1 entry means /proc was unreadable for that slot — drop it rather

@@ -137,29 +137,28 @@ object Bench {
       if (new java.io.File(warmDir).isDirectory && canon(warmDir) != canon(sfDir))
         warmDir
       else sfDir
-    // ADAPTIVE SWEEP WIDTH (r20, verdict r19 item 1): the r19 8-worker
-    // pool was sized for a quiet host, and the driver's 1.44× round blew
-    // warmup up 59.8 → 141.9 s with the sweep's top steps inflating ~8× —
-    // super-linear in the external load, the signature of oversubscription
-    // (8 sweep steps + the target-dir waves + the co-tenant all fighting
-    // for 32 hardware threads: context-switch and GC pressure compound).
-    // So the pool width ADAPTS to a measured start-of-run host multiplier:
-    // one discarded calibrate() pays the probe's JIT, the second is the
-    // measurement, divided by the SAME declared quiet floor driftcheck
-    // normalizes with (no declaration on a fresh checkout → quiet-host
-    // default). Probe cost ≈ 1 s, inside warmup_sec. The driver's
-    // contention is hypervisor-level — invisible to guest jiffy ext% (r19
-    // measured ext 0 during a 1.44× round) — which is why the probe, not
-    // HostStat, keys the decision. SPARK_GRAFT_SWEEP_WIDTH overrides for
-    // A/B probes (dev.SweepProbe measured the policy: BASELINE-notes r20).
+    // SWEEP WIDTH (r20, verdict r19 item 1): the "pool self-contends
+    // under external load" hypothesis for the driver's 141.9 s r19 warmup
+    // was A/B'd by dev.SweepProbe — widths 8/4/2, fresh child sessions,
+    // JIT paid by a discarded round, burner-thread contention at measured
+    // calib multipliers ~1.0×/2.3×/3.2× — and REFUTED: width 8 won every
+    // regime (quiet 34.6/40.2/52.1 s; 2.3× 44.2/46.3/56.0; 3.2×
+    // 58.6/62.6/70.8 — BASELINE-notes r20). Warmup inflation under
+    // contention is sub-linear at full width, and the r19 driver number
+    // sits at the top of the same-HEAD quiet variance band (41–92.7 s)
+    // times its measured 1.44× host — variance, not a pool pathology. So
+    // the width STAYS 8; what r20 adds instead is adjudicability: the
+    // start-of-run probe below (one discarded calibrate() pays the
+    // probe's JIT, the second is the measurement, ~1 s inside warmup_sec)
+    // is emitted as warmup_probe_cs so it and calib[0] bracket the warmup
+    // window for driftcheck's warmup-floor protocol, and
+    // SPARK_GRAFT_SWEEP_WIDTH keeps the A/B repeatable. The probe, not
+    // HostStat, carries the multiplier because the driver's contention is
+    // hypervisor-level — invisible to guest jiffy ext% (r19 measured
+    // ext 0 during a 1.44× round).
     val startProbe: Double = { calibrate(); calibrate() }
-    val startMult: Option[Double] = (try {
-      Bench.parseCalibFloor(scala.io.Source.fromFile("BASELINE-notes.md")(
-        scala.io.Codec.UTF8).mkString, cpus)
-    } catch { case _: Throwable => None }).map(f => startProbe / f)
     val sweepWidth = sys.env.get("SPARK_GRAFT_SWEEP_WIDTH")
-      .flatMap(_.toIntOption).filter(_ > 0)
-      .getOrElse(Bench.adaptiveSweepWidth(startMult))
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(8)
     val sweepStats =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double, Int, Int)]
     @volatile var sweepExt = -1
@@ -666,35 +665,6 @@ object Bench {
       .flatMap("""(q\d+) \| ([\d.]+)""".r.findAllMatchIn(_))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
-
-  /** The LAST declared quiet-host calib floor for this parallelism in
-    * BASELINE-notes.md — the same declaration driftcheck.py normalizes
-    * with, parsed with the same precedence (cpus-qualified declaration
-    * first, last unqualified one as the fallback). None on a fresh
-    * checkout → the sweep assumes a quiet host.
-    */
-  private[graft] def parseCalibFloor(text: String,
-      cpus: String): Option[Double] = {
-    val qual = ("Calib floor \\(cpus=" +
-      java.util.regex.Pattern.quote(cpus) + "\\): \\*\\*([\\d.]+) s\\*\\*").r
-    val unqual = "Calib floor: \\*\\*([\\d.]+) s\\*\\*".r
-    qual.findAllMatchIn(text).toSeq.lastOption
-      .orElse(unqual.findAllMatchIn(text).toSeq.lastOption)
-      .map(_.group(1).toDouble)
-  }
-
-  /** Sweep pool width from the measured start-of-run host multiplier:
-    * full width (8) on a quiet host, halved once the multiplier says a
-    * co-tenant (or the hypervisor) already holds a meaningful share —
-    * under contention the pool's own oversubscription is super-linear
-    * (the r19 driver round: top sweep steps ~8× at a 1.44× host), so
-    * trading parallelism for headroom is a net win there and a no-op on
-    * the quiet hosts the floors are declared on. Policy A/B'd by
-    * dev.SweepProbe (r20, BASELINE-notes). An unmeasurable multiplier
-    * (no declared floor) defaults to quiet.
-    */
-  private[graft] def adaptiveSweepWidth(mult: Option[Double]): Int =
-    if (mult.exists(_ >= 1.25)) 4 else 8
 
   /** Every warm slot that COULD be driftcheck-flagged — raw warm/floor ≥
     * 1.8 (covers any ≥2× calib-normalized flag, since the floor is a min

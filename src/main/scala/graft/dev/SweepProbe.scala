@@ -13,8 +13,11 @@ import org.apache.spark.sql.SparkSession
   * cost — super-linear in the external load, pointing at the pool's own
   * oversubscription (8 sweep steps + the target-dir waves + the
   * co-tenant all fighting for 32 hardware threads). This probe measures
-  * that directly so the width policy (Bench.adaptiveSweepWidth) is set
-  * from data, not vibes.
+  * that directly so the width policy is set from data, not vibes.
+  * VERDICT: the hypothesis was REFUTED — width 8 won at every measured
+  * multiplier (r20 runs, BASELINE-notes), so Bench keeps the full pool
+  * and r20's fix is warmup ADJUDICABILITY (probe emission + the declared
+  * warmup floor), not narrowing.
   *
   *   sbt -batch "runMain graft.dev.SweepProbe [burnerThreads [width...]]"
   *

@@ -268,6 +268,16 @@ object Sketches {
         val sizes = evd.groupBy("benchmark").agg(count(lit(1)).as("n"))
           .as[(String, Long)].collect()
           .map { case (b, n) => (b, n, sizedBloomBits(n)) }.toSeq
+        // a clamped rung is an ALARM, not a silent FP-rate drift (verdict
+        // r19): past the 2^24 ceiling the factor-16 design point no
+        // longer holds — the q128 report shows the realized rates, this
+        // names the offender at build time
+        sizes.filter(s => BloomSizeFactor * s._2 > BloomMaxBits.toLong)
+          .foreach { case (b, n, _) =>
+            System.err.println(s"[graft] bloom ladder CLAMPED for " +
+              s"benchmark '$b': $n distinct eval shingles need m > 2^24 " +
+              s"for the 0.24% FP design point — split the benchmark or " +
+              s"raise the ladder before trusting its gate") }
         // n_eval rides the relation so q128's sizing report never
         // re-derives the count the build already paid for
         val mDf = sizes.toDF("benchmark", "n_eval", "mbits")

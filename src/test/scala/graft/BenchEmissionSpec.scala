@@ -89,28 +89,6 @@ class BenchEmissionSpec extends AnyFunSuite {
         "adding queries")
   }
 
-  test("parseCalibFloor: cpus-qualified declaration wins, last one is canonical") {
-    val text =
-      """Calib floor (cpus=4): **1.21 s** and later
-        |Calib floor (cpus=32): **0.30 s** then superseded by
-        |Calib floor (cpus=32): **0.26 s** with a generic
-        |Calib floor: **0.99 s** fallback.""".stripMargin
-    assert(Bench.parseCalibFloor(text, "32") === Some(0.26))
-    assert(Bench.parseCalibFloor(text, "4") === Some(1.21))
-    // unknown parallelism falls back to the last UNQUALIFIED declaration
-    assert(Bench.parseCalibFloor(text, "16") === Some(0.99))
-    assert(Bench.parseCalibFloor("no declarations here", "32") === None)
-  }
-
-  test("adaptiveSweepWidth: full pool on quiet/unknown hosts, halved under load") {
-    assert(Bench.adaptiveSweepWidth(None) === 8) // fresh checkout
-    assert(Bench.adaptiveSweepWidth(Some(1.0)) === 8)
-    assert(Bench.adaptiveSweepWidth(Some(1.24)) === 8)
-    assert(Bench.adaptiveSweepWidth(Some(1.25)) === 4)
-    assert(Bench.adaptiveSweepWidth(Some(1.44)) === 4) // the r19 driver host
-    assert(Bench.adaptiveSweepWidth(Some(3.0)) === 4)
-  }
-
   test("sweepOrder: LPT heavy-first when parallel, pure alphabetical when sequential") {
     val par = Bench.sweepOrder(8).map(_._1)
     val seqOrder = Bench.sweepOrder(1).map(_._1)

@@ -364,6 +364,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(set === Seq(0L, 3L, 4L, (Sketches.BloomBits - 1).toLong))
   }
 
+  test("packBitsHex/hexBitWords round-trip at the top ladder rung (2^24, r20)") {
+    // no fixture corpus reaches the upper rungs, so pin the serialized
+    // form's round-trip at BloomMaxBits directly: a 4 MiB hex blob,
+    // positions at every word/nibble boundary plus a pseudo-random spread
+    val m = Sketches.BloomMaxBits
+    val rnd = new scala.util.Random(17)
+    val pos = (Seq(0L, 3L, 63L, 64L, (m / 2).toLong, m - 1L) ++
+      Seq.fill(500)(rnd.nextLong().abs % m)).distinct.toArray
+    val hex = Sketches.packBitsHex(pos, m)
+    assert(hex.length === m / 4)
+    val words = Sketches.hexBitWords(hex)
+    assert(words.length === m / 64)
+    val set = for {
+      w <- words.indices
+      b <- 0 until 64 if ((words(w) >>> b) & 1L) == 1L
+    } yield w.toLong * 64 + b
+    assert(set.toSet === pos.toSet)
+    // out-of-range still rejected at the new ceiling
+    intercept[IllegalArgumentException] {
+      Sketches.packBitsHex(Array(m.toLong), m)
+    }
+  }
+
   test("evalBitsHex round-trips exactly the bloomEvalBits positions") {
     val hex = Sketches.evalBitsHex(spark, sf)
     val want = Sketches.bloomEvalBits(spark, sf)
