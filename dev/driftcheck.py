@@ -200,7 +200,9 @@ def warmup_stats(text):
     p = re.search(r'"warmup_probe_cs":(\d+)', text)
     probe = int(p.group(1)) / 100.0 if p else None
     sw = re.search(r'"warmup_sweep_width":(\d+)', text)
-    return w, probe, (int(sw.group(1)) if sw else None)
+    ext = re.search(r'"warmup_sweep_ext_pct":(-?\d+)', text)
+    return (w, probe, (int(sw.group(1)) if sw else None),
+            (int(ext.group(1)) if ext else None))
 
 
 def calib_floor(cpus=None):
@@ -323,7 +325,7 @@ def main():
     # normalized is drift worth adjudicating (the r19 driver's 141.9 s at
     # a 1.44x host normalizes to ~2.4x = inside the band).
     WARMUP_RATIO = 3.0
-    wsec, wprobe, swidth = warmup_stats(text)
+    wsec, wprobe, swidth, swext = warmup_stats(text)
     wfloor = warmup_floor(mcpus.group(1) if mcpus else None)
     if wsec is not None:
         if wfloor:
@@ -339,15 +341,25 @@ def main():
                 ratios.append(calib[0] / cfloor)
             wm = max(sum(ratios) / len(ratios), 0.01) if ratios else None
             wn = wr / wm if wm else None
-            verdict = (f"ABOVE {WARMUP_RATIO}x — adjudicate the sweep "
-                       "(width in the warmup_sweep_width field; per-step "
-                       "costs in warmup_sweep_top_cs)"
-                       if (wn if wn is not None else wr) > WARMUP_RATIO
-                       else "ok")
+            above = (wn if wn is not None else wr) > WARMUP_RATIO
+            # the brackets can UNDERESTIMATE a mid-warmup window (r20 run
+            # 7: 4.0x raw, brackets 1.55x) — the sweep's own whole-leg
+            # jiffy ext% is the instrument that catches it; >= 35% is
+            # contention by measurement, same rule as per-query slots
+            if above and swext is not None and swext >= 35:
+                verdict = (f"ABOVE {WARMUP_RATIO}x but sweep ext {swext}% "
+                           ">= 35% — contention by measurement")
+            elif above:
+                verdict = (f"ABOVE {WARMUP_RATIO}x — adjudicate the sweep "
+                           "(per-step costs in warmup_sweep_top_cs)")
+            else:
+                verdict = "ok"
             wms = f"  norm {wn:5.2f} (warmup-window mult {wm:.2f}x)" if wm else ""
             sws = f"  sweep-width {swidth}" if swidth is not None else ""
+            exs = (f"  sweep-ext {swext}%"
+                   if swext is not None and swext >= 0 else "")
             print(f"warmup: {wsec:.1f} s vs floor {wfloor:.1f} s "
-                  f"= {wr:.2f}x{wms}{sws}  {verdict}")
+                  f"= {wr:.2f}x{wms}{sws}{exs}  {verdict}")
         else:
             print(f"warmup: {wsec:.1f} s — no 'Warmup floor: **N.N s**' "
                   f"declared in BASELINE-notes.md yet (r20 protocol); "
