@@ -63,15 +63,24 @@ warmups = [float(m.group(1)) for p in sys.argv[1:]
            for m in [re.search(r'"warmup_sec":([\d.]+)', open(p).read())] if m]
 cpus = [m.group(1) for p in sys.argv[1:]
         for m in [re.search(r'"cpus":"?(\w+|\*)"?,"sf"', open(p).read())] if m]
+mixed_cpus = cpus and len(set(cpus)) > 1
 if warmups:
-    tag = f" (cpus={cpus[0]})" if cpus and len(set(cpus)) == 1 else ""
     print()
-    print(f"Warmup floor{tag}: **{min(warmups):.1f} s** "
-          f"(min of {len(warmups)} run(s)).")
+    if mixed_cpus:
+        # mixed local[N] regimes (advice r20): a cross-regime min would be
+        # unrepresentatively low and over-flag drift at driftcheck's 3x
+        # bar — skip emission rather than emit an untagged mixed floor
+        print(f"Warmup floor: SKIPPED — runs span cpus regimes "
+              f"{sorted(set(cpus))}; declare per-regime floors from "
+              f"single-regime run sets instead.")
+    else:
+        tag = f" (cpus={cpus[0]})" if cpus else ""
+        print(f"Warmup floor{tag}: **{min(warmups):.1f} s** "
+              f"(min of {len(warmups)} run(s)).")
 probes = [int(m.group(1)) / 100.0 for p in sys.argv[1:]
           for m in [re.search(r'"warmup_probe_cs":(\d+)', open(p).read())] if m]
-if probes:
-    tag = f" (cpus={cpus[0]})" if cpus and len(set(cpus)) == 1 else ""
+if probes and not mixed_cpus:
+    tag = f" (cpus={cpus[0]})" if cpus else ""
     print(f"Warmup probe floor{tag}: **{min(probes):.2f} s** "
           f"(min of {len(probes)} run(s); carries residual session-start "
           f"JIT — normalize the probe by THIS, not the calib floor).")

@@ -631,7 +631,9 @@ object Bench {
     // on-disk index once per session, then persists the doc-grain read)
     () => operators.Packing.storedPlacement(spark, dir).count(),
     // the per-benchmark bloom bit-sets (q125's index side)
-    () => operators.Sketches.benchEvalBits(spark, dir).count())
+    () => operators.Sketches.benchEvalBits(spark, dir).count(),
+    // the CMS d×w cell grid (q103's sketch state — INDEX class since r21)
+    () => operators.Sketches.cmsCells(spark, dir).count())
 
   /** The sweep's execution order: longest-steps-first in the parallel
     * arm (r19 LPT — the stored-index / artifact builders are the sweep's

@@ -20,7 +20,7 @@ object Caches {
     operators.Similarity.idxCache, operators.Similarity.knnMemo,
     operators.Sketches.bitsCache, operators.Sketches.bloomMemo,
     operators.Sketches.benchBitsCache, operators.Sketches.multiBloomMemo,
-    operators.Sketches.multiBenchFpMemo,
+    operators.Sketches.multiBenchFpMemo, operators.Sketches.cmsGridCache,
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache,
     operators.TextAnalysis.tfidfCache, operators.TextAnalysis.dsirCache,
     operators.TextAnalysis.dsirWtCache, operators.TextAnalysis.bigramCache,

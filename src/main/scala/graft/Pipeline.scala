@@ -1046,6 +1046,16 @@ object Pipeline {
       windowsPerShard: Long = PackedWindowsPerShard): DataFrame = {
     require(windowsPerShard > 0 && fromWin <= toWin,
       "need windowsPerShard > 0 and a non-empty window range")
+    // the read-side twin of appendPackedShards' geometry guard (advice
+    // r20): a caller whose windowsPerShard differs from the written
+    // geometry would silently prune to the WRONG shard dirs and return
+    // wrong/partial windows — verify against the manifest when it records
+    // the setting (pre-r20 manifests don't; nothing to verify then)
+    manifestWindowsPerShard(outPath).foreach(recorded =>
+      require(recorded == windowsPerShard,
+        s"readPackedWindows: artifact at $outPath was written with " +
+          s"windows_per_shard=$recorded but this call passed " +
+          s"$windowsPerShard — shard pruning would read the wrong dirs"))
     spark.read.parquet(s"$outPath/windows")
       .filter(col("shard") >= fromWin / windowsPerShard &&
         col("shard") <= toWin / windowsPerShard) // partition-pruned

@@ -498,14 +498,16 @@ object Packing {
             coalesce(sum("n_toks"), lit(0L)),
             coalesce(sum(col("doc_id") * col("n_toks")), lit(0L)),
             coalesce(sum("start_tok"), lit(0L))).head()
-        lazy val a = fp(spark.read.schema(PlacementSchema)
-          .parquet(staging.toString))
-        // the committed read can race a crashed fold's half-deleted batch
-        // dirs on either arm — a failed read means "not fully readable",
-        // never an abort of the adjudication itself
+        // BOTH reads are Try-wrapped: the committed read can race a crashed
+        // fold's half-deleted batch dirs, and the _SUCCESS-anchored staged
+        // parquet can itself be partially corrupt (advice r20) — a failed
+        // read means "not fully readable" and adjudicates STALE on that
+        // side, never an abort of the adjudication itself
+        lazy val a = scala.util.Try(fp(spark.read.schema(PlacementSchema)
+          .parquet(staging.toString)))
         lazy val c = scala.util.Try(fp(readPackingIndex(spark, path)))
-        def rowsMatch = c.toOption.exists(cc =>
-          (0 until 6).forall(i => a.get(i) == cc.get(i)))
+        def rowsMatch = a.toOption.exists(aa => c.toOption.exists(cc =>
+          (0 until 6).forall(i => aa.get(i) == cc.get(i))))
         if (epoch == cur) {
           // the pre-fold sidecar. The epoch alone cannot distinguish a
           // genuine pre-fold crash from a completed fold + truncate +
@@ -536,9 +538,10 @@ object Packing {
           // re-append restoring every identity field with permuted
           // per-doc counts (advice r19's spoof) is caught only by
           // comparing the rows themselves
-          !a.isNullAt(1) && cur == stateLine(IndexState(1L, a.getLong(3),
-            a.getLong(2), a.getLong(1), 0L, a.getLong(0), a.getLong(3),
-            st.get.capacity)) && rowsMatch
+          a.toOption.exists(aa => !aa.isNullAt(1) &&
+            cur == stateLine(IndexState(1L, aa.getLong(3),
+              aa.getLong(2), aa.getLong(1), 0L, aa.getLong(0), aa.getLong(3),
+              st.get.capacity))) && rowsMatch
         }
       }
       if (!fresh) fs.delete(staging, true)

@@ -75,14 +75,26 @@ object Similarity {
     vectors(spark, dir)
       .withColumn("bucket", VectorFns.signBucket(col("emb"), bits))
 
-  private def topK(pairs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
-    pairs.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("c"), 6).as("cos_sim"))
+  /** Bounded top-k per query by (c desc, neighbor_id asc) — native
+    * CollectTopK on struct(-c, neighbor_id) (r21, guide §2.3 "aggregate
+    * before you shuffle"): the former ROW_NUMBER window funneled EVERY
+    * scored pair into |queries| window partitions (8 tasks sorting the
+    * whole pair relation); the partial aggregate carries ≤ k rows per
+    * query per map partition through the exchange instead. Negating the
+    * double key is exact (IEEE sign flip), the same mixed-direction
+    * device q43/q97/q105 use; ranks = 1 + position in the sorted buffer,
+    * identical to row_number since neighbor_id is unique per query.
+    */
+  private def topK(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy("query_id")
+      .agg(org.apache.spark.sql.GraftBridge.collectTopK(
+        struct((-col("c")).as("nc"), col("neighbor_id")), k, reverse = true)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        round(-col("col.nc"), 6).as("cos_sim"))
       .orderBy("query_id", "rnk")
-  }
 
   /** Exact top-K neighbors by cosine for each query vector (vec_id < 8). */
   def knnBruteForce(spark: SparkSession, dir: String): DataFrame =
@@ -185,10 +197,16 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         aggregate(zip_with(col("qq"), col("q8"), (x, y) => x * y),
           lit(0L), (acc, v) => acc + v).as("qdot"))
-    val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
-    pairs.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "rnk", "qdot")
+    // bounded top-k (the topK device, r21): ≤ k rows per query per map
+    // partition cross the exchange, not the whole scored pair relation;
+    // the integer key negates exactly (|qdot| ≪ 2⁶³)
+    pairs.groupBy("query_id")
+      .agg(org.apache.spark.sql.GraftBridge.collectTopK(
+        struct((-col("qdot")).as("nd"), col("neighbor_id")), k, reverse = true)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rnk"), (-col("col.nd")).as("qdot"))
       .orderBy("query_id", "rnk")
   }
 
@@ -473,10 +491,17 @@ object Similarity {
         sqrt(greatest(VectorFns.dot(col("emb"), col("emb"))
           - lit(2.0) * VectorFns.dot(col("emb"), col("cent"))
           + VectorFns.dot(col("cent"), col("cent")), lit(0.0))).as("d"))
-    val w = Window.partitionBy("label").orderBy(col("d").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("label"), col("vec_id"), col("rnk"), round(col("d"), 6).as("dist"))
+    // bounded top-k per label (the topK device, r21): the former ranking
+    // window funneled every scored vector into |labels| partitions; the
+    // partial CollectTopK carries ≤ k rows per label per map partition
+    scored.groupBy("label")
+      .agg(org.apache.spark.sql.GraftBridge.collectTopK(
+        struct((-col("d")).as("nd"), col("vec_id")), k, reverse = true)
+        .as("top"))
+      .select(col("label"), posexplode(col("top")))
+      .select(col("label"), col("col.vec_id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        round(-col("col.nd"), 6).as("dist"))
       .orderBy("label", "rnk")
   }
 
@@ -714,10 +739,16 @@ object Similarity {
     val cfg = SweepConfigs.toDF("bits", "probe_hamming", "n_cells")
     val cand = pairs.crossJoin(broadcast(cfg))
       .filter(expr("bit_count(xb & (shiftleft(1, bits) - 1)) <= probe_hamming"))
-    val w = Window.partitionBy("bits", "probe_hamming", "query_id")
-      .orderBy(col("c").desc, col("neighbor_id"))
-    val hits = cand.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+    // bounded top-K per (config, query) — native CollectTopK instead of a
+    // ranking window (r21, the topK device): the window shuffled the whole
+    // pairs×configs candidate relation into config·query partitions; the
+    // partial aggregate carries ≤ K rows per group per map partition
+    val hits = cand.groupBy("bits", "probe_hamming", "query_id")
+      .agg(org.apache.spark.sql.GraftBridge.collectTopK(
+        struct((-col("c")).as("nc"), col("neighbor_id")), K, reverse = true)
+        .as("top"))
+      .select(col("bits"), col("probe_hamming"), col("query_id"),
+        explode(col("top.neighbor_id")).as("neighbor_id"))
       .join(exact, Seq("query_id", "neighbor_id"))
       .groupBy("bits", "probe_hamming").agg(count(lit(1)).as("n_hits"))
     val nCand = cand.groupBy("bits", "probe_hamming")

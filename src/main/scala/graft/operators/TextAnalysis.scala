@@ -898,9 +898,18 @@ object TextAnalysis {
       .select(col("source"), concat_ws(" ", slice(col("toks"), 1, 5)).as("prefix"))
     val counts = pref.groupBy("source", "prefix").agg(count(lit(1)).as("n_docs"))
     val totals = pref.groupBy("source").agg(count(lit(1)).as("n_total"))
-    val w = Window.partitionBy("source").orderBy(col("n_docs").desc, col("prefix"))
-    counts.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    // bounded top-k per source — native CollectTopK on
+    // struct(-n_docs, prefix) (r21, the Similarity.topK device): the
+    // former ranking window shuffled the whole vocabulary-sized
+    // (source, prefix) count relation into |sources| window partitions;
+    // the partial aggregate carries ≤ k rows per source per map partition
+    counts.groupBy("source")
+      .agg(org.apache.spark.sql.GraftBridge.collectTopK(
+        struct((-col("n_docs")).as("nn"), col("prefix")), k, reverse = true)
+        .as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.prefix").as("prefix"), (-col("col.nn")).as("n_docs"))
       .join(totals, Seq("source"))
       .select(col("source"), col("rnk"), col("prefix"), col("n_docs"),
         round(col("n_docs").cast("double") / col("n_total"), 6).as("share"))
@@ -1014,14 +1023,25 @@ object TextAnalysis {
   def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val counts = rawTokens(spark, dir)
       .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
-      .select(col("source"), col("doc_id"), size(col("toks")).cast("long").as("t"))
-    val w = Window.partitionBy("source").orderBy(col("t"), col("doc_id"))
-    val ranked = counts
-      .withColumn("r", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("source"), size(col("toks")).cast("long").as("t"))
+    // EXACT-length histogram instead of a doc-grain ranking window (r21,
+    // guide §2.3/§2.5): the former form shuffled every document into
+    // |sources| window partitions and sorted them; this groups to the
+    // per-(source, length) count grid first — distinct lengths per
+    // source, not documents, cross the exchange and feed the cumulative
+    // window. The doc at rank r under (t, doc_id) order has the smallest
+    // t whose cumulative count reaches r (the doc_id tie-break only
+    // orders docs WITHIN one t, never changing that doc's t), so picking
+    // min t with cum ≥ r is value-identical — q108's device with exact
+    // bins. The doc_id tie-break disappears with the doc grain.
+    val hist = counts.groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("source").orderBy("t")
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
     def pick(p: Int) =
-      max(when(col("r") === expr(s"((n - 1) * $p) div 100 + 1"), col("t")))
-    ranked.groupBy("source")
+      min(when(col("cum") >= expr(s"((n - 1) * $p) div 100 + 1"), col("t")))
+    cum.groupBy("source")
       .agg(max(col("n")).as("n_docs"),
         pick(10).as("p10"), pick(50).as("p50"), pick(90).as("p90"))
       .orderBy("source")

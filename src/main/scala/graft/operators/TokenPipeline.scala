@@ -206,16 +206,24 @@ object TokenPipeline {
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id")
       .agg(sum(col("qty") * col("q_qty")).as("dot"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("c").desc, col("doc_id"))
+    // bounded top-k per query — native CollectTopK on struct(-c, doc_id)
+    // (r21, the Similarity.topK device): the former ROW_NUMBER window
+    // funneled every scored (q_id, doc_id) pair into |queries| window
+    // partitions; the partial aggregate carries ≤ k rows per query per
+    // map partition. doc_id is unique per query, so the (-c, doc_id)
+    // prefix fixes the order and the trailing dot field rides along.
     dots
       .join(norms.select(col("doc_id").as("q_id"), col("nrm").as("q_nrm")), Seq("q_id"))
       .join(norms, Seq("doc_id"))
       .withColumn("c", col("dot") / (col("q_nrm") * col("nrm")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("doc_id"), col("dot"),
-        round(col("c"), 6).as("cos_sim"))
+      .groupBy("q_id")
+      .agg(org.apache.spark.sql.GraftBridge.collectTopK(
+        struct((-col("c")).as("nc"), col("doc_id"), col("dot")),
+        k, reverse = true).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.doc_id").as("doc_id"), col("col.dot").as("dot"),
+        round(-col("col.nc"), 6).as("cos_sim"))
       .orderBy("q_id", "rnk")
   }
 

@@ -264,6 +264,28 @@ class SketchesSpec extends AnyFunSuite {
       .filter($"n_exact" =!= coalesce($"e", lit(0L))).count() === 0)
   }
 
+  test("cms grid is an INDEX-class cache: registered, memoized, parity-safe") {
+    val key = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#" + sf
+    val grid = Sketches.cmsCells(spark, sf)
+    grid.count()
+    assert(Sketches.cmsGridCache.contains(key))
+    // INDEX class (r21): survives the per-pass result-memo eviction —
+    // a deployment keeps per-corpus sketch state resident — and is seen
+    // by the warmup-completeness instrument (so wave 2b must fill it)
+    Caches.clearResultMemos(spark)
+    assert(Sketches.cmsGridCache.contains(key))
+    assert(Caches.indexKeys(spark, sf).contains(key))
+    // the cached relation IS the d×w grid: cell-for-cell equal to a
+    // fresh recompute from the shingle-df artifact
+    val fresh = Dedup.shingleDf(spark, sf)
+      .select(col("shingle"), col("df").as("n_exact"),
+        posexplode(Sketches.cmsBucketArray).as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(sum("n_exact").as("cell"))
+      .as[(Int, Long, Long)].collect().sorted
+    val cached = grid.as[(Int, Long, Long)].collect().sorted
+    assert(cached === fresh)
+  }
+
   test("cms estimates never undercount and respect the e·N/w grid bound") {
     val rows = Sketches.cmsHeavyHitters(spark, sf).collect()
     assert(rows.nonEmpty)
