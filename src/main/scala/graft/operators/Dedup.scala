@@ -771,7 +771,14 @@ object Dedup {
       // values), so label(label(v)) is total via an inner self-join — the
       // path to the component min halves each round. Both join sides
       // share the aggregate's exchange, so the extra cost is one tiny
-      // hash join.
+      // hash join. CHAINING A SECOND jump (label³) was measured r21 and
+      // REJECTED: on q74's 11-round embedding graph the round count did
+      // not drop AT ALL (convergence there is limited by the neighbor-min
+      // step carrying the component min INTO a region, which no
+      // composition of already-known labels can accelerate) while the
+      // extra join added ~0.1–0.2 s of fixed latency per round — QProbe
+      // 3.4–4.4 s → 5.4–5.6 s warm. Rounds are data-dependent; the single
+      // jump stays.
       stepped.as("x")
         .join(stepped.select(col("doc_id").as("jid"), col("newc").as("jc")),
           col("x.newc") === col("jid"))
