@@ -589,6 +589,10 @@ object Bench {
       dir: String): Seq[() => Long] = Seq(
     () => operators.TokenPipeline.tokenDictionary(spark, dir).count(),
     () => operators.TokenPipeline.docAggregates(spark, dir).count(),
+    // per-doc split assignment (INDEX class since r21) — filled HERE, in
+    // wave 2, because several wave-2b steps read it concurrently and
+    // must find the key already filled (TrieMap getOrElseUpdate race)
+    () => operators.TextAnalysis.hashSplit(spark, dir).count(),
     () => operators.TextAnalysis.tfidfRaw(spark, dir).count(),
     // ordered-token relation (q70/q84/q106/q107 share it; q106 sorts
     // first in a pass and would otherwise absorb the fill in cold),

@@ -1382,7 +1382,10 @@ object Dedup {
       .select(
         col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         VectorFns.cosine(VectorFns.dot(col("x.emb"), col("y.emb")),
-          col("x.nrm"), col("y.nrm")).as("c"))
+          col("x.nrm"), col("y.nrm")).as("c"),
+        // the pair's (shared) sign-LSH cell rides along (r21): edges only
+        // exist WITHIN a cell, so q74's component build can group by it
+        col("x.bucket").as("bucket"))
       .filter(col("c") >= 0.25)
   }
 
@@ -1473,13 +1476,23 @@ object Dedup {
   def semDedupSurvivors(spark: SparkSession, dir: String,
       bits: Int = Similarity.IvfBits): DataFrame = {
     val memberRep = embeddingRepMap(spark, dir)
-    val pairs = embRepPairs(spark, dir, bits)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val sym = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val labels = propagateMinLabels(sym.select(col("doc_a").as("doc_id")), sym)
-    sym.unpersist() // labels are checkpoint-materialized; sym is done
+    // Components via ONE per-bucket union-find aggregate (r21), not the
+    // iterative propagation loop: q74's edges are bucket-contained (the
+    // sign-LSH equi-join only pairs same-cell vectors), so groupBy(bucket)
+    // sees every component whole and the generic O(diameter) round loop —
+    // 11 rounds × ~0.2 s of fixed job latency at sf0.1, and round count
+    // grows with bucket occupancy at scale — collapses to one aggregate
+    // pass over the verified pair relation. Labels are identical by
+    // construction (min vertex id per component; DedupSpec pins the
+    // differential against propagateMinLabels on the real graph plus a
+    // planted-duplicate corpus). q52's band graph stays on
+    // propagateMinLabels — ITS components span join keys.
+    val labels = embRepPairs(spark, dir, bits)
+      .groupBy("bucket")
+      .agg(graft.functions.ComponentsAggregator
+        .minLabelComponents(col("vec_a"), col("vec_b")).as("ls"))
+      .select(explode(col("ls")).as("l"))
+      .select(col("l._1").as("doc_id"), col("l._2").as("component_id"))
     memberRep
       .join(labels.select(col("doc_id").as("rep"), col("component_id")),
         Seq("rep"), "left")

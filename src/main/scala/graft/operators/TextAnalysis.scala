@@ -80,20 +80,35 @@ object TextAnalysis {
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     splitRaw(spark, dir).orderBy("doc_id")
 
+  private[graft] val splitCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** UNSORTED split assignment — building-block form for internal joins
     * (splitContamination); q56 sorts at its edge via hashSplit.
+    * INDEX-ARTIFACT cache class (r21): a pure per-document hash
+    * assignment — precomputable per-item structure exactly like the
+    * fingerprint relation — that before this cache was recomputed by
+    * EVERY consumer (q56/q59/q81/q102/q119/q125/q126 plus both eval
+    * bit-set builds), each paying a full documents scan + md5 over the
+    * whole text column per call. Two tiny columns persisted; filled in
+    * Bench wave 2 so the CONCURRENT wave-2b readers (bloomEvalBits,
+    * benchEvalBits, …) never race the first fill (the TrieMap
+    * getOrElseUpdate double-eval hazard).
     */
-  private[operators] def splitRaw(spark: SparkSession, dir: String): DataFrame = {
-    val nib = (j: Int) =>
-      expr(s"(instr('0123456789abcdef', substring(md5(text), $j, 1)) - 1)")
-    val bucket = (nib(1) * 16 + nib(2)).cast("long")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), bucket.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 204, "train")
-          .when(col("bucket") < 230, "val")
-          .otherwise("test"))
-  }
+  private[operators] def splitRaw(spark: SparkSession, dir: String): DataFrame =
+    splitCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        val nib = (j: Int) =>
+          expr(s"(instr('0123456789abcdef', substring(md5(text), $j, 1)) - 1)")
+        val bucket = (nib(1) * 16 + nib(2)).cast("long")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), bucket.as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 204, "train")
+              .when(col("bucket") < 230, "val")
+              .otherwise("test"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
 
   /** Within-document repetition — the duplicate-n-gram quality filter a
     * pretraining pipeline runs before anything cross-document: word-bigram
@@ -103,7 +118,10 @@ object TextAnalysis {
     * beyond the edge sort.
     */
   def docRepetition(spark: SparkSession, dir: String): DataFrame =
-    withTokens(spark, dir)
+    // rawTokens, not withTokens (r21): this consumer reads only `toks`,
+    // so it shares the cached ordered-token artifact instead of paying
+    // the corpus re-tokenize per call
+    rawTokens(spark, dir)
       .select(col("doc_id"), TextFns.shingleArray(col("toks"), 2).as("bg"))
       .select(col("doc_id"),
         size(col("bg")).cast("long").as("n_bigrams"),
@@ -669,7 +687,9 @@ object TextAnalysis {
   private def gopherRaw(spark: SparkSession, dir: String): DataFrame = {
     val stopList = TokenPipeline.StopWords
     def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
-    withTokens(spark, dir)
+    // rawTokens, not withTokens (r21): only `toks` is read — share the
+    // cached ordered-token artifact instead of re-tokenizing per call
+    rawTokens(spark, dir)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_len"),

@@ -588,6 +588,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Seq((1L, 2L, 3L, 7L)))
   }
 
+  test("semDedup components: per-bucket union-find equals propagation on the sf graph") {
+    // the r21 q74 component build (ONE groupBy(bucket) union-find
+    // aggregate — sound because sign-LSH edges are bucket-contained)
+    // against the generic iterative propagation on the SAME verified
+    // pair relation — the real sf graph, whose longest component took
+    // propagation 11 rounds
+    val pairs = Dedup.embRepPairs(spark, sf, graft.operators.Similarity.IvfBits)
+    val got = pairs.groupBy("bucket")
+      .agg(graft.functions.ComponentsAggregator
+        .minLabelComponents(col("vec_a"), col("vec_b")).as("ls"))
+      .select(explode(col("ls")).as("l"))
+      .select(col("l._1").as("doc_id"), col("l._2").as("component_id"))
+      .as[(Long, Long)].collect().toSet
+    val p = pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val sym = p.union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val want = Dedup.propagateMinLabels(
+      sym.select(col("doc_a").as("doc_id")), sym)
+      .as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("propagateMinLabels: deep chain and forest label to component minima") {
     // a 40-vertex path (diameter 39 — far beyond a log-rounds budget if
     // the pointer-doubling regressed), a 3-clique, and two isolates

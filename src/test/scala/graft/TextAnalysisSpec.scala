@@ -26,6 +26,19 @@ class TextAnalysisSpec extends AnyFunSuite {
       (4L, 0L, 0L, 0.0), (5L, 0L, 0L, 0.0)))
   }
 
+  test("split assignment is an INDEX-class cache: registered, memoized") {
+    val key = org.apache.spark.sql.GraftBridge.sessionKey(spark) + "#" + sf
+    TextAnalysis.hashSplit(spark, sf).count()
+    assert(TextAnalysis.splitCache.contains(key))
+    // INDEX class (r21): survives the per-pass result-memo eviction (a
+    // per-doc hash assignment is precomputable per-item structure, the
+    // fingerprint class) and is seen by the warmup-completeness
+    // instrument, so the warmup waves must fill it
+    Caches.clearResultMemos(spark)
+    assert(TextAnalysis.splitCache.contains(key))
+    assert(Caches.indexKeys(spark, sf).contains(key))
+  }
+
   test("splitContamination finds a planted cross-split near-dup, deterministically") {
     // find shingle-sharing texts whose md5 CONTENT buckets provably land
     // on opposite sides of the split boundary — no corpus-statistics luck:
