@@ -676,6 +676,13 @@ object Dedup {
   private def jaccardVerify(spark: SparkSession, dir: String,
       cands: DataFrame): DataFrame = {
     val sh = shingles(spark, dir)
+    // Measured r21 and REJECTED: semi-join pre-filters of sh down to
+    // candidate docs (guide §3.2) before the two joins — `cands` is an
+    // UNMATERIALIZED band-self-join subtree, so the two extra references
+    // re-ran it twice more and q112's QProbe went 2.6–3.0 s → 3.9–4.5 s.
+    // The single-reference join chain below keeps the candidate subtree
+    // evaluated once; at deployment scale the same pruning falls out of
+    // Spark's runtime bloom-filter join injection instead.
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
