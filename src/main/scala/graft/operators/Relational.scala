@@ -164,9 +164,19 @@ object Relational {
     * result is recorded in BASELINE-notes r13.
     */
   def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    // frequency-weighted percentile over the pre-aggregated
+    // (flag, price) count grid (r21, guide §2.3 "aggregate before you
+    // shuffle"): the direct form fed every lineitem row through
+    // percentile's interpreted ObjectHashAggregate (an OpenHashMap insert
+    // per row); the codegen'd count aggregate reduces to distinct prices
+    // per flag first, and percentile(price, ps, freq) builds the IDENTICAL
+    // counts-map state from the grid — same interpolation, same result
+    // (oracle-pinned at all three SFs).
     Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(count(lit(1)).as("f"))
       .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99), f)").as("ps"))
       .select(
         col("l_returnflag"),
         round(element_at(col("ps"), 1), 6).as("p50"),
