@@ -637,7 +637,10 @@ object Bench {
     // the per-benchmark bloom bit-sets (q125's index side)
     () => operators.Sketches.benchEvalBits(spark, dir).count(),
     // the CMS d×w cell grid (q103's sketch state — INDEX class since r21)
-    () => operators.Sketches.cmsCells(spark, dir).count())
+    () => operators.Sketches.cmsCells(spark, dir).count(),
+    // raw per-(doc, token) counts (q92/q99's unfiltered TF relation —
+    // INDEX class since r22; reads rawTokens, a wave-2 artifact)
+    () => operators.TextAnalysis.rawTokenCounts(spark, dir).count())
 
   /** The sweep's execution order: longest-steps-first in the parallel
     * arm (r19 LPT — the stored-index / artifact builders are the sweep's

@@ -22,7 +22,7 @@ object Caches {
     operators.Sketches.benchBitsCache, operators.Sketches.multiBloomMemo,
     operators.Sketches.multiBenchFpMemo, operators.Sketches.cmsGridCache,
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache,
-    operators.TextAnalysis.splitCache,
+    operators.TextAnalysis.splitCache, operators.TextAnalysis.rawCountsCache,
     operators.TextAnalysis.tfidfCache, operators.TextAnalysis.dsirCache,
     operators.TextAnalysis.dsirWtCache, operators.TextAnalysis.bigramCache,
     operators.TextAnalysis.verdictCache, operators.Packing.placementCache)

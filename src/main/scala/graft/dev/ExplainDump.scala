@@ -20,17 +20,22 @@ object ExplainDump {
     val suffix = args(1)
     val names = args.drop(2).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // validate every name BEFORE starting the session (advice r21): an
+    // unknown name used to sys.error mid-loop with the session still up
+    // and partial dump files left behind
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}; " +
+      s"known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val spark = graft.Sessions.start("4", logLevel = "ERROR")
-    Files.createDirectories(Paths.get(outDir))
-    names.foreach { name =>
-      val fn = graft.SparkEntry.queries.getOrElse(name, sys.error(
-        s"unknown query '$name'"))
-      val df = fn(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
-      println(s"wrote $outDir/${name}_$suffix.txt")
-    }
-    spark.stop()
+    try {
+      Files.createDirectories(Paths.get(outDir))
+      names.foreach { name =>
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
+        println(s"wrote $outDir/${name}_$suffix.txt")
+      }
+    } finally spark.stop()
   }
 }

@@ -34,6 +34,13 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object ComponentsAggregator {
 
+  /** Edge count above which finish() logs a sizing warning (advice r21):
+    * ~5 M edges ≈ 300 MB of buffered Edge objects in one task — still
+    * survivable, but a sign the group key is not containing components
+    * the way the caller's sizing contract promised.
+    */
+  val AlarmEdgeCount: Int = 5000000
+
   case class Edge(a: Long, b: Long)
 
   class MinLabelComponents
@@ -42,6 +49,16 @@ object ComponentsAggregator {
     override def reduce(buf: Seq[Edge], e: Edge): Seq[Edge] = e +: buf
     override def merge(b1: Seq[Edge], b2: Seq[Edge]): Seq[Edge] = b1 ++ b2
     override def finish(edges: Seq[Edge]): Seq[(Long, Long)] = {
+      // DIAGNOSABILITY ALARM (advice r21): the buffer bound rests on the
+      // caller's key-containment sizing (sign-LSH bits ≈ log₂ n, or the
+      // propagateMinLabels fast-path edge count gate). If a hot group
+      // still concentrates a huge edge list, surface it as a named
+      // warning on the executor log BEFORE it becomes an opaque OOM, so
+      // an undersized bits setting is diagnosable.
+      if (edges.size > AlarmEdgeCount)
+        System.err.println(s"[graft] ComponentsAggregator: one group " +
+          s"buffered ${edges.size} edges (> $AlarmEdgeCount) — check the " +
+          "key-containment sizing (SPARK_GRAFT_LSH_BITS / fast-path gate)")
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

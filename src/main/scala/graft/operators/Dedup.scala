@@ -597,8 +597,7 @@ object Dedup {
       collapse: Boolean, maxShingleDf: Option[Long] = None): DataFrame =
     pairsCache.getOrElseUpdate(
       s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir#$collapse#${maxShingleDf.getOrElse(-1L)}",
-      repNearDupPairsUncached(spark, dir, collapse, maxShingleDf)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      repNearDupPairsUncached(spark, dir, collapse, maxShingleDf))
 
   private def repNearDupPairsUncached(spark: SparkSession, dir: String,
       collapse: Boolean, maxShingleDf: Option[Long]): DataFrame = {
@@ -613,13 +612,47 @@ object Dedup {
         verbatimReps(spark, dir)
           .filter(col("doc_id") === col("rep_id")).select("doc_id"),
         Seq("doc_id"), "left_semi")
+    // MATERIALIZE the band-self-join candidate relation once (r22, VERDICT
+    // r21 item 1; guide §3.2 + §5): the r21 semi-join pre-filter was
+    // rejected only because `cands` was an unmaterialized subtree that the
+    // two extra prune references re-ran. localCheckpoint (eager) pays the
+    // self-join exactly once; jaccardVerify can then prune the shingle
+    // relation to candidate docs before the pair-keyed shuffles for free.
+    // At 100 TB the band self-join is the most expensive subtree in the
+    // dedup family — evaluating it once is the scale posture, the prune
+    // cuts the verify shuffle to candidate docs' shingles only.
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    jaccardVerify(spark, dir, cands)
+      .localCheckpoint()
+    // prune the shingle relation to candidate docs ONCE and materialize
+    // the pruned copy too — the pruned subtree feeds three references
+    // (both verify joins + the set sizes), and an unmaterialized prune
+    // would re-run the semi-join per reference (the one-level-down twin
+    // of the r21 cands rejection; measured r22: prune-without-checkpoint
+    // read 3.35–3.49 s vs 2.64–3.06 baseline). Doc-level pruning keeps
+    // every shingle of a kept doc, so sizes from the pruned copy are
+    // exact.
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shP = shingles(spark, dir)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val verified = jaccardVerify(spark, dir, cands, shingleSet = Some(shP))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // force the memoized relation NOW so the checkpoint blocks backing
+    // `cands` and the pruned shingles can be reclaimed immediately (they
+    // feed nothing else); building the memo was always the first
+    // consumer's cost, this only moves it from its first action to the
+    // memo fill
+    verified.count()
+    org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(cands)
+    org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(shP)
+    verified
   }
 
   /** Exact n-gram Jaccard near-dups with candidates = pairs sharing ≥1
@@ -674,29 +707,34 @@ object Dedup {
     * every one of them; query edges sort for themselves.
     */
   private def jaccardVerify(spark: SparkSession, dir: String,
-      cands: DataFrame): DataFrame = {
-    val sh = shingles(spark, dir)
-    // Measured r21 and REJECTED: semi-join pre-filters of sh down to
-    // candidate docs (guide §3.2) before the two joins — `cands` is an
-    // UNMATERIALIZED band-self-join subtree, so the two extra references
-    // re-ran it twice more and q112's QProbe went 2.6–3.0 s → 3.9–4.5 s.
-    // The single-reference join chain below keeps the candidate subtree
-    // evaluated once; at deployment scale the same pruning falls out of
-    // Spark's runtime bloom-filter join injection instead.
+      cands: DataFrame, shingleSet: Option[DataFrame] = None): DataFrame = {
+    // `shingleSet`: a MATERIALIZED doc-pruned shingle relation
+    // (repNearDupPairsUncached's §3.2 semi-join prune). The r21 inline
+    // prune was rejected because it referenced the unmaterialized
+    // band-self-join twice more (QProbe 2.6–3.0 s → 3.9–4.5 s); the
+    // checkpointed prune costs one tiny scan per reference, and the
+    // pair-keyed verify shuffles carry candidate docs' shingles only
+    // instead of the whole corpus.
+    val sh = shingleSet.getOrElse(shingles(spark, dir))
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    jaccardFinish(spark, dir, inter)
+    jaccardFinish(spark, dir, inter, sizesOver = sh)
   }
 
   /** Shared tail of Jaccard verification: join per-doc set sizes onto a
     * per-pair intersection-count relation, derive the union, keep ≥ 0.5.
+    * `sizesOver` lets a pruned caller compute the per-doc totals from the
+    * candidate-doc subset (exact — pruning is doc-grained, never
+    * shingle-grained); the inner joins below make non-candidate sizes
+    * unreachable anyway.
     */
   private def jaccardFinish(spark: SparkSession, dir: String,
-      inter: DataFrame): DataFrame = {
-    val sizes = shingles(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      inter: DataFrame, sizesOver: DataFrame = null): DataFrame = {
+    val sizes = Option(sizesOver).getOrElse(shingles(spark, dir))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
@@ -793,6 +831,14 @@ object Dedup {
           (col("jc") < col("x.oldc")).as("chg"))
   }
 
+  /** Single-buffer bound for the r22 union-find fast path: symmetrized
+    * edge rows + vertex self-edges must fit one aggregation buffer
+    * (~56 B/edge heap + ~20 B/edge kryo ⇒ ≲ 250 MB at the bound — one
+    * task, any executor). Above it the iterative propagation loop runs
+    * unchanged.
+    */
+  private[graft] val PropagateUnionFindMaxEdges = 4000000L
+
   private[graft] def propagateMinLabels(verts: DataFrame, sym0: DataFrame): DataFrame = {
     // localCheckpoint (eager) both materializes the round's labels AND
     // truncates lineage — without it each round's plan stacks on the last
@@ -823,6 +869,34 @@ object Dedup {
     val loopParts = math.max(1L, (nVerts + 499999L) / 500000L).toString
     sess.conf.set("spark.sql.adaptive.enabled", "false")
     sess.conf.set("spark.sql.shuffle.partitions", loopParts)
+    // r22 SMALL-GRAPH FAST PATH: below UnionFindMaxEdges the whole edge
+    // list fits one aggregation buffer, so a single-group run of the
+    // r21 union-find UDAF (ComponentsAggregator — labels provably equal
+    // min-label propagation: union-by-min roots every component at its
+    // minimum member) replaces the O(rounds) loop's 2-jobs-per-round
+    // fixed latency with ONE aggregate pass. Measured r22 at sf0.1: the
+    // loop cost ~1.3–1.5 s of the q112/q52 memo build for a ~2k-vertex
+    // rep graph. Isolated vertices ride as self-edges so every vert is
+    // labeled, exactly like the loop's union branch. Above the bound the
+    // iterative loop below is unchanged — the fast path is a sized
+    // optimization, not a scalability claim; the count() that gates it
+    // reads the caller-persisted sym relation the loop's round 1 would
+    // materialize anyway.
+    val nSym = if (nVerts <= PropagateUnionFindMaxEdges) sym.count()
+               else Long.MaxValue
+    if (nSym + nVerts <= PropagateUnionFindMaxEdges) {
+      val out = sym.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(labels.select(col("doc_id").as("a"), col("doc_id").as("b")))
+        .agg(graft.functions.ComponentsAggregator
+          .minLabelComponents(col("a"), col("b")).as("ls"))
+        .select(explode(col("ls")).as("l"))
+        .select(col("l._1").as("doc_id"), col("l._2").as("component_id"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(labels)
+      if (sys.env.contains("GRAFT_PROP_DEBUG"))
+        println(s"[prop] union-find fast path: $nVerts verts, $nSym sym edges")
+      return org.apache.spark.sql.GraftBridge.inSession(out, base)
+    }
     var converged = false
     var rounds = 0
     val maxRounds = 50 // component diameter bound; near-dup clusters are tiny

@@ -110,9 +110,21 @@ object Relational {
     * oracle compare never depends on engine NULL-ordering defaults.
     */
   def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    // pre-aggregate to the (flag, status) grid BEFORE the grouping-set
+    // Expand (r22, guide §2.3 "aggregate before you shuffle"): rollup/cube
+    // replicate every input row once per grouping set through an Expand
+    // node, so the direct form expanded |lineitem|×3 rows into the
+    // aggregate; the grid is ≤ |flags|·|statuses| rows, the Expand now
+    // multiplies ~6 rows, and the base aggregate is a plain codegen'd
+    // two-key hash aggregate with map-side partials. sum-of-partial-sums
+    // over DECIMAL is exact (integer arithmetic, no overflow below 1e36),
+    // so n_rows/sum_price are bit-identical to the direct rollup.
     Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n0"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("s0"))
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n_rows"), dsum2(col("l_extendedprice")).as("sum_price"))
+      .agg(sum("n0").as("n_rows"), sum("s0").cast("double").as("sum_price"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -121,9 +133,13 @@ object Relational {
 
   /** CUBE grouping sets (all four combinations of the two dimensions). */
   def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    // same pre-aggregated-grid device as rollupSummary (r22, §2.3)
     Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n0"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("s0"))
       .cube("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n_rows"), dsum2(col("l_quantity")).as("sum_qty"))
+      .agg(sum("n0").as("n_rows"), sum("s0").cast("double").as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),

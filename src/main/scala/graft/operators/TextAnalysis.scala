@@ -93,7 +93,12 @@ object TextAnalysis {
     * whole text column per call. Two tiny columns persisted; filled in
     * Bench wave 2 so the CONCURRENT wave-2b readers (bloomEvalBits,
     * benchEvalBits, …) never race the first fill (the TrieMap
-    * getOrElseUpdate double-eval hazard).
+    * getOrElseUpdate double-eval hazard). The TINY-dir key is covered
+    * the same way (advice r21): Bench's sweep prefills
+    * wave2Steps(sweepDir) — including this cache — before its width-8
+    * worker pool starts, so no two sweep workers can race the tiny-dir
+    * first fill either; the residual CacheManager same-plan dedup is a
+    * backstop, not the mechanism.
     */
   private[operators] def splitRaw(spark: SparkSession, dir: String): DataFrame =
     splitCache.getOrElseUpdate(
@@ -976,10 +981,30 @@ object TextAnalysis {
     * edge round(6) absorbs the ulp, exactly as q34/q70. Empty docs are
     * out of domain. One (doc, token) aggregate + one per-doc fold.
     */
+  private[graft] val rawCountsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Raw per-(doc, token) occurrence counts over the UNFILTERED token
+    * stream — INDEX-ARTIFACT cache class (r22): the exact term-frequency
+    * relation an engine keeps resident (the unfiltered twin of the
+    * docTokenCounts hub). Before the cache, q92's entropy built it once
+    * per call and q99's LM scoring subtree evaluated it THREE times per
+    * call (doc side, corpus-count side, corpus-total side — the before
+    * plan shows the explode+aggregate chain under three separate
+    * exchanges). Registered in Caches.maps; filled in Bench wave 2b
+    * (reads rawTokens, a wave-2 artifact).
+    */
+  private[graft] def rawTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    rawCountsCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        rawTokens(spark, dir)
+          .select(col("doc_id"), explode(col("toks")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+
   def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
-    rawTokens(spark, dir)
-      .select(col("doc_id"), explode(col("toks")).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+    rawTokenCounts(spark, dir)
       .groupBy("doc_id")
       .agg(sum("n").as("n_tokens"),
         sort_array(collect_list(struct(col("token"),
@@ -1007,9 +1032,10 @@ object TextAnalysis {
     * like q82's weight table.
     */
   def crossEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val dt = rawTokens(spark, dir)
-      .select(col("doc_id"), explode(col("toks")).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+    // all three references (doc side, corpus counts, corpus total) read
+    // the ONE persisted rawTokenCounts artifact (r22, guide §2.4): the
+    // inline form re-ran the corpus-scale explode+aggregate three times
+    val dt = rawTokenCounts(spark, dir)
     val corpus = dt.groupBy("token").agg(sum("n").as("c"))
     val total = corpus.agg(sum("c").as("tt"))
     def fold(field: String) =
