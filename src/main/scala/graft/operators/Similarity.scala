@@ -519,8 +519,16 @@ object Similarity {
     * doubles are bit-identical to DuckDB's list_reduce mirror.
     */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    // UNROLLED over the fixed PqSubDim geometry (r22, guide §4 "prefer
+    // codegen expressions"): the previous zip_with+aggregate HOF pair is
+    // interpreted per element and allocates the zipped array per row.
+    // The unrolled left-associated sum (((0+v0)+v1)+… keeps the HOF
+    // fold's exact double order, so d2 is bit-identical. Only valid for
+    // PqSubDim-length subvectors — the single call site's domain.
+    (0 until PqSubDim).map { i =>
+      val d = element_at(a, i + 1) - element_at(b, i + 1)
+      d * d
+    }.foldLeft(lit(0.0))(_ + _)
 
   /** Product-quantized ANN (q105) — the compression rung of the ANN
     * ladder (brute q28 → IVF q29/q55 → int8 q77 → PQ): split each
@@ -620,13 +628,17 @@ object Similarity {
       .select(col("vec_id").as("query_id"))
     val grid = methods.map { case (m, _) => spark.range(1).select(lit(m).as("method")) }
       .reduce(_.unionAll(_)).crossJoin(queryIds)
-    val returned = approx.groupBy("method", "query_id")
-      .agg(count(lit(1)).as("n_returned"))
-    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
-      .groupBy("method", "query_id").agg(count(lit(1)).as("n_hits"))
+    // ONE pass over the approx union computes returned AND hits (r22,
+    // guide §2.4): a LEFT join onto the exact set (unique per (query,
+    // neighbor), so row counts are preserved) marks hits, and one
+    // aggregate counts both — the previous form scanned `approx` twice
+    // (returned + hits) and joined the grid twice.
+    val scoredRungs = approx
+      .join(exact.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("method", "query_id")
+      .agg(count(lit(1)).as("n_returned"), count(col("hit")).as("n_hits"))
     val per = grid
-      .join(returned, Seq("method", "query_id"), "left")
-      .join(hits, Seq("method", "query_id"), "left")
+      .join(scoredRungs, Seq("method", "query_id"), "left")
       .select(col("method"), col("query_id"),
         coalesce(col("n_returned"), lit(0L)).as("n_returned"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
