@@ -634,8 +634,13 @@ object Bench {
     // the stored placement artifact (q123's read side — bootstraps the
     // on-disk index once per session, then persists the doc-grain read)
     () => operators.Packing.storedPlacement(spark, dir).count(),
-    // the per-benchmark bloom bit-sets (q125's index side)
-    () => operators.Sketches.benchEvalBits(spark, dir).count(),
+    // the eval-side distinct shingle relation, then the per-benchmark
+    // bloom bit-sets built from it (q125's index side) — ONE thunk, in
+    // dependency order, so no concurrent step races the shared key
+    () => {
+      operators.Sketches.benchEvalShingles(spark, dir).count()
+      operators.Sketches.benchEvalBits(spark, dir).count()
+    },
     // the CMS d×w cell grid (q103's sketch state — INDEX class since r21)
     () => operators.Sketches.cmsCells(spark, dir).count(),
     // raw per-(doc, token) counts (q92/q99's unfiltered TF relation —

@@ -21,6 +21,7 @@ object Caches {
     operators.Sketches.bitsCache, operators.Sketches.bloomMemo,
     operators.Sketches.benchBitsCache, operators.Sketches.multiBloomMemo,
     operators.Sketches.multiBenchFpMemo, operators.Sketches.cmsGridCache,
+    operators.Sketches.evalShCache,
     operators.TextAnalysis.srcTokCache, operators.TextAnalysis.rawTokCache,
     operators.TextAnalysis.splitCache, operators.TextAnalysis.rawCountsCache,
     operators.TextAnalysis.tfidfCache, operators.TextAnalysis.dsirCache,

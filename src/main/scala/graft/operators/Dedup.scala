@@ -546,6 +546,13 @@ object Dedup {
         verbatimReps(spark, dir)
           .filter(col("doc_id") === col("rep_id")).select("doc_id"),
         Seq("doc_id"), "left_semi")
+    // the same materialize-then-prune device as repNearDupPairsUncached
+    // (r22, §3.2 + §5): checkpoint the pair relation once (the band
+    // self-join is the expensive subtree), prune the shingle relation to
+    // candidate docs, checkpoint the pruned copy (three references read
+    // it). No explicit free — unlike the memoized pairs relation nothing
+    // pins these frames, so the ContextCleaner reclaims the blocks once
+    // the returned frame is dropped (the withSeededPrefixSum precedent).
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -560,7 +567,13 @@ object Dedup {
       .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+      .localCheckpoint()
+    val candDocs = withAgree.select(col("doc_a").as("doc_id"))
+      .union(withAgree.select(col("doc_b").as("doc_id")))
+      .distinct()
     val sh = shingles(spark, dir)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = withAgree
       .join(sh.as("ja"), col("doc_a") === col("ja.doc_id"))

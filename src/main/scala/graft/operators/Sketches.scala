@@ -227,20 +227,32 @@ object Sketches {
   private[graft] val benchBitsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  private[graft] val evalShCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** The distinct (benchmark, shingle) eval relation — benchmarks are
     * the eval (val+test) split's sources. Shared by the bit-set build,
-    * the q126 exact audit, and the q128 sizing report; bounded by the
-    * benchmarks, never by the train corpus.
+    * the q126 exact audit, the q128 sizing report, and (re-distinct'd to
+    * shingle grain) q119's union-grain audit; bounded by the benchmarks,
+    * never by the train corpus. INDEX-ARTIFACT cache class (r22): a
+    * precomputable eval-side structure exactly like the bit-sets built
+    * from it — before the cache every consumer re-ran the eval-side
+    * semi-join + distinct per call. Registered in Caches.maps; filled in
+    * Bench wave 2b in the SAME thunk as the bit-set build (sequential —
+    * no concurrent getOrElseUpdate on the key).
     */
-  private[graft] def benchEvalShingles(spark: SparkSession, dir: String): DataFrame = {
-    val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
-    Dedup.shingles(spark, dir)
-      .join(splits.filter(col("split") =!= "train").select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      .join(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source").as("benchmark")), Seq("doc_id"))
-      .select("benchmark", "shingle").distinct()
-  }
+  private[graft] def benchEvalShingles(spark: SparkSession, dir: String): DataFrame =
+    evalShCache.getOrElseUpdate(
+      s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
+        val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
+        Dedup.shingles(spark, dir)
+          .join(splits.filter(col("split") =!= "train").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .join(Tables.documents(spark, dir)
+            .select(col("doc_id"), col("source").as("benchmark")), Seq("doc_id"))
+          .select("benchmark", "shingle").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
 
   /** PER-BENCHMARK Bloom bit-sets — the multi-benchmark form of
     * [[bloomEvalBits]] (VERDICT r17 item 4): real pipelines screen one
@@ -261,10 +273,10 @@ object Sketches {
     benchBitsCache.getOrElseUpdate(
       s"${org.apache.spark.sql.GraftBridge.sessionKey(spark)}#$dir", {
         import spark.implicits._
-        // localCheckpoint: the eval-side distinct feeds BOTH the sizing
-        // collect and the position projection — materialized once, not
-        // recomputed per job (review r19); bounded by the benchmarks
-        val evd = benchEvalShingles(spark, dir).localCheckpoint()
+        // the eval-side distinct is the cached INDEX relation since r22
+        // (it feeds the sizing collect, the position projection, q126's
+        // audit and q119's union-grain audit) — no per-build checkpoint
+        val evd = benchEvalShingles(spark, dir)
         val sizes = evd.groupBy("benchmark").agg(count(lit(1)).as("n"))
           .as[(String, Long)].collect()
           .map { case (b, n) => (b, n, sizedBloomBits(n)) }.toSeq
@@ -290,20 +302,10 @@ object Sketches {
             (col("raw") % col("mbits")).as("pos"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // evd exists only to feed the sizing collect (already forced) and
-        // this one derivation: materialize the bit-set eagerly, then
-        // reclaim the checkpoint blocks — otherwise they'd live until
-        // Caches.free's plan walk on explicit eviction, doubling the
-        // footprint for the cache's lifetime (advice r19). Eager-safe:
-        // the persisted relation is complete before the blocks go, and a
-        // corpus swap invalidates through clearDir as before.
+        // materialize the bit-set eagerly (the r19/r20 shape, minus the
+        // per-build checkpoint reclaim — evd is now the long-lived cached
+        // relation owned by Caches, NOT a build-local checkpoint)
         out.count()
-        // unpersist() alone is a no-op for a localCheckpoint()-backed frame
-        // (CacheManager holds nothing; the RDD holds the blocks — the same
-        // reason Caches.free walks checkpoint RDDs). Reclaim them explicitly
-        // (advice r20).
-        evd.unpersist()
-        org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(evd)
         out
       })
 
@@ -541,9 +543,11 @@ object Sketches {
   def bloomFpAudit(spark: SparkSession, dir: String): DataFrame = {
     val splits = TextAnalysis.splitRaw(spark, dir).select("doc_id", "split")
     val sh = Dedup.shingles(spark, dir)
-    val evalShingles = sh.join(
-      splits.filter(col("split") =!= "train").select("doc_id"),
-      Seq("doc_id"), "left_semi")
+    // union-grain eval set = the cached benchmark-grain INDEX relation
+    // re-distinct'd to shingle grain (every eval doc has a source, so the
+    // union over benchmarks IS the eval split's shingle set) — the inline
+    // form re-ran the eval-side semi-join + distinct per call (r22)
+    val evalShingles = benchEvalShingles(spark, dir)
       .select("shingle").distinct()
     val exact = sh.join(
       splits.filter(col("split") === "train").select("doc_id"),

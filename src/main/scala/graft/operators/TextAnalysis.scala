@@ -591,6 +591,15 @@ object TextAnalysis {
     // recompute when a caller asks for a large merge table (k in the
     // thousands at real scale); k ≤ ckptEvery never materializes at all.
     val ckptEvery = 8
+    // Measured r22 and REJECTED: staging the positional stream ONCE
+    // pre-partitioned + pre-sorted behind a localCheckpoint (so each
+    // round's window chain skips its exchange+sort) — the one-time
+    // checkpoint materialization of the full exploded stream cost MORE
+    // than the per-round in-plan exchanges it replaced: QProbe q73
+    // 1.62–2.25 → 2.00–2.41 s. Third negative result for materializing
+    // this stream (r10 per-round, r11 fused, r22 once-up-front); the
+    // round loop's exchanges are cheaper than any storage of the stream
+    // at this geometry.
     var toks = bpeTokenStream(spark, dir)
     var lastCkpt: DataFrame = null
     val merges = Seq.newBuilder[(Long, String, String, Long, String)]
