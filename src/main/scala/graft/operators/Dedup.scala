@@ -375,6 +375,9 @@ object Dedup {
     // tokenize ONLY pair endpoints: the pair set is the dedup ladder's
     // output (collapse path: reps), so the positional pass touches a
     // near-dup-sized slice of the corpus, not all of it
+    // staged once (r22, §5): the positional relation feeds BOTH pair-side
+    // joins below, and the unstaged subtree re-ran the endpoint tokenize
+    // + posexplode per reference; endpoint-sized, ContextCleaner-reclaimed
     val pos5 = Tables.documents(spark, dir)
       .join(pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id"))).distinct(),
@@ -383,6 +386,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(TextFns.shingleArray(col("toks"), ShingleSize))
           .as(Seq("pos", "shingle")))
+      .localCheckpoint()
     val m = pairs
       .join(pos5.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
         col("shingle")), Seq("doc_a"))
