@@ -878,14 +878,10 @@ object Dedup {
     // planning under their own conf.
     val base = sym0.sparkSession
     val sess = org.apache.spark.sql.GraftBridge.cloneSession(base)
-    var labels = org.apache.spark.sql.GraftBridge.inSession(
+    val vertsD = org.apache.spark.sql.GraftBridge.inSession(
       verts.distinct().withColumn("component_id", col("doc_id")), sess)
-      .localCheckpoint()
     val sym = org.apache.spark.sql.GraftBridge.inSession(sym0, sess)
-    val nVerts = labels.count()
-    val loopParts = math.max(1L, (nVerts + 499999L) / 500000L).toString
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    sess.conf.set("spark.sql.shuffle.partitions", loopParts)
+    val nVerts = vertsD.count()
     // r22 SMALL-GRAPH FAST PATH: below UnionFindMaxEdges the whole edge
     // list fits one aggregation buffer, so a single-group run of the
     // r21 union-find UDAF (ComponentsAggregator — labels provably equal
@@ -896,24 +892,30 @@ object Dedup {
     // rep graph. Isolated vertices ride as self-edges so every vert is
     // labeled, exactly like the loop's union branch. Above the bound the
     // iterative loop below is unchanged — the fast path is a sized
-    // optimization, not a scalability claim; the count() that gates it
-    // reads the caller-persisted sym relation the loop's round 1 would
-    // materialize anyway.
-    val nSym = if (nVerts <= PropagateUnionFindMaxEdges) sym.count()
-               else Long.MaxValue
+    // optimization, not a scalability claim. Job trims: nVerts² ≤ bound
+    // makes the edge count provably safe without the sym.count() job,
+    // and the fast path reads the tiny vertex relation twice instead of
+    // paying the loop's seed checkpoint.
+    val nSym =
+      if (nVerts * nVerts <= PropagateUnionFindMaxEdges) 0L
+      else if (nVerts <= PropagateUnionFindMaxEdges) sym.count()
+      else Long.MaxValue
     if (nSym + nVerts <= PropagateUnionFindMaxEdges) {
       val out = sym.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .union(labels.select(col("doc_id").as("a"), col("doc_id").as("b")))
+        .union(vertsD.select(col("doc_id").as("a"), col("doc_id").as("b")))
         .agg(graft.functions.ComponentsAggregator
           .minLabelComponents(col("a"), col("b")).as("ls"))
         .select(explode(col("ls")).as("l"))
         .select(col("l._1").as("doc_id"), col("l._2").as("component_id"))
         .localCheckpoint()
-      org.apache.spark.sql.GraftBridge.unpersistCheckpointRdds(labels)
       if (sys.env.contains("GRAFT_PROP_DEBUG"))
         println(s"[prop] union-find fast path: $nVerts verts, $nSym sym edges")
       return org.apache.spark.sql.GraftBridge.inSession(out, base)
     }
+    val loopParts = math.max(1L, (nVerts + 499999L) / 500000L).toString
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", loopParts)
+    var labels = vertsD.localCheckpoint()
     var converged = false
     var rounds = 0
     val maxRounds = 50 // component diameter bound; near-dup clusters are tiny

@@ -637,6 +637,10 @@ object Similarity {
       .join(exact.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
       .groupBy("method", "query_id")
       .agg(count(lit(1)).as("n_returned"), count(col("hit")).as("n_hits"))
+    // staged once (r22, §5): `per` feeds both the output rows and the
+    // per-method mean — unmaterialized, the second reference re-ran the
+    // whole scoredRungs subtree (3 memo scans + join + aggregate). The
+    // relation is |methods|·|queries| rows; ContextCleaner reclaims it.
     val per = grid
       .join(scoredRungs, Seq("method", "query_id"), "left")
       .select(col("method"), col("query_id"),
@@ -644,6 +648,7 @@ object Similarity {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall",
         round(col("n_hits").cast("double") / lit(K.toDouble), 6))
+      .localCheckpoint()
     val mean = per.groupBy("method")
       .agg(sum("n_returned").as("n_returned"), sum("n_hits").as("n_hits"),
         round(sum("n_hits").cast("double") / (count(lit(1)) * lit(K.toLong))
